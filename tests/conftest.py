@@ -1,0 +1,15 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-chip sharding logic (mesh/shard_map/halo exchange) is tested on a
+virtual 8-device CPU mesh per SURVEY.md §4; real-TPU runs happen via
+bench.py, not the unit suite. Must run before jax is first imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
