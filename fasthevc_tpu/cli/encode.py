@@ -1,0 +1,112 @@
+"""Encoder CLI (HM TAppEncoder analog, SURVEY.md E1).
+
+Usage:
+  python -m fasthevc_tpu.cli.encode --synth 416x240 --frames 8 --qp 32 \
+      -b out.bin [--recon rec.yuv] [--lossless] [--engine spec|tpu]
+  python -m fasthevc_tpu.cli.encode -i in.yuv --size 416x240 --frames 8 ...
+
+Prints one per-picture log line (HM-style: POC, bits, PSNR, time) and a
+summary; exits nonzero on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..utils import psnr, synthesize_yuv, yuv_from_planes
+
+
+def read_yuv(path: str, width: int, height: int, frames: int):
+    """Read planar 4:2:0 8-bit YUV."""
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    out = []
+    with open(path, "rb") as f:
+        for _ in range(frames):
+            y = np.frombuffer(f.read(ysz), np.uint8).reshape(height, width)
+            cb = np.frombuffer(f.read(csz), np.uint8).reshape(height // 2,
+                                                              width // 2)
+            cr = np.frombuffer(f.read(csz), np.uint8).reshape(height // 2,
+                                                              width // 2)
+            out.append((y, cb, cr))
+    return out
+
+
+def write_yuv(path: str, frames) -> None:
+    with open(path, "wb") as f:
+        for y, cb, cr in frames:
+            f.write(np.asarray(y, np.uint8).tobytes())
+            f.write(np.asarray(cb, np.uint8).tobytes())
+            f.write(np.asarray(cr, np.uint8).tobytes())
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fasthevc-encode")
+    ap.add_argument("-i", "--input", help="input YUV (planar 4:2:0 8-bit)")
+    ap.add_argument("--synth", help="synthesize WxH test content instead")
+    ap.add_argument("--size", help="WxH of input YUV")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--qp", type=int, default=32)
+    ap.add_argument("-b", "--bitstream", required=True)
+    ap.add_argument("--recon", help="write reconstruction YUV")
+    ap.add_argument("--lossless", action="store_true")
+    ap.add_argument("--ctu", type=int, default=32, choices=[16, 32, 64])
+    ap.add_argument("--rd-candidates", type=int, default=3)
+    ap.add_argument("--engine", default="spec", choices=["spec", "tpu"])
+    args = ap.parse_args(argv)
+
+    if args.synth:
+        w, h = map(int, args.synth.split("x"))
+        frames = synthesize_yuv(w, h, args.frames)
+    elif args.input and args.size:
+        w, h = map(int, args.size.split("x"))
+        frames = read_yuv(args.input, w, h, args.frames)
+    else:
+        ap.error("need --synth WxH or (-i FILE --size WxH)")
+
+    cfg = EncoderConfig(width=w, height=h, qp=args.qp, frames=args.frames,
+                        lossless=args.lossless,
+                        log2_ctu=args.ctu.bit_length() - 1,
+                        num_intra_rd_candidates=args.rd_candidates)
+
+    if args.engine == "tpu":
+        from ..codec.encoder import TpuEncoder as Encoder
+    else:
+        from ..spec.encoder import SpecEncoder as Encoder
+
+    enc = Encoder(cfg)
+    t0 = time.time()
+    stream, recons = enc.encode(frames)
+    dt = time.time() - t0
+
+    with open(args.bitstream, "wb") as f:
+        f.write(stream)
+
+    rec_frames = []
+    total_psnr = np.zeros(3)
+    for poc, (frame, rec) in enumerate(zip(frames, recons)):
+        ry, rcb, rcr = yuv_from_planes((rec.y, rec.cb, rec.cr), w, h)
+        rec_frames.append((ry, rcb, rcr))
+        ps = [psnr(frame[0], ry), psnr(frame[1], rcb), psnr(frame[2], rcr)]
+        total_psnr += ps
+        print(f"POC {poc:4d} [Y {ps[0]:7.4f} dB  U {ps[1]:7.4f} dB  "
+              f"V {ps[2]:7.4f} dB]")
+    if args.recon:
+        write_yuv(args.recon, rec_frames)
+
+    n = len(frames)
+    bits = len(stream) * 8
+    print(f"SUMMARY: {n} frames, {bits} bits "
+          f"({bits / n:.0f} bits/frame), "
+          f"Y {total_psnr[0] / n:.4f} dB, U {total_psnr[1] / n:.4f} dB, "
+          f"V {total_psnr[2] / n:.4f} dB, {dt:.2f} s "
+          f"({n / dt:.3f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Encoder/decoder configuration.
+
+Reference parity: HM TAppEncCfg + program_options_lite (SURVEY.md E2, §5.6),
+redesigned as plain dataclasses with the three canonical HM-style presets
+(BASELINE.md configs): all_intra, low_delay_p, random_access_gop16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class GopEntry:
+    """One entry of the GOP structure table (HM cfg Frame1..FrameN analog)."""
+    poc_offset: int          # coding order -> display order offset in GOP
+    qp_offset: int
+    slice_type: str          # "I" | "P" | "B"
+    ref_pocs: tuple = ()     # reference POC deltas (negative = past)
+    temporal_id: int = 0
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 416
+    height: int = 240
+    qp: int = 32
+    frames: int = 8
+
+    # Structure
+    log2_ctu: int = 5            # CTU size (32 default; 64 supported)
+    log2_min_cu: int = 3         # min CU 8x8
+    log2_min_tu: int = 2         # min TU 4x4
+    log2_max_tu: int = 5         # max TU 32x32
+    bit_depth: int = 8
+
+    # GOP / prediction structure
+    intra_period: int = -1       # -1: only first frame is IDR
+    gop: list = field(default_factory=list)  # empty => all-intra
+
+    # Tools
+    lossless: bool = False       # transquant bypass (cu level, all CUs)
+    deblocking: bool = True
+    sao: bool = True
+    rdoq: bool = False
+    strong_intra_smoothing: bool = False
+
+    # Search / speed
+    full_rdo: bool = True        # exhaustive partition search
+    num_intra_rd_candidates: int = 3   # RMD shortlist depth (HM-style)
+    search_range: int = 64
+    fast_partition: bool = False # use the learned partition pruning model
+
+    # Rate control (0 = fixed QP)
+    target_bitrate: int = 0
+
+    def validate(self) -> None:
+        assert self.width % 2 == 0 and self.height % 2 == 0
+        assert 4 <= self.log2_ctu <= 6
+        assert self.log2_min_cu == 3
+        assert 0 <= self.qp <= 51
+
+    @property
+    def ctu_size(self) -> int:
+        return 1 << self.log2_ctu
+
+    @property
+    def ctus_x(self) -> int:
+        return (self.width + self.ctu_size - 1) >> self.log2_ctu
+
+    @property
+    def ctus_y(self) -> int:
+        return (self.height + self.ctu_size - 1) >> self.log2_ctu
+
+    def replace(self, **kw) -> "EncoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def all_intra(width=416, height=240, qp=32, frames=32, **kw) -> EncoderConfig:
+    """BASELINE config #1 class: All-Intra."""
+    return EncoderConfig(width=width, height=height, qp=qp, frames=frames,
+                         intra_period=1, gop=[], **kw)
+
+
+def low_delay_p(width=832, height=480, qp=32, frames=64, **kw) -> EncoderConfig:
+    """BASELINE config #2 class: Low-delay P, GOP-4 QP cascade (HM LDP)."""
+    gop = [
+        GopEntry(1, 5, "P", (-1, -2, -3, -4)),
+        GopEntry(2, 4, "P", (-1, -2, -3, -4)),
+        GopEntry(3, 5, "P", (-1, -2, -3, -4)),
+        GopEntry(4, 1, "P", (-1, -2, -3, -4)),
+    ]
+    return EncoderConfig(width=width, height=height, qp=qp, frames=frames,
+                         intra_period=-1, gop=gop, **kw)
+
+
+def random_access_gop16(width=1920, height=1080, qp=32, frames=128,
+                        **kw) -> EncoderConfig:
+    """BASELINE config #3 class: Random-access, hierarchical-B GOP-16."""
+    # Hierarchical-B GOP-16 coding order and QP offsets (HM RA cfg shape).
+    gop = [
+        GopEntry(16, 1, "B", (-16, -32), 0),
+        GopEntry(8, 1, "B", (-8, 8), 1),
+        GopEntry(4, 4, "B", (-4, 4, 12), 2),
+        GopEntry(2, 5, "B", (-2, 2, 6, 14), 3),
+        GopEntry(1, 6, "B", (-1, 1, 3, 7), 4),
+        GopEntry(3, 6, "B", (-1, -3, 1, 5), 4),
+        GopEntry(6, 5, "B", (-2, -6, 2, 10), 3),
+        GopEntry(5, 6, "B", (-1, -5, 1, 3), 4),
+        GopEntry(7, 6, "B", (-1, -7, 1, 9), 4),
+        GopEntry(12, 4, "B", (-4, -12, 4), 2),
+        GopEntry(10, 5, "B", (-2, -10, 2, 6), 3),
+        GopEntry(9, 6, "B", (-1, -9, 1, 7), 4),
+        GopEntry(11, 6, "B", (-1, -11, 1, 5), 4),
+        GopEntry(14, 5, "B", (-2, -14, 2), 3),
+        GopEntry(13, 6, "B", (-1, -13, 1, 3), 4),
+        GopEntry(15, 6, "B", (-1, -15, 1), 4),
+    ]
+    return EncoderConfig(width=width, height=height, qp=qp, frames=frames,
+                         intra_period=32, gop=gop, **kw)

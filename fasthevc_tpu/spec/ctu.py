@@ -1,0 +1,398 @@
+"""CTU-level syntax coding + reconstruction core (shared encoder/decoder).
+
+Reference parity: HM TEncCu/TDecCu + TEncSbac/TDecSbac CU syntax
+(SURVEY.md E6, D4, C6) — reimplemented from H.265 spec 7.3.8 (coding tree,
+coding unit, transform tree/unit) for the tool subset this codec emits:
+intra 2Nx2N CUs, TU == CU (forced RQT split for 64x64), DM chroma optional
+explicit chroma mode, optional cu_transquant_bypass.
+
+The *decision structure* (CuDecision tree per CTU) is the contract between
+the RDO search (spec encoder now, TPU batched search in ops/) and the
+entropy coder: search produces decisions; this module serializes them and
+mirrors them back on decode, with bit-exact shared reconstruction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import intra, residual, transform
+from .syntax import SLICE_I, SequenceParams
+from .tables import chroma_qp
+
+CHROMA_DM = 4  # intra_chroma_pred_mode value meaning "same as luma"
+# chroma mode candidate list (spec 8.4.3): index 0..3 -> mode, DM handled sep.
+CHROMA_MODE_LIST = [intra.PLANAR, 26, 10, intra.DC]
+
+
+@dataclass
+class TuData:
+    """Quantized levels for one transform unit (None = cbf 0)."""
+    levels_y: np.ndarray | None = None
+    levels_cb: np.ndarray | None = None
+    levels_cr: np.ndarray | None = None
+
+
+@dataclass
+class CuDecision:
+    split: bool = False
+    children: list | None = None
+    luma_mode: int = 0
+    chroma_mode: int = CHROMA_DM
+    bypass: bool = False          # cu_transquant_bypass
+    tus: list = field(default_factory=list)  # 1 TU, or 4 for 64x64 CU
+
+
+class FrameMaps:
+    """Per-picture 4x4-granule state used for context derivation and MPM
+    (HM TComDataCU analog, SoA over the picture)."""
+
+    def __init__(self, sp: SequenceParams) -> None:
+        self.sp = sp
+        gw = sp.coded_width >> 2
+        gh = sp.coded_height >> 2
+        self.depth = np.full((gh, gw), -1, dtype=np.int8)
+        self.mode = np.full((gh, gw), -1, dtype=np.int8)  # luma intra mode
+        self.coded = np.zeros((gh, gw), dtype=bool)
+
+    def set_cu(self, x: int, y: int, size: int, depth: int, mode: int) -> None:
+        g = slice(y >> 2, (y + size) >> 2), slice(x >> 2, (x + size) >> 2)
+        self.depth[g] = depth
+        self.mode[g] = mode
+        self.coded[g] = True
+
+    def neighbor_depth(self, x: int, y: int):
+        """(left_depth, above_depth), None where unavailable."""
+        gw = self.depth.shape[1]
+        left = above = None
+        if x > 0 and self.coded[y >> 2, (x - 1) >> 2]:
+            left = int(self.depth[y >> 2, (x - 1) >> 2])
+        if y > 0 and self.coded[(y - 1) >> 2, x >> 2]:
+            above = int(self.depth[(y - 1) >> 2, x >> 2])
+        return left, above
+
+    def neighbor_modes(self, x: int, y: int):
+        """(left_mode, above_mode, above_in_ctu) for MPM derivation."""
+        left = above = None
+        if x > 0 and self.coded[y >> 2, (x - 1) >> 2]:
+            m = int(self.mode[y >> 2, (x - 1) >> 2])
+            left = m if m >= 0 else None
+        above_in_ctu = (y & ((1 << self.sp.log2_ctu) - 1)) != 0
+        if y > 0 and self.coded[(y - 1) >> 2, x >> 2]:
+            m = int(self.mode[(y - 1) >> 2, x >> 2])
+            above = m if m >= 0 else None
+        return left, above, above_in_ctu
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction (shared, bit-exact between encoder and decoder)
+# ---------------------------------------------------------------------------
+
+class Planes:
+    """Reconstruction planes in coded (padded) dimensions."""
+
+    def __init__(self, sp: SequenceParams) -> None:
+        self.y = np.zeros((sp.coded_height, sp.coded_width), dtype=np.int32)
+        self.cb = np.zeros((sp.coded_height // 2, sp.coded_width // 2),
+                           dtype=np.int32)
+        self.cr = np.zeros_like(self.cb)
+
+    def plane(self, c_idx: int) -> np.ndarray:
+        return (self.y, self.cb, self.cr)[c_idx]
+
+
+def predict_block(planes: Planes, sp: SequenceParams, x: int, y: int,
+                  log2_size: int, mode: int, c_idx: int) -> np.ndarray:
+    """Intra-predict one transform block (plane coords for chroma)."""
+    n = 1 << log2_size
+    sub = 0 if c_idx == 0 else 1
+    plane = planes.plane(c_idx)
+    x_luma, y_luma = x << sub, y << sub
+    top, left = intra.get_reference_samples(
+        plane, x, y, n, x_luma, y_luma, sp.log2_ctu,
+        sp.coded_width, sp.coded_height, subsample=sub,
+        bit_depth=sp.bit_depth)
+    if c_idx == 0 and intra.should_filter(mode, n, True):
+        top, left = intra.filter_reference_samples(top, left)
+    return intra.predict(mode, top, left, n, c_idx == 0, sp.bit_depth)
+
+
+def reconstruct_tb(planes: Planes, sp: SequenceParams, x: int, y: int,
+                   log2_size: int, mode: int, c_idx: int,
+                   levels: np.ndarray | None, qp: int,
+                   bypass: bool) -> np.ndarray:
+    """Predict + inverse TQ + clip; writes into the plane and returns pred."""
+    n = 1 << log2_size
+    pred = predict_block(planes, sp, x, y, log2_size, mode, c_idx)
+    if levels is None:
+        res = 0
+    elif bypass:
+        res = levels
+    else:
+        use_dst = (c_idx == 0 and log2_size == 2)
+        deq = transform.dequantize(levels, qp, sp.bit_depth)
+        res = transform.inverse_transform(deq, sp.bit_depth, use_dst)
+    rec = np.clip(pred + res, 0, (1 << sp.bit_depth) - 1)
+    planes.plane(c_idx)[y:y + n, x:x + n] = rec
+    return pred
+
+
+def tu_qps(sp: SequenceParams, slice_qp: int) -> tuple[int, int, int]:
+    """(qp_y, qp_cb, qp_cr) for the slice (no cu_qp_delta)."""
+    return (slice_qp,
+            chroma_qp(slice_qp, sp.cb_qp_offset),
+            chroma_qp(slice_qp, sp.cr_qp_offset))
+
+
+def reconstruct_cu(planes: Planes, sp: SequenceParams, x: int, y: int,
+                   log2_size: int, cu: CuDecision, slice_qp: int) -> None:
+    """Apply a no-split CU decision's reconstruction (luma + chroma)."""
+    qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
+    if log2_size > sp.log2_max_tu:
+        # forced RQT split (64x64 CU -> 4 32x32 TUs)
+        half = 1 << (log2_size - 1)
+        for i, tu in enumerate(cu.tus):
+            tx = x + (i & 1) * half
+            ty = y + (i >> 1) * half
+            _reconstruct_tu(planes, sp, tx, ty, log2_size - 1, cu, tu,
+                            qp_y, qp_cb, qp_cr)
+    else:
+        _reconstruct_tu(planes, sp, x, y, log2_size, cu, cu.tus[0],
+                        qp_y, qp_cb, qp_cr)
+
+
+def chroma_mode_from_cu(cu: CuDecision) -> int:
+    if cu.chroma_mode == CHROMA_DM:
+        return cu.luma_mode
+    m = CHROMA_MODE_LIST[cu.chroma_mode]
+    # spec 8.4.3: if candidate equals luma mode, substitute 34
+    return 34 if m == cu.luma_mode else m
+
+
+def _reconstruct_tu(planes: Planes, sp: SequenceParams, x: int, y: int,
+                    log2_size: int, cu: CuDecision, tu: TuData,
+                    qp_y: int, qp_cb: int, qp_cr: int) -> None:
+    reconstruct_tb(planes, sp, x, y, log2_size, cu.luma_mode, 0,
+                   tu.levels_y, qp_y, cu.bypass)
+    cmode = chroma_mode_from_cu(cu)
+    cx, cy, clog2 = x >> 1, y >> 1, log2_size - 1
+    reconstruct_tb(planes, sp, cx, cy, clog2, cmode, 1, tu.levels_cb,
+                   qp_cb, cu.bypass)
+    reconstruct_tb(planes, sp, cx, cy, clog2, cmode, 2, tu.levels_cr,
+                   qp_cr, cu.bypass)
+
+
+# ---------------------------------------------------------------------------
+# Entropy: encode a decided CTU / decode one CTU
+# ---------------------------------------------------------------------------
+
+def _split_ctx(maps: FrameMaps, x: int, y: int, depth: int) -> int:
+    left, above = maps.neighbor_depth(x, y)
+    ctx = 0
+    if left is not None and left > depth:
+        ctx += 1
+    if above is not None and above > depth:
+        ctx += 1
+    return ctx
+
+
+def encode_ctu(coder, maps: FrameMaps, sp: SequenceParams, x0: int, y0: int,
+               ctu: CuDecision) -> None:
+    _encode_cq(coder, maps, sp, x0, y0, sp.log2_ctu, 0, ctu)
+
+
+def _encode_cq(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
+    size = 1 << log2_size
+    inside = (x + size <= sp.coded_width) and (y + size <= sp.coded_height)
+    if inside and log2_size > sp.log2_min_cu:
+        coder.encode_bin("split_cu_flag", _split_ctx(maps, x, y, depth),
+                         int(cu.split))
+    else:
+        # split inferred: forced when the block overflows the picture,
+        # impossible at min CU size (coded dims are min-CU aligned)
+        assert cu.split == (not inside)
+    if cu.split:
+        half = size >> 1
+        for i, child in enumerate(cu.children):
+            cx = x + (i & 1) * half
+            cy = y + (i >> 1) * half
+            if cx < sp.coded_width and cy < sp.coded_height:
+                _encode_cq(coder, maps, sp, cx, cy, log2_size - 1,
+                           depth + 1, child)
+        return
+    _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu)
+
+
+def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
+    if sp.transquant_bypass_enabled:
+        coder.encode_bin("cu_transquant_bypass_flag", 0, int(cu.bypass))
+    if log2_size == sp.log2_min_cu:
+        coder.encode_bin("part_mode", 0, 1)  # PART_2Nx2N
+    # luma mode with MPM
+    lm, am, in_ctu = maps.neighbor_modes(x, y)
+    cands = intra.mpm_candidates(lm, am, in_ctu)
+    mode = cu.luma_mode
+    if mode in cands:
+        idx = cands.index(mode)
+        coder.encode_bin("prev_intra_luma_pred_flag", 0, 1)
+        coder.encode_bypass(0 if idx == 0 else 1)
+        if idx > 0:
+            coder.encode_bypass(idx - 1)
+    else:
+        coder.encode_bin("prev_intra_luma_pred_flag", 0, 0)
+        rem = mode
+        for c in sorted(cands, reverse=True):
+            if mode > c:
+                rem -= 1
+        coder.encode_bypass_bits(rem, 5)
+    # chroma mode
+    if cu.chroma_mode == CHROMA_DM:
+        coder.encode_bin("intra_chroma_pred_mode", 0, 0)
+    else:
+        coder.encode_bin("intra_chroma_pred_mode", 0, 1)
+        coder.encode_bypass_bits(cu.chroma_mode, 2)
+    _encode_transform_tree(coder, sp, x, y, log2_size, cu)
+    maps.set_cu(x, y, 1 << log2_size, depth, cu.luma_mode)
+
+
+def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
+    forced_split = log2_size > sp.log2_max_tu
+    # depth-0 chroma cbf
+    cbf_cb0 = any(tu.levels_cb is not None for tu in cu.tus)
+    cbf_cr0 = any(tu.levels_cr is not None for tu in cu.tus)
+    coder.encode_bin("cbf_chroma", 0, int(cbf_cb0))
+    coder.encode_bin("cbf_chroma", 0, int(cbf_cr0))
+    if forced_split:
+        half = 1 << (log2_size - 1)
+        for i, tu in enumerate(cu.tus):
+            tx, ty = x + (i & 1) * half, y + (i >> 1) * half
+            if cbf_cb0:
+                coder.encode_bin("cbf_chroma", 1, int(tu.levels_cb is not None))
+            if cbf_cr0:
+                coder.encode_bin("cbf_chroma", 1, int(tu.levels_cr is not None))
+            _encode_transform_unit(coder, sp, tx, ty, log2_size - 1, cu, tu,
+                                   trafo_depth=1)
+    else:
+        _encode_transform_unit(coder, sp, x, y, log2_size, cu, cu.tus[0],
+                               trafo_depth=0)
+
+
+def _encode_transform_unit(coder, sp, x, y, log2_size, cu: CuDecision,
+                           tu: TuData, trafo_depth: int):
+    cbf_y = tu.levels_y is not None
+    coder.encode_bin("cbf_luma", 1 if trafo_depth == 0 else 0, int(cbf_y))
+    cmode = chroma_mode_from_cu(cu)
+    if cbf_y:
+        scan = residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
+        residual.encode_residual(coder, tu.levels_y, log2_size, 0, scan)
+    if tu.levels_cb is not None:
+        scan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
+        residual.encode_residual(coder, tu.levels_cb, log2_size - 1, 1, scan)
+    if tu.levels_cr is not None:
+        scan = residual.intra_scan_idx(log2_size - 1, 2, cmode)
+        residual.encode_residual(coder, tu.levels_cr, log2_size - 1, 2, scan)
+
+
+# ---------------------------------------------------------------------------
+# Decode side
+# ---------------------------------------------------------------------------
+
+def decode_ctu(dec, maps: FrameMaps, sp: SequenceParams, planes: Planes,
+               x0: int, y0: int, slice_qp: int) -> CuDecision:
+    return _decode_cq(dec, maps, sp, planes, x0, y0, sp.log2_ctu, 0, slice_qp)
+
+
+def _decode_cq(dec, maps, sp, planes, x, y, log2_size, depth, slice_qp):
+    size = 1 << log2_size
+    inside = (x + size <= sp.coded_width) and (y + size <= sp.coded_height)
+    if inside and log2_size > sp.log2_min_cu:
+        split = bool(dec.decode_bin("split_cu_flag",
+                                    _split_ctx(maps, x, y, depth)))
+    else:
+        split = not inside
+    cu = CuDecision(split=split)
+    if split:
+        cu.children = []
+        half = size >> 1
+        for i in range(4):
+            cx = x + (i & 1) * half
+            cy = y + (i >> 1) * half
+            if cx < sp.coded_width and cy < sp.coded_height:
+                cu.children.append(_decode_cq(dec, maps, sp, planes, cx, cy,
+                                              log2_size - 1, depth + 1,
+                                              slice_qp))
+            else:
+                cu.children.append(None)
+        return cu
+    _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp)
+    return cu
+
+
+def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp):
+    if sp.transquant_bypass_enabled:
+        cu.bypass = bool(dec.decode_bin("cu_transquant_bypass_flag", 0))
+    if log2_size == sp.log2_min_cu:
+        part = dec.decode_bin("part_mode", 0)
+        assert part == 1, "NxN partitions not emitted by this encoder"
+    lm, am, in_ctu = maps.neighbor_modes(x, y)
+    cands = intra.mpm_candidates(lm, am, in_ctu)
+    if dec.decode_bin("prev_intra_luma_pred_flag", 0):
+        idx = dec.decode_bypass()
+        if idx:
+            idx = 1 + dec.decode_bypass()
+        mode = cands[idx]
+    else:
+        mode = dec.decode_bypass_bits(5)
+        for c in sorted(cands):
+            if mode >= c:
+                mode += 1
+    cu.luma_mode = mode
+    if dec.decode_bin("intra_chroma_pred_mode", 0):
+        cu.chroma_mode = dec.decode_bypass_bits(2)
+    else:
+        cu.chroma_mode = CHROMA_DM
+    _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp)
+    maps.set_cu(x, y, 1 << log2_size, depth, cu.luma_mode)
+
+
+def _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp):
+    forced_split = log2_size > sp.log2_max_tu
+    cbf_cb0 = bool(dec.decode_bin("cbf_chroma", 0))
+    cbf_cr0 = bool(dec.decode_bin("cbf_chroma", 0))
+    qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
+    if forced_split:
+        half = 1 << (log2_size - 1)
+        for i in range(4):
+            tx, ty = x + (i & 1) * half, y + (i >> 1) * half
+            cb = bool(dec.decode_bin("cbf_chroma", 1)) if cbf_cb0 else False
+            cr = bool(dec.decode_bin("cbf_chroma", 1)) if cbf_cr0 else False
+            tu = _decode_transform_unit(dec, sp, x, y, tx, ty, log2_size - 1,
+                                        cu, cb, cr, trafo_depth=1)
+            cu.tus.append(tu)
+            _reconstruct_tu(planes, sp, tx, ty, log2_size - 1, cu, tu,
+                            qp_y, qp_cb, qp_cr)
+    else:
+        tu = _decode_transform_unit(dec, sp, x, y, x, y, log2_size, cu,
+                                    cbf_cb0, cbf_cr0, trafo_depth=0)
+        cu.tus.append(tu)
+        _reconstruct_tu(planes, sp, x, y, log2_size, cu, tu,
+                        qp_y, qp_cb, qp_cr)
+
+
+def _decode_transform_unit(dec, sp, cu_x, cu_y, x, y, log2_size, cu,
+                           cbf_cb: bool, cbf_cr: bool, trafo_depth: int):
+    tu = TuData()
+    cbf_y = bool(dec.decode_bin("cbf_luma", 1 if trafo_depth == 0 else 0))
+    cmode = chroma_mode_from_cu(cu)
+    if cbf_y:
+        scan = residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
+        tu.levels_y = residual.decode_residual(dec, log2_size, 0, scan)
+    if cbf_cb:
+        scan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
+        tu.levels_cb = residual.decode_residual(dec, log2_size - 1, 1, scan)
+    if cbf_cr:
+        scan = residual.intra_scan_idx(log2_size - 1, 2, cmode)
+        tu.levels_cr = residual.decode_residual(dec, log2_size - 1, 2, scan)
+    return tu

@@ -1,0 +1,100 @@
+"""Spec golden decoder: full HEVC decoder for the emitted tool subset.
+
+Reference parity: HM TAppDecTop/TDecTop/TDecSlice/TDecCu (SURVEY.md D1-D6,
+call stack §3.2) — NAL dispatch, parameter-set activation, CTU parse +
+reconstruct, decoded-picture-hash verification.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.video import picture_md5
+from . import bitstream as bs
+from . import ctu as ctu_mod
+from .cabac import CabacDecoder, ContextSet
+from .ctu import FrameMaps, Planes
+from .syntax import (
+    SLICE_I,
+    SequenceParams,
+    parse_pps,
+    parse_sei,
+    parse_slice_header,
+    parse_sps,
+)
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    planes: Planes
+    hash_ok: bool | None = None  # None = no hash SEI seen
+
+
+class SpecDecoder:
+    """Decode an Annex-B HEVC stream produced by this framework."""
+
+    def __init__(self) -> None:
+        self.sp = SequenceParams()
+        self._have_sps = False
+        self.pictures: list[DecodedPicture] = []
+        self._poc = 0
+
+    def decode(self, stream: bytes) -> list[DecodedPicture]:
+        for nal_type, temporal_id, rbsp in bs.split_annexb(stream):
+            self._decode_nal(nal_type, rbsp)
+        return self.pictures
+
+    def _decode_nal(self, nal_type: int, rbsp: bytes) -> None:
+        if nal_type == bs.NAL_VPS:
+            return
+        if nal_type == bs.NAL_SPS:
+            parse_sps(rbsp, self.sp)
+            self._have_sps = True
+            return
+        if nal_type == bs.NAL_PPS:
+            parse_pps(rbsp, self.sp)
+            return
+        if nal_type in (bs.NAL_PREFIX_SEI, bs.NAL_SUFFIX_SEI):
+            sei = parse_sei(rbsp)
+            if "picture_hash" in sei and self.pictures:
+                pic = self.pictures[-1]
+                got = picture_md5((pic.planes.y, pic.planes.cb,
+                                   pic.planes.cr))
+                pic.hash_ok = (got == sei["picture_hash"])
+            return
+        if nal_type <= 31:  # VCL
+            self._decode_slice(nal_type, rbsp)
+
+    def _decode_slice(self, nal_type: int, rbsp: bytes) -> None:
+        assert self._have_sps, "slice before SPS"
+        sp = self.sp
+        r = bs.BitReader(rbsp)
+        sh = parse_slice_header(r, sp, nal_type)
+        assert sh.slice_type == SLICE_I, "only I slices implemented"
+
+        planes = Planes(sp)
+        maps = FrameMaps(sp)
+        init_type = 0 if sh.slice_type == SLICE_I else (
+            1 if sh.slice_type == 1 else 2)
+        # hand the remaining byte-aligned payload to CABAC
+        assert r.bit_position % 8 == 0
+        payload = rbsp[r.bit_position // 8:] + b"\x00\x00"
+        dec = CabacDecoder(bs.BitReader(payload), ContextSet(init_type,
+                                                             sh.slice_qp))
+        ctu_size = 1 << sp.log2_ctu
+        n_ctus = ((sp.coded_width + ctu_size - 1) // ctu_size) * (
+            (sp.coded_height + ctu_size - 1) // ctu_size)
+        i = 0
+        for cy in range(0, sp.coded_height, ctu_size):
+            for cx in range(0, sp.coded_width, ctu_size):
+                ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy, sh.slice_qp)
+                i += 1
+                end = dec.decode_terminate()
+                assert end == (1 if i == n_ctus else 0), \
+                    f"end_of_slice mismatch at CTU {i}/{n_ctus}"
+        poc = 0 if sh.is_idr else sh.poc_lsb
+        self.pictures.append(DecodedPicture(poc=poc, planes=planes))
+        self._poc = poc

@@ -1,0 +1,347 @@
+"""Spec golden encoder: all-intra HEVC encoder with recursive RDO (NumPy).
+
+Reference parity: HM TEncTop/TEncSlice/TEncCu/TEncSearch (SURVEY.md E3-E7,
+call stack §3.1) — reimplemented as a clean decision-then-entropy design:
+per CU the search picks a mode via RMD (SATD shortlist) + full RD, the
+quadtree is chosen bottom-up, the decided tree is serialized once by the
+exact CABAC coder. Slow by construction; serves as the quality anchor and
+the oracle for the TPU encoder in fasthevc_tpu/codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..utils.video import pad_plane, picture_md5
+from . import bitstream as bs
+from . import ctu as ctu_mod
+from . import residual, transform
+from .cabac import CabacEncoder, CabacEstimator, ContextSet
+from .ctu import CHROMA_DM, CuDecision, FrameMaps, Planes, TuData
+from .syntax import (
+    SLICE_I,
+    SequenceParams,
+    SliceHeader,
+    write_picture_hash_sei,
+    write_pps,
+    write_slice_header,
+    write_sps,
+    write_vps,
+)
+
+# 8x8 Hadamard for SATD (HM TComRdCost xCalcHADs8x8 analog).
+def _hadamard_matrix(n: int) -> np.ndarray:
+    h = np.array([[1]], dtype=np.int64)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+_H8 = _hadamard_matrix(8)
+_H4 = _hadamard_matrix(4)
+
+
+def satd(res: np.ndarray) -> int:
+    """Sum of absolute Hadamard-transformed differences, 8x8 blocks."""
+    n = res.shape[0]
+    hn = 8 if n >= 8 else 4
+    h = _H8 if hn == 8 else _H4
+    total = 0
+    r = res.astype(np.int64)
+    for by in range(0, n, hn):
+        for bx in range(0, n, hn):
+            blk = r[by:by + hn, bx:bx + hn]
+            total += int(np.abs(h @ blk @ h).sum()) // hn
+    return total
+
+
+def sse(a: np.ndarray, b: np.ndarray) -> int:
+    d = a.astype(np.int64) - b.astype(np.int64)
+    return int((d * d).sum())
+
+
+def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
+    sp = SequenceParams(
+        width=cfg.width, height=cfg.height, bit_depth=cfg.bit_depth,
+        log2_ctu=cfg.log2_ctu, log2_min_cu=cfg.log2_min_cu,
+        log2_min_tu=cfg.log2_min_tu, log2_max_tu=cfg.log2_max_tu,
+        sao_enabled=cfg.sao,
+        strong_intra_smoothing=cfg.strong_intra_smoothing,
+        init_qp=cfg.qp,
+        transquant_bypass_enabled=cfg.lossless,
+        deblocking_disabled=not cfg.deblocking,
+    )
+    return sp
+
+
+class SpecEncoder:
+    """All-intra golden encoder."""
+
+    def __init__(self, cfg: EncoderConfig) -> None:
+        cfg.validate()
+        self.cfg = cfg
+        self.sp = config_to_sp(cfg)
+        # keep loop filters off in the golden path for now (SURVEY §7.1
+        # step 7 adds them); SAO flag must then be off in the SPS.
+        self.sp.sao_enabled = False
+        self.sp.deblocking_disabled = True
+        self.lambda_mode = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+
+    # -- public API --------------------------------------------------------
+
+    def encode(self, frames) -> tuple[bytes, list]:
+        """Encode (y, cb, cr) uint8 frames -> (annexb bytes, recon frames)."""
+        sp = self.sp
+        out = bytearray()
+        out += bs.write_nal(bs.NAL_VPS, write_vps(sp))
+        out += bs.write_nal(bs.NAL_SPS, write_sps(sp))
+        out += bs.write_nal(bs.NAL_PPS, write_pps(sp))
+        recons = []
+        for poc, frame in enumerate(frames):
+            nal_bytes, planes = self.encode_frame(frame)
+            out += nal_bytes
+            recons.append(planes)
+        return bytes(out), recons
+
+    def encode_frame(self, frame) -> tuple[bytes, Planes]:
+        sp = self.sp
+        y, cb, cr = frame
+        src = Planes(sp)
+        src.y[:] = pad_plane(np.asarray(y, dtype=np.int32),
+                             sp.coded_height, sp.coded_width)
+        src.cb[:] = pad_plane(np.asarray(cb, dtype=np.int32),
+                              sp.coded_height // 2, sp.coded_width // 2)
+        src.cr[:] = pad_plane(np.asarray(cr, dtype=np.int32),
+                              sp.coded_height // 2, sp.coded_width // 2)
+
+        self.src = src
+        self.planes = Planes(sp)
+        self.maps = FrameMaps(sp)
+        self.qp = self.cfg.qp
+        self.qp_y, self.qp_cb, self.qp_cr = ctu_mod.tu_qps(sp, self.qp)
+        self.est = CabacEstimator(ContextSet(0, self.qp))
+
+        ctu_size = 1 << sp.log2_ctu
+        decisions = []
+        for cy in range(0, sp.coded_height, ctu_size):
+            for cx in range(0, sp.coded_width, ctu_size):
+                cu, _ = self._compress_cu(cx, cy, sp.log2_ctu, 0)
+                decisions.append((cx, cy, cu))
+
+        # serialize: slice header + CABAC payload
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp, is_idr=True)
+        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+        enc = CabacEncoder(w, ContextSet(0, self.qp))
+        maps2 = FrameMaps(sp)
+        for i, (cx, cy, cu) in enumerate(decisions):
+            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu)
+            enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
+        enc.finish()
+        w.byte_align()  # rbsp_slice_segment_trailing_bits
+        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        # decoded picture hash SEI (suffix)
+        md5s = picture_md5((self.planes.y, self.planes.cb, self.planes.cr))
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        return nal, self.planes
+
+    # -- RDO ---------------------------------------------------------------
+
+    def _save_state(self, x, y, size):
+        cs = size >> 1
+        cx, cy = x >> 1, y >> 1
+        return (
+            self.planes.y[y:y + size, x:x + size].copy(),
+            self.planes.cb[cy:cy + cs, cx:cx + cs].copy(),
+            self.planes.cr[cy:cy + cs, cx:cx + cs].copy(),
+            self.maps.depth[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
+            self.maps.mode[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
+            self.maps.coded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
+            self.est.ctx.copy(),
+        )
+
+    def _restore_state(self, x, y, size, st):
+        cs = size >> 1
+        cx, cy = x >> 1, y >> 1
+        (self.planes.y[y:y + size, x:x + size],
+         self.planes.cb[cy:cy + cs, cx:cx + cs],
+         self.planes.cr[cy:cy + cs, cx:cx + cs]) = st[0], st[1], st[2]
+        self.maps.depth[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[3]
+        self.maps.mode[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[4]
+        self.maps.coded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[5]
+        self.est.ctx = st[6]
+
+    def _compress_cu(self, x, y, log2_size, depth):
+        """Returns (CuDecision, rd_cost). Commits recon/maps/est of the
+        winning alternative into self state."""
+        sp = self.sp
+        size = 1 << log2_size
+        inside = (x + size <= sp.coded_width) and (y + size <= sp.coded_height)
+
+        if not inside:
+            # forced split; code only children inside the picture
+            cu = CuDecision(split=True, children=[])
+            cost = 0.0
+            half = size >> 1
+            for i in range(4):
+                cx_, cy_ = x + (i & 1) * half, y + (i >> 1) * half
+                if cx_ < sp.coded_width and cy_ < sp.coded_height:
+                    child, c = self._compress_cu(cx_, cy_, log2_size - 1,
+                                                 depth + 1)
+                    cu.children.append(child)
+                    cost += c
+                else:
+                    cu.children.append(None)
+            return cu, cost
+
+        can_split = log2_size > sp.log2_min_cu
+
+        pre = self._save_state(x, y, size)
+        nosplit_cu, nosplit_cost = self._try_cu_modes(x, y, log2_size, depth)
+        if can_split:
+            nosplit_cost += self.lambda_mode * self._split_flag_bits(
+                x, y, depth, 0, pre[6])
+        if not can_split or (self.cfg.fast_partition and False):
+            return nosplit_cu, nosplit_cost
+
+        post_nosplit = self._save_state(x, y, size)
+        self._restore_state(x, y, size, pre)
+
+        split_cost = self.lambda_mode * self._split_flag_bits(
+            x, y, depth, 1, pre[6])
+        cu = CuDecision(split=True, children=[])
+        half = size >> 1
+        for i in range(4):
+            cx_, cy_ = x + (i & 1) * half, y + (i >> 1) * half
+            child, c = self._compress_cu(cx_, cy_, log2_size - 1, depth + 1)
+            cu.children.append(child)
+            split_cost += c
+
+        if nosplit_cost <= split_cost:
+            self._restore_state(x, y, size, post_nosplit)
+            return nosplit_cu, nosplit_cost
+        return cu, split_cost
+
+    def _split_flag_bits(self, x, y, depth, value, ctx_set) -> float:
+        est = CabacEstimator(ctx_set.copy())
+        est.encode_bin("split_cu_flag",
+                       ctu_mod._split_ctx(self.maps, x, y, depth), value)
+        return est.bits
+
+    def _try_cu_modes(self, x, y, log2_size, depth):
+        """Pick the best intra mode for a no-split CU; commit recon + maps
+        + estimator context. Returns (CuDecision, rd_cost)."""
+        sp = self.sp
+        n = 1 << log2_size
+        src_y = self.src.y[y:y + n, x:x + n]
+
+        # --- RMD: SATD over all 35 modes. Intra prediction tops out at the
+        # max TU size (32), so for a 64x64 CU the shortlist is computed on
+        # its first 32x32 TU (the full RD stage below handles all TUs).
+        rmd_log2 = min(log2_size, sp.log2_max_tu)
+        rmd_n = 1 << rmd_log2
+        rmd_src = self.src.y[y:y + rmd_n, x:x + rmd_n]
+        lm, am, in_ctu = self.maps.neighbor_modes(x, y)
+        cands = ctu_mod.intra.mpm_candidates(lm, am, in_ctu)
+        satd_costs = []
+        for mode in range(35):
+            pred = ctu_mod.predict_block(self.planes, sp, x, y, rmd_log2,
+                                         mode, 0)
+            # approximate mode bits: MPM ~2 bits, else ~6
+            mode_bits = 2.0 if mode in cands else 6.0
+            cost = satd(rmd_src - pred) + self.lambda_mode * mode_bits
+            satd_costs.append((cost, mode))
+        satd_costs.sort()
+        k = self.cfg.num_intra_rd_candidates
+        rd_modes = [m for _, m in satd_costs[:k]]
+        for m in cands:
+            if m not in rd_modes:
+                rd_modes.append(m)
+
+        best = None
+        for mode in rd_modes:
+            cu = CuDecision(split=False, luma_mode=mode,
+                            chroma_mode=CHROMA_DM, bypass=self.cfg.lossless)
+            dist, tus = self._build_tus(x, y, log2_size, cu)
+            cu.tus = tus
+            est = CabacEstimator(self.est.ctx.copy())
+            self._est_cu_syntax(est, x, y, log2_size, cu)
+            cost = dist + self.lambda_mode * est.bits
+            if best is None or cost < best[0]:
+                best = (cost, cu)
+            # restore recon after each trial (the trial wrote planes)
+        cost, cu = best
+        # rebuild the winner (recon currently holds last trial)
+        dist, tus = self._build_tus(x, y, log2_size, cu)
+        cu.tus = tus
+        self.maps.set_cu(x, y, n, depth, cu.luma_mode)
+        self._est_cu_syntax(self.est, x, y, log2_size, cu)
+        return cu, cost
+
+    def _est_cu_syntax(self, est, x, y, log2_size, cu) -> None:
+        """Estimate-encode CU syntax (sans split flag) into `est`, reusing
+        the real serializer. _encode_cu mutates maps (set_cu), so the granule
+        region is saved/restored around the call."""
+        sp = self.sp
+        n = 1 << log2_size
+        g = (slice(y >> 2, (y + n) >> 2), slice(x >> 2, (x + n) >> 2))
+        sd, sm, sc = (self.maps.depth[g].copy(), self.maps.mode[g].copy(),
+                      self.maps.coded[g].copy())
+        ctu_mod._encode_cu(est, self.maps, sp, x, y, log2_size, 0, cu)
+        self.maps.depth[g], self.maps.mode[g], self.maps.coded[g] = sd, sm, sc
+
+    def _build_tus(self, x, y, log2_size, cu) -> tuple[int, list]:
+        """Transform-quantize-reconstruct the CU for a given mode; returns
+        (distortion, [TuData...]). Writes recon into self.planes."""
+        sp = self.sp
+        if log2_size > sp.log2_max_tu:
+            half = 1 << (log2_size - 1)
+            dist = 0
+            tus = []
+            for i in range(4):
+                tx, ty = x + (i & 1) * half, y + (i >> 1) * half
+                d, tu = self._build_one_tu(tx, ty, log2_size - 1, cu)
+                dist += d
+                tus.append(tu)
+            return dist, tus
+        d, tu = self._build_one_tu(x, y, log2_size, cu)
+        return d, [tu]
+
+    def _build_one_tu(self, x, y, log2_size, cu) -> tuple[int, TuData]:
+        sp = self.sp
+        n = 1 << log2_size
+        tu = TuData()
+        dist = 0
+        cmode = ctu_mod.chroma_mode_from_cu(cu)
+        for c_idx, mode, qp in ((0, cu.luma_mode, self.qp_y),
+                                (1, cmode, self.qp_cb),
+                                (2, cmode, self.qp_cr)):
+            if c_idx == 0:
+                bx, by, bn, blog2 = x, y, n, log2_size
+            else:
+                bx, by, bn, blog2 = x >> 1, y >> 1, n >> 1, log2_size - 1
+            src = self.src.plane(c_idx)[by:by + bn, bx:bx + bn]
+            pred = ctu_mod.predict_block(self.planes, sp, bx, by, blog2,
+                                         mode, c_idx)
+            res = src - pred
+            if cu.bypass:
+                levels = res.astype(np.int32)
+            else:
+                use_dst = (c_idx == 0 and blog2 == 2)
+                coeffs = transform.forward_transform(res, sp.bit_depth,
+                                                     use_dst)
+                levels = transform.quantize(coeffs, qp, sp.bit_depth,
+                                            is_intra=True)
+            if not levels.any():
+                levels = None
+            ctu_mod.reconstruct_tb(self.planes, sp, bx, by, blog2, mode,
+                                   c_idx, levels, qp, cu.bypass)
+            rec = self.planes.plane(c_idx)[by:by + bn, bx:bx + bn]
+            dist += sse(src, rec)
+            if c_idx == 0:
+                tu.levels_y = levels
+            elif c_idx == 1:
+                tu.levels_cb = levels
+            else:
+                tu.levels_cr = levels
+        return dist, tu

@@ -1,0 +1,437 @@
+"""High-level syntax: VPS/SPS/PPS, slice headers, SEI (write + parse).
+
+Reference parity: HM TComSlice/TEncCavlc/TDecCavlc/SEI (SURVEY.md C2, D5,
+E12) — reimplemented from H.265 spec 7.3.2 / 7.3.6 / Annex D.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitstream import BitReader, BitWriter
+
+SLICE_B, SLICE_P, SLICE_I = 0, 1, 2
+
+
+@dataclass
+class SequenceParams:
+    """The subset of VPS/SPS/PPS state the codec needs (akin to HM's
+    active-parameter-set view)."""
+    width: int = 416
+    height: int = 240
+    bit_depth: int = 8
+    log2_ctu: int = 5
+    log2_min_cu: int = 3
+    log2_min_tu: int = 2
+    log2_max_tu: int = 5
+    max_transform_hierarchy_depth_intra: int = 0
+    max_transform_hierarchy_depth_inter: int = 0
+    log2_max_poc_lsb: int = 8
+    sao_enabled: bool = False
+    strong_intra_smoothing: bool = False
+    amp_enabled: bool = False
+    pcm_enabled: bool = False
+
+    # PPS-level
+    init_qp: int = 26
+    transquant_bypass_enabled: bool = False
+    sign_data_hiding: bool = False
+    cu_qp_delta_enabled: bool = False
+    transform_skip_enabled: bool = False
+    deblocking_disabled: bool = True
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+
+    # Conformance window (right/bottom padding in luma samples)
+    @property
+    def pad_right(self) -> int:
+        align = 1 << self.log2_min_cu
+        return (-self.width) % align
+
+    @property
+    def pad_bottom(self) -> int:
+        align = 1 << self.log2_min_cu
+        return (-self.height) % align
+
+    @property
+    def coded_width(self) -> int:
+        return self.width + self.pad_right
+
+    @property
+    def coded_height(self) -> int:
+        return self.height + self.pad_bottom
+
+
+def _write_ptl(w: BitWriter) -> None:
+    """profile_tier_level for Main profile, one layer (spec 7.3.3)."""
+    w.write_bits(0, 2)   # general_profile_space
+    w.write_flag(0)      # general_tier_flag
+    w.write_bits(1, 5)   # general_profile_idc = Main
+    for i in range(32):  # compatibility flags: Main (1) and Main10 (2)
+        w.write_flag(1 if i in (1, 2) else 0)
+    w.write_flag(1)      # general_progressive_source_flag
+    w.write_flag(0)      # general_interlaced_source_flag
+    w.write_flag(0)      # general_non_packed_constraint_flag
+    w.write_flag(0)      # general_frame_only_constraint_flag
+    w.write_bits(0, 32)  # general_reserved_zero_44bits
+    w.write_bits(0, 12)
+    w.write_bits(123, 8)  # general_level_idc (level 4.1)
+
+
+def _parse_ptl(r: BitReader) -> None:
+    r.read_bits(2 + 1 + 5)
+    r.read_bits(32)
+    r.read_bits(4)
+    r.read_bits(32)
+    r.read_bits(12)
+    r.read_bits(8)
+
+
+# ---------------------------------------------------------------------------
+# VPS
+# ---------------------------------------------------------------------------
+
+def write_vps(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.write_bits(0, 4)    # vps_video_parameter_set_id
+    w.write_bits(3, 2)    # vps_base_layer_internal/available flags
+    w.write_bits(0, 6)    # vps_max_layers_minus1
+    w.write_bits(0, 3)    # vps_max_sub_layers_minus1
+    w.write_flag(1)       # vps_temporal_id_nesting_flag
+    w.write_bits(0xFFFF, 16)  # vps_reserved_0xffff_16bits
+    _write_ptl(w)
+    w.write_flag(1)       # vps_sub_layer_ordering_info_present_flag
+    w.write_ue(5)         # vps_max_dec_pic_buffering_minus1
+    w.write_ue(0)         # vps_max_num_reorder_pics
+    w.write_ue(0)         # vps_max_latency_increase_plus1
+    w.write_bits(0, 6)    # vps_max_layer_id
+    w.write_ue(0)         # vps_num_layer_sets_minus1
+    w.write_flag(0)       # vps_timing_info_present_flag
+    w.write_flag(0)       # vps_extension_flag
+    w.byte_align()
+    return w.get_bytes()
+
+
+# ---------------------------------------------------------------------------
+# SPS
+# ---------------------------------------------------------------------------
+
+def write_sps(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.write_bits(0, 4)    # sps_video_parameter_set_id
+    w.write_bits(0, 3)    # sps_max_sub_layers_minus1
+    w.write_flag(1)       # sps_temporal_id_nesting_flag
+    _write_ptl(w)
+    w.write_ue(0)         # sps_seq_parameter_set_id
+    w.write_ue(1)         # chroma_format_idc = 4:2:0
+    w.write_ue(sp.coded_width)
+    w.write_ue(sp.coded_height)
+    if sp.pad_right or sp.pad_bottom:
+        w.write_flag(1)   # conformance_window_flag
+        w.write_ue(0)                      # left offset
+        w.write_ue(sp.pad_right // 2)      # right (chroma units)
+        w.write_ue(0)                      # top
+        w.write_ue(sp.pad_bottom // 2)     # bottom
+    else:
+        w.write_flag(0)
+    w.write_ue(sp.bit_depth - 8)  # bit_depth_luma_minus8
+    w.write_ue(sp.bit_depth - 8)  # bit_depth_chroma_minus8
+    w.write_ue(sp.log2_max_poc_lsb - 4)
+    w.write_flag(1)       # sps_sub_layer_ordering_info_present_flag
+    w.write_ue(5)         # sps_max_dec_pic_buffering_minus1
+    w.write_ue(0)         # sps_max_num_reorder_pics
+    w.write_ue(0)         # sps_max_latency_increase_plus1
+    w.write_ue(sp.log2_min_cu - 3)
+    w.write_ue(sp.log2_ctu - sp.log2_min_cu)
+    w.write_ue(sp.log2_min_tu - 2)
+    w.write_ue(sp.log2_max_tu - sp.log2_min_tu)
+    w.write_ue(sp.max_transform_hierarchy_depth_inter)
+    w.write_ue(sp.max_transform_hierarchy_depth_intra)
+    w.write_flag(0)       # scaling_list_enabled_flag
+    w.write_flag(1 if sp.amp_enabled else 0)
+    w.write_flag(1 if sp.sao_enabled else 0)
+    w.write_flag(0)       # pcm_enabled_flag
+    w.write_ue(0)         # num_short_term_ref_pic_sets
+    w.write_flag(0)       # long_term_ref_pics_present_flag
+    w.write_flag(0)       # sps_temporal_mvp_enabled_flag
+    w.write_flag(1 if sp.strong_intra_smoothing else 0)
+    w.write_flag(0)       # vui_parameters_present_flag
+    w.write_flag(0)       # sps_extension_present_flag
+    w.byte_align()
+    return w.get_bytes()
+
+
+def parse_sps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
+    r = BitReader(rbsp)
+    r.read_bits(4)
+    r.read_bits(3)
+    r.read_flag()
+    _parse_ptl(r)
+    r.read_ue()           # sps id
+    chroma = r.read_ue()
+    assert chroma == 1, "only 4:2:0 supported"
+    cw = r.read_ue()
+    ch = r.read_ue()
+    pad_r = pad_b = 0
+    if r.read_flag():
+        r.read_ue()
+        pad_r = r.read_ue() * 2
+        r.read_ue()
+        pad_b = r.read_ue() * 2
+    sp.width = cw - pad_r
+    sp.height = ch - pad_b
+    sp.bit_depth = r.read_ue() + 8
+    r.read_ue()           # chroma bit depth
+    sp.log2_max_poc_lsb = r.read_ue() + 4
+    if r.read_flag():
+        r.read_ue(); r.read_ue(); r.read_ue()
+    sp.log2_min_cu = r.read_ue() + 3
+    sp.log2_ctu = sp.log2_min_cu + r.read_ue()
+    sp.log2_min_tu = r.read_ue() + 2
+    sp.log2_max_tu = sp.log2_min_tu + r.read_ue()
+    sp.max_transform_hierarchy_depth_inter = r.read_ue()
+    sp.max_transform_hierarchy_depth_intra = r.read_ue()
+    assert r.read_flag() == 0  # scaling lists unsupported
+    sp.amp_enabled = bool(r.read_flag())
+    sp.sao_enabled = bool(r.read_flag())
+    assert r.read_flag() == 0  # pcm unsupported
+    n_rps = r.read_ue()
+    assert n_rps == 0, "SPS-level RPS not used by this encoder"
+    assert r.read_flag() == 0  # long-term refs
+    r.read_flag()         # temporal mvp
+    sp.strong_intra_smoothing = bool(r.read_flag())
+    r.read_flag()         # vui
+    r.read_flag()         # extension
+    return sp
+
+
+# ---------------------------------------------------------------------------
+# PPS
+# ---------------------------------------------------------------------------
+
+def write_pps(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.write_ue(0)         # pps id
+    w.write_ue(0)         # sps id
+    w.write_flag(0)       # dependent_slice_segments_enabled_flag
+    w.write_flag(0)       # output_flag_present_flag
+    w.write_bits(0, 3)    # num_extra_slice_header_bits
+    w.write_flag(1 if sp.sign_data_hiding else 0)
+    w.write_flag(0)       # cabac_init_present_flag
+    w.write_ue(0)         # num_ref_idx_l0_default_active_minus1
+    w.write_ue(0)         # num_ref_idx_l1_default_active_minus1
+    w.write_se(sp.init_qp - 26)
+    w.write_flag(0)       # constrained_intra_pred_flag
+    w.write_flag(1 if sp.transform_skip_enabled else 0)
+    w.write_flag(1 if sp.cu_qp_delta_enabled else 0)
+    if sp.cu_qp_delta_enabled:
+        w.write_ue(0)     # diff_cu_qp_delta_depth
+    w.write_se(sp.cb_qp_offset)
+    w.write_se(sp.cr_qp_offset)
+    w.write_flag(0)       # pps_slice_chroma_qp_offsets_present_flag
+    w.write_flag(0)       # weighted_pred_flag
+    w.write_flag(0)       # weighted_bipred_flag
+    w.write_flag(1 if sp.transquant_bypass_enabled else 0)
+    w.write_flag(0)       # tiles_enabled_flag
+    w.write_flag(0)       # entropy_coding_sync_enabled_flag
+    w.write_flag(1)       # pps_loop_filter_across_slices_enabled_flag
+    w.write_flag(1)       # deblocking_filter_control_present_flag
+    w.write_flag(0)       # deblocking_filter_override_enabled_flag
+    w.write_flag(1 if sp.deblocking_disabled else 0)
+    if not sp.deblocking_disabled:
+        w.write_se(0)     # pps_beta_offset_div2
+        w.write_se(0)     # pps_tc_offset_div2
+    w.write_flag(0)       # pps_scaling_list_data_present_flag
+    w.write_flag(0)       # lists_modification_present_flag
+    w.write_ue(0)         # log2_parallel_merge_level_minus2
+    w.write_flag(0)       # slice_segment_header_extension_present_flag
+    w.write_flag(0)       # pps_extension_present_flag
+    w.byte_align()
+    return w.get_bytes()
+
+
+def parse_pps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
+    r = BitReader(rbsp)
+    r.read_ue(); r.read_ue()
+    assert r.read_flag() == 0
+    assert r.read_flag() == 0
+    r.read_bits(3)
+    sp.sign_data_hiding = bool(r.read_flag())
+    assert r.read_flag() == 0  # cabac_init_present
+    r.read_ue(); r.read_ue()
+    sp.init_qp = 26 + r.read_se()
+    assert r.read_flag() == 0  # constrained intra
+    sp.transform_skip_enabled = bool(r.read_flag())
+    sp.cu_qp_delta_enabled = bool(r.read_flag())
+    if sp.cu_qp_delta_enabled:
+        r.read_ue()
+    sp.cb_qp_offset = r.read_se()
+    sp.cr_qp_offset = r.read_se()
+    assert r.read_flag() == 0
+    assert r.read_flag() == 0  # weighted pred
+    assert r.read_flag() == 0
+    sp.transquant_bypass_enabled = bool(r.read_flag())
+    assert r.read_flag() == 0  # tiles
+    assert r.read_flag() == 0  # wpp
+    r.read_flag()
+    if r.read_flag():          # deblocking control present
+        assert r.read_flag() == 0
+        sp.deblocking_disabled = bool(r.read_flag())
+        if not sp.deblocking_disabled:
+            r.read_se(); r.read_se()
+    return sp
+
+
+# ---------------------------------------------------------------------------
+# Slice header
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SliceHeader:
+    slice_type: int = SLICE_I
+    slice_qp: int = 32
+    poc_lsb: int = 0
+    is_idr: bool = True
+    first_slice: bool = True
+    # explicit short-term RPS (negative deltas = past refs, used by P slices)
+    ref_pocs_before: tuple = ()   # POC deltas (positive values, past)
+    ref_pocs_after: tuple = ()
+    num_ref_idx_l0: int = 1
+    sao_luma: bool = False
+    sao_chroma: bool = False
+
+
+def write_slice_header(sh: SliceHeader, sp: SequenceParams,
+                       nal_type: int) -> BitWriter:
+    """Write the slice segment header; returns the writer (caller appends
+    CABAC payload after byte alignment)."""
+    w = BitWriter()
+    w.write_flag(1 if sh.first_slice else 0)
+    if 16 <= nal_type <= 23:  # IRAP
+        w.write_flag(0)       # no_output_of_prior_pics_flag
+    w.write_ue(0)             # slice_pic_parameter_set_id
+    w.write_ue(sh.slice_type)
+    if not sh.is_idr:
+        w.write_bits(sh.poc_lsb, sp.log2_max_poc_lsb)
+        w.write_flag(0)       # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): explicit
+        n_neg = len(sh.ref_pocs_before)
+        n_pos = len(sh.ref_pocs_after)
+        w.write_ue(n_neg)
+        w.write_ue(n_pos)
+        prev = 0
+        for d in sh.ref_pocs_before:   # increasing distance into the past
+            w.write_ue(d - prev - 1)   # delta_poc_s0_minus1
+            prev = d
+            w.write_flag(1)            # used_by_curr_pic_s0_flag
+        prev = 0
+        for d in sh.ref_pocs_after:
+            w.write_ue(d - prev - 1)
+            prev = d
+            w.write_flag(1)
+    if sp.sao_enabled:
+        w.write_flag(1 if sh.sao_luma else 0)
+        w.write_flag(1 if sh.sao_chroma else 0)
+    if sh.slice_type != SLICE_I:
+        w.write_flag(0)       # num_ref_idx_active_override_flag
+        # mvd_l1_zero etc. only for B
+        if sh.slice_type == SLICE_B:
+            w.write_flag(0)   # mvd_l1_zero_flag
+        # five_minus_max_num_merge_cand
+        w.write_ue(5 - 5)
+    w.write_se(sh.slice_qp - sp.init_qp)
+    # deblocking override absent; loop filter across slices not present
+    # (no tiles/wpp -> no entry points)
+    w.byte_align()            # byte_alignment() before slice data
+    return w
+
+
+def parse_slice_header(r: BitReader, sp: SequenceParams,
+                       nal_type: int) -> SliceHeader:
+    sh = SliceHeader()
+    sh.is_idr = nal_type in (19, 20)
+    sh.first_slice = bool(r.read_flag())
+    if 16 <= nal_type <= 23:
+        r.read_flag()
+    r.read_ue()
+    sh.slice_type = r.read_ue()
+    if not sh.is_idr:
+        sh.poc_lsb = r.read_bits(sp.log2_max_poc_lsb)
+        assert r.read_flag() == 0
+        n_neg = r.read_ue()
+        n_pos = r.read_ue()
+        before, after = [], []
+        prev = 0
+        for _ in range(n_neg):
+            prev = prev + r.read_ue() + 1
+            before.append(prev)
+            r.read_flag()
+        prev = 0
+        for _ in range(n_pos):
+            prev = prev + r.read_ue() + 1
+            after.append(prev)
+            r.read_flag()
+        sh.ref_pocs_before = tuple(before)
+        sh.ref_pocs_after = tuple(after)
+    if sp.sao_enabled:
+        sh.sao_luma = bool(r.read_flag())
+        sh.sao_chroma = bool(r.read_flag())
+    if sh.slice_type != SLICE_I:
+        assert r.read_flag() == 0
+        if sh.slice_type == SLICE_B:
+            r.read_flag()
+        r.read_ue()
+    sh.slice_qp = sp.init_qp + r.read_se()
+    r.byte_align()
+    return sh
+
+
+# ---------------------------------------------------------------------------
+# SEI: decoded picture hash (Annex D.3.19)
+# ---------------------------------------------------------------------------
+
+def write_picture_hash_sei(md5s: list[bytes]) -> bytes:
+    """decoded_picture_hash SEI with MD5 per plane (suffix SEI payload)."""
+    w = BitWriter()
+    w.write_bits(132, 8)              # payloadType = decoded_picture_hash
+    w.write_bits(1 + 16 * len(md5s), 8)  # payloadSize
+    w.write_bits(0, 8)                # hash_type = MD5
+    for h in md5s:
+        assert len(h) == 16
+        w.append_bytes(h)
+    w.byte_align()
+    return w.get_bytes()
+
+
+def parse_sei(rbsp: bytes) -> dict:
+    """Parse SEI messages; returns {'picture_hash': [md5, ...]} if present."""
+    out: dict = {}
+    r = BitReader(rbsp)
+    total_bits = len(rbsp) * 8
+    while r.bit_position + 16 <= total_bits:
+        ptype = 0
+        b = r.read_bits(8)
+        while b == 0xFF:
+            ptype += 255
+            b = r.read_bits(8)
+        ptype += b
+        psize = 0
+        b = r.read_bits(8)
+        while b == 0xFF:
+            psize += 255
+            b = r.read_bits(8)
+        psize += b
+        if ptype == 132:
+            hash_type = r.read_bits(8)
+            hashes = []
+            if hash_type == 0:
+                for _ in range((psize - 1) // 16):
+                    hashes.append(bytes(r.read_bits(8) for _ in range(16)))
+            out["picture_hash"] = hashes
+        else:
+            for _ in range(psize):
+                r.read_bits(8)
+        # stop at rbsp trailing bits
+        if r.bit_position >= total_bits - 8:
+            break
+    return out
