@@ -1,0 +1,183 @@
+"""TPU encoder top: batched search -> exact commit -> CABAC serialization.
+
+Reference parity: HM TEncTop/TEncSlice/TEncCu (SURVEY.md E3/E5/E6), as the
+TPU-first decision-then-commit pipeline (SURVEY.md §7.0):
+  1. search (ops/ + codec/search.py, jit on TPU): partitions + modes for the
+     whole frame as dense tensor math;
+  2. commit (host): z-order exact reconstruction with the chosen decisions
+     (bit-exact with the decoder by sharing fasthevc_tpu.spec.ctu);
+  3. entropy: exact CABAC emission of the decided syntax.
+
+Produces the same interface as spec.encoder.SpecEncoder, so the decoder,
+CLI, and tests are shared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..spec import bitstream as bs
+from ..spec import ctu as ctu_mod
+from ..spec import transform as spec_tr
+from ..spec.cabac import CabacEncoder, ContextSet
+from ..spec.ctu import CHROMA_DM, CuDecision, FrameMaps, Planes, TuData
+from ..spec.encoder import config_to_sp
+from ..spec.syntax import (
+    SLICE_I,
+    SliceHeader,
+    write_picture_hash_sei,
+    write_pps,
+    write_slice_header,
+    write_sps,
+    write_vps,
+)
+from ..utils.video import pad_plane, picture_md5
+from .search import decisions_to_trees, search_intra_frame
+
+
+class TpuEncoder:
+    """All-intra TPU-pipeline encoder."""
+
+    def __init__(self, cfg: EncoderConfig) -> None:
+        cfg.validate()
+        self.cfg = cfg
+        self.sp = config_to_sp(cfg)
+        self.sp.sao_enabled = False
+        self.sp.deblocking_disabled = True
+        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        self.lambda_sqrt = float(np.sqrt(lam))
+
+    def encode(self, frames):
+        sp = self.sp
+        out = bytearray()
+        out += bs.write_nal(bs.NAL_VPS, write_vps(sp))
+        out += bs.write_nal(bs.NAL_SPS, write_sps(sp))
+        out += bs.write_nal(bs.NAL_PPS, write_pps(sp))
+        recons = []
+        for frame in frames:
+            nal_bytes, planes = self.encode_frame(frame)
+            out += nal_bytes
+            recons.append(planes)
+        return bytes(out), recons
+
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, frame):
+        import jax.numpy as jnp
+
+        sp = self.sp
+        cfg = self.cfg
+        y, cb, cr = frame
+        src = Planes(sp)
+        src.y[:] = pad_plane(np.asarray(y, np.int32), sp.coded_height,
+                             sp.coded_width)
+        src.cb[:] = pad_plane(np.asarray(cb, np.int32),
+                              sp.coded_height // 2, sp.coded_width // 2)
+        src.cr[:] = pad_plane(np.asarray(cr, np.int32),
+                              sp.coded_height // 2, sp.coded_width // 2)
+
+        # ---- 1. batched search (TPU) ---------------------------------
+        ctu_size = 1 << sp.log2_ctu
+        pw = -(-sp.coded_width // ctu_size) * ctu_size
+        ph = -(-sp.coded_height // ctu_size) * ctu_size
+        y_pad = pad_plane(src.y, ph, pw)
+        dec = search_intra_frame(jnp.asarray(y_pad),
+                                 jnp.float32(self.lambda_sqrt),
+                                 sp.log2_ctu, sp.log2_min_cu)
+        trees = decisions_to_trees(dec, pw, ph, sp.coded_width,
+                                   sp.coded_height, sp.log2_ctu,
+                                   sp.log2_min_cu)
+
+        # ---- 2. exact commit (host) ----------------------------------
+        planes = Planes(sp)
+        maps = FrameMaps(sp)
+        qp_y, qp_cb, qp_cr = ctu_mod.tu_qps(sp, cfg.qp)
+        decisions = []
+        for x0, y0, tree in trees:
+            cu = self._commit_node(src, planes, sp, x0, y0, sp.log2_ctu,
+                                   0, tree, maps, qp_y, qp_cb, qp_cr)
+            decisions.append((x0, y0, cu))
+
+        # ---- 3. entropy (host CABAC) ---------------------------------
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
+        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+        enc = CabacEncoder(w, ContextSet(0, cfg.qp))
+        maps2 = FrameMaps(sp)
+        for i, (x0, y0, cu) in enumerate(decisions):
+            ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu)
+            enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
+        enc.finish()
+        w.byte_align()
+        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        md5s = picture_md5((planes.y, planes.cb, planes.cr))
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        return nal, planes
+
+    # ------------------------------------------------------------------
+
+    def _commit_node(self, src, planes, sp, x, y, lg, depth, tree, maps,
+                     qp_y, qp_cb, qp_cr) -> CuDecision:
+        kind = tree[0]
+        if kind == "split":
+            cu = CuDecision(split=True, children=[])
+            half = 1 << (lg - 1)
+            for i, child in enumerate(tree[1]):
+                if child is None:
+                    cu.children.append(None)
+                    continue
+                cx, cy = x + (i & 1) * half, y + (i >> 1) * half
+                cu.children.append(self._commit_node(
+                    src, planes, sp, cx, cy, lg - 1, depth + 1, child,
+                    maps, qp_y, qp_cb, qp_cr))
+            return cu
+        mode = tree[1]
+        cu = CuDecision(split=False, luma_mode=mode, chroma_mode=CHROMA_DM,
+                        bypass=self.cfg.lossless)
+        if lg > sp.log2_max_tu:
+            half = 1 << (lg - 1)
+            for i in range(4):
+                tx, ty = x + (i & 1) * half, y + (i >> 1) * half
+                cu.tus.append(self._commit_tu(src, planes, sp, tx, ty,
+                                              lg - 1, cu, qp_y, qp_cb,
+                                              qp_cr))
+        else:
+            cu.tus.append(self._commit_tu(src, planes, sp, x, y, lg, cu,
+                                          qp_y, qp_cb, qp_cr))
+        maps.set_cu(x, y, 1 << lg, depth, mode)
+        return cu
+
+    def _commit_tu(self, src, planes, sp, x, y, lg, cu, qp_y, qp_cb,
+                   qp_cr) -> TuData:
+        tu = TuData()
+        cmode = ctu_mod.chroma_mode_from_cu(cu)
+        for c_idx, mode, qp in ((0, cu.luma_mode, qp_y),
+                                (1, cmode, qp_cb), (2, cmode, qp_cr)):
+            if c_idx == 0:
+                bx, by, blg = x, y, lg
+            else:
+                bx, by, blg = x >> 1, y >> 1, lg - 1
+            n = 1 << blg
+            s = src.plane(c_idx)[by:by + n, bx:bx + n]
+            pred = ctu_mod.predict_block(planes, sp, bx, by, blg, mode,
+                                         c_idx)
+            res = s - pred
+            if cu.bypass:
+                levels = res.astype(np.int32)
+            else:
+                use_dst = (c_idx == 0 and blg == 2)
+                coeffs = spec_tr.forward_transform(res, sp.bit_depth,
+                                                   use_dst)
+                levels = spec_tr.quantize(coeffs, qp, sp.bit_depth, True)
+            if not levels.any():
+                levels = None
+            # reconstruct (reuses pred computation; exactness is what counts)
+            ctu_mod.reconstruct_tb(planes, sp, bx, by, blg, mode, c_idx,
+                                   levels, qp, cu.bypass)
+            if c_idx == 0:
+                tu.levels_y = levels
+            elif c_idx == 1:
+                tu.levels_cb = levels
+            else:
+                tu.levels_cr = levels
+        return tu

@@ -1,0 +1,128 @@
+"""Batched frame-level RDO search (JAX, TPU) — the P5 "batched candidate
+search" from SURVEY.md §2.4.
+
+One jit call evaluates, for EVERY aligned block of every CU size in the
+frame, all 35 intra modes (prediction + SATD + rate proxy), then a bottom-up
+quadtree dynamic program picks split/no-split per node. This replaces HM's
+recursive xCompressCU (SURVEY.md §3.1 hot loop #1) with dense tensor ops.
+
+Search-stage approximations (the commit stage is exact, so these affect RD
+quality only, not conformance):
+  * references are source pixels, not reconstructions;
+  * mode rate is a proxy (MPM coupling ignored);
+  * distortion proxy is SATD (HM's own RMD uses the same).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cost import satd
+from ..ops.intra import grid_refs, predict_all_modes
+
+
+def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[H, W] -> [H/n * W/n, n, n] in block raster order."""
+    h, w = plane.shape
+    return (plane.reshape(h // n, n, w // n, n)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, n, n))
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu"))
+def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
+                       log2_ctu: int = 5, log2_min_cu: int = 3):
+    """Decide the CU quadtree + luma mode for every CTU of a frame.
+
+    y_plane: [H, W] int32 luma (coded dims, multiples of CTU).
+    lambda_sqrt: scalar f32, sqrt of the RD lambda (SATD domain).
+
+    Returns dict of per-depth arrays (block raster order at each size):
+      mode{n}:  [B_n] best mode per n-block
+      cost{n}:  [B_n] DP cost per n-block (after considering splits)
+      split{n}: [B_n] bool, split decision at that node (n > min size)
+    """
+    h, w = y_plane.shape
+    sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    modes, costs = {}, {}
+    for n in sizes:
+        lg = n.bit_length() - 1
+        # Intra prediction tops out at 32: for 64 use the 32 tables on the
+        # top-left quadrant as mode proxy (commit re-derives exactly).
+        pn = min(n, 32)
+        plg = pn.bit_length() - 1
+        top, left = grid_refs(y_plane, n)
+        if pn != n:
+            top = top[:, :2 * pn + 1]
+            left = left[:, :2 * pn + 1]
+        preds = predict_all_modes(top, left, plg, True)   # [B,35,pn,pn]
+        src = _blocks(y_plane, n)[:, :pn, :pn]
+        d = satd(src[:, None] - preds)                    # [B,35]
+        if pn != n:
+            d = d * 4  # scale quadrant SATD to full-block magnitude
+        # mode rate proxy: ~2.5 bits MPM-ish average, flat across modes
+        cost = d.astype(jnp.float32) + lambda_sqrt * 2.5
+        modes[n] = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        costs[n] = jnp.min(cost, axis=1)
+
+    # Quadtree DP bottom-up. Per-CU overhead proxy: coding a CU costs
+    # ~(mode+cbf+part) ~ 5 bits; a split adds 4 CU overheads + split flag.
+    out = {}
+    gy, gx = h // sizes[0], w // sizes[0]
+    dp = costs[sizes[0]] + lambda_sqrt * 5.0
+    out[f"mode{sizes[0]}"] = modes[sizes[0]]
+    for n in sizes[1:]:
+        gy, gx = h // n, w // n
+        child = dp.reshape(gy, 2, gx, 2)  # children in 2x2 groups
+        sum_child = child.sum(axis=(1, 3)).reshape(-1)
+        self_cost = costs[n] + lambda_sqrt * 5.0
+        split = sum_child + lambda_sqrt * 1.0 < self_cost
+        dp = jnp.where(split, sum_child + lambda_sqrt * 1.0, self_cost)
+        out[f"mode{n}"] = modes[n]
+        out[f"split{n}"] = split
+        out[f"cost{n}"] = dp
+    return out
+
+
+def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,
+                       coded_w: int, coded_h: int,
+                       log2_ctu: int, log2_min_cu: int) -> list:
+    """Convert search output arrays into per-CTU (x, y, tree) tuples where
+    tree = (split?, mode | children) nested, matching CTU raster order.
+
+    The search ran on a CTU-aligned padded plane (padded_w/h); blocks beyond
+    the coded picture (coded_w/h, min-CU aligned) force splits / are absent,
+    mirroring the spec's inferred-split rule.
+    """
+    dec = {k: np.asarray(v) for k, v in dec.items()}
+    ctu = 1 << log2_ctu
+
+    def node(x, y, lg):
+        n = 1 << lg
+        gx, gy = x // n, y // n
+        row = padded_w // n
+        bi = gy * row + gx
+        force_split = (x + n > coded_w) or (y + n > coded_h)
+        split = (lg > log2_min_cu and
+                 (force_split or bool(dec[f"split{n}"][bi])))
+        if split:
+            half = n >> 1
+            children = []
+            for i in range(4):
+                cx, cy = x + (i & 1) * half, y + (i >> 1) * half
+                if cx < coded_w and cy < coded_h:
+                    children.append(node(cx, cy, lg - 1))
+                else:
+                    children.append(None)
+            return ("split", children)
+        return ("leaf", int(dec[f"mode{n}"][bi]))
+
+    trees = []
+    for y in range(0, coded_h, ctu):
+        for x in range(0, coded_w, ctu):
+            trees.append((x, y, node(x, y, log2_ctu)))
+    return trees
