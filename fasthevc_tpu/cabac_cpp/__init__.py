@@ -1,0 +1,209 @@
+"""C++ host CABAC engine bindings (ctypes).
+
+Reference parity: the native half of SURVEY.md §2.5 — exact sequential
+bitstream emission in C++, bit-identical to the Python oracle coder
+(enforced by tests/test_cabac_cpp.py). Python keeps syntax derivation for
+tree-level elements (few bins); the dominant residual-coding bins are
+serialized entirely in C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..spec.cabac import ContextSet
+from ..spec.tables import CTX_INIT
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfasthevc_cabac.so")
+# slice_engine.cpp #includes cabac.cpp -> one compile unit, one library
+_SRC = os.path.join(_DIR, "slice_engine.cpp")
+_SRC_DEP = os.path.join(_DIR, "cabac.cpp")
+
+# canonical linearization of the context families (dict order of CTX_INIT)
+CTX_OFFSETS: dict[str, int] = {}
+_off = 0
+for _name, _inits in CTX_INIT.items():
+    CTX_OFFSETS[_name] = _off
+    _off += len(_inits[0])
+N_CTX = _off
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the shared library if needed; returns its path."""
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC_DEP))
+    if force or stale:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             f"-I{_DIR}", "-o", _SO, _SRC],
+            check=True, capture_output=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    build()
+    lib = ctypes.CDLL(_SO)
+    lib.cabac_enc_new.restype = ctypes.c_void_p
+    lib.cabac_enc_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.cabac_enc_free.argtypes = [ctypes.c_void_p]
+    lib.cabac_enc_bin.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.cabac_enc_bypass.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cabac_enc_bypass_bits.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                          ctypes.c_int]
+    lib.cabac_enc_terminate.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cabac_enc_finish.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_uint32)]
+    lib.cabac_enc_finish.restype = ctypes.c_int
+    lib.cabac_enc_residual.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_int32),
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int]
+    lib.cabac_enc_size.argtypes = [ctypes.c_void_p]
+    lib.cabac_enc_size.restype = ctypes.c_int
+    lib.cabac_enc_copy.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hevc_encode_slice.restype = ctypes.c_int
+    lib.hevc_encode_slice.argtypes = [
+        u8p, u8p, u8p,                       # src planes
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,bd
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # qps
+        ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
+        i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
+        u8p, u8p, ctypes.c_int,              # ctx states/mps/n
+        i32p,                                # ctx offsets [12]
+        i32p, i32p, i32p,                    # rec planes
+        u8p,                                 # payload out
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+_OFFSET_ORDER = [
+    "last_sig_coeff_prefix", "coded_sub_block_flag", "sig_coeff_flag",
+    "coeff_abs_level_greater1_flag", "coeff_abs_level_greater2_flag",
+    "split_cu_flag", "cu_transquant_bypass_flag", "part_mode",
+    "prev_intra_luma_pred_flag", "intra_chroma_pred_mode", "cbf_luma",
+    "cbf_chroma",
+]
+
+
+def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
+                        mode_map, ctx: ContextSet, lossless: bool):
+    """Run the C++ slice engine: commit + entropy for one decided I-slice.
+
+    src_planes: (y, cb, cr) int arrays in coded dims.
+    depth_map/mode_map: int8 [coded_h/8, coded_w/8] decision maps.
+    Returns (payload_bytes, trail_val, trail_nbits, rec_y, rec_cb, rec_cr).
+    """
+    lib = _load()
+    w, h = sp.coded_width, sp.coded_height
+    sy = np.ascontiguousarray(src_planes[0], dtype=np.uint8)
+    scb = np.ascontiguousarray(src_planes[1], dtype=np.uint8)
+    scr = np.ascontiguousarray(src_planes[2], dtype=np.uint8)
+    states = np.zeros(N_CTX, dtype=np.uint8)
+    mps = np.zeros(N_CTX, dtype=np.uint8)
+    for name, off in CTX_OFFSETS.items():
+        n = len(ctx.state[name])
+        states[off:off + n] = ctx.state[name]
+        mps[off:off + n] = ctx.mps[name]
+    offsets = np.array([CTX_OFFSETS[n] for n in _OFFSET_ORDER], dtype=np.int32)
+    rec_y = np.zeros((h, w), dtype=np.int32)
+    rec_cb = np.zeros((h // 2, w // 2), dtype=np.int32)
+    rec_cr = np.zeros((h // 2, w // 2), dtype=np.int32)
+    payload = np.zeros(w * h * 3, dtype=np.uint8)
+    trail = ctypes.c_uint32(0)
+    tbits = ctypes.c_int32(0)
+    dm = np.ascontiguousarray(depth_map, dtype=np.int8)
+    mm = np.ascontiguousarray(mode_map, dtype=np.int8)
+    size = lib.hevc_encode_slice(
+        sy, scb, scr, w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
+        int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
+        dm.shape[1], states, mps, N_CTX, offsets, rec_y, rec_cb, rec_cr,
+        payload, ctypes.byref(trail), ctypes.byref(tbits))
+    return (payload[:size].tobytes(), trail.value, tbits.value,
+            rec_y, rec_cb, rec_cr)
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class CppCabacEncoder:
+    """Drop-in replacement for spec.cabac.CabacEncoder backed by the C++
+    engine. Same (name, idx) interface; adds the native residual fast path
+    used by spec.residual.encode_residual."""
+
+    def __init__(self, writer, ctx: ContextSet) -> None:
+        lib = _load()
+        states = np.zeros(N_CTX, dtype=np.uint8)
+        mps = np.zeros(N_CTX, dtype=np.uint8)
+        for name, off in CTX_OFFSETS.items():
+            n = len(ctx.state[name])
+            states[off:off + n] = ctx.state[name]
+            mps[off:off + n] = ctx.mps[name]
+        self._lib = lib
+        self._h = lib.cabac_enc_new(
+            states.tobytes(), mps.tobytes(), N_CTX,
+            CTX_OFFSETS["last_sig_coeff_prefix"],
+            CTX_OFFSETS["coded_sub_block_flag"],
+            CTX_OFFSETS["sig_coeff_flag"],
+            CTX_OFFSETS["coeff_abs_level_greater1_flag"],
+            CTX_OFFSETS["coeff_abs_level_greater2_flag"])
+        self.w = writer
+        self._finished = False
+
+    def encode_bin(self, name: str, idx: int, binval: int) -> None:
+        self._lib.cabac_enc_bin(self._h, CTX_OFFSETS[name] + idx, binval)
+
+    def encode_bypass(self, binval: int) -> None:
+        self._lib.cabac_enc_bypass(self._h, binval)
+
+    def encode_bypass_bits(self, value: int, n: int) -> None:
+        self._lib.cabac_enc_bypass_bits(self._h, value, n)
+
+    def encode_terminate(self, binval: int) -> None:
+        self._lib.cabac_enc_terminate(self._h, binval)
+
+    def encode_residual_native(self, levels: np.ndarray, log2_size: int,
+                               c_idx: int, scan_idx: int) -> None:
+        lv = np.ascontiguousarray(levels, dtype=np.int32)
+        self._lib.cabac_enc_residual(
+            self._h, lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            log2_size, c_idx, scan_idx)
+
+    def finish(self) -> None:
+        trail = ctypes.c_uint32(0)
+        nbits = self._lib.cabac_enc_finish(self._h, ctypes.byref(trail))
+        size = self._lib.cabac_enc_size(self._h)
+        buf = ctypes.create_string_buffer(size)
+        self._lib.cabac_enc_copy(self._h, buf)
+        for b in buf.raw:
+            self.w.write_bits(b, 8)
+        if nbits:
+            self.w.write_bits(trail.value, nbits)
+        self._lib.cabac_enc_free(self._h)
+        self._h = None
+        self._finished = True
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.cabac_enc_free(self._h)

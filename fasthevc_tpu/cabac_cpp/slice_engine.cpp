@@ -1,0 +1,677 @@
+// Native slice engine: exact commit (intra predict + TQ + recon) and CTU
+// syntax serialization for a decided frame, in one C++ pass.
+//
+// Reference parity: the commit half of HM's TEncCu/TEncSearch plus
+// TEncSbac CU syntax (SURVEY.md E6/E7/C3/C5/C6) — reimplemented from the
+// H.265 spec to be byte-identical to the Python path
+// (spec/ctu.py + spec/encoder commit), enforced by tests/test_slice_engine.py.
+//
+// The TPU does the *search* (which modes/partitions); this engine does the
+// sequential, bit-exact reconstruction + entropy emission the TPU cannot
+// batch (z-order recon feedback + CABAC).
+//
+// Decisions arrive as two per-8x8-granule maps over the padded frame:
+//   depth_map: CU depth d at every granule (CU size = ctu_size >> d)
+//   mode_map:  luma intra mode of the covering CU
+// Forced boundary splits are re-derived from the coded dims (spec rule).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "cabac.cpp"  // engine + residual coding (single-TU compile unit)
+
+namespace {
+
+// ---- transforms (spec 8.6.4), same construction as spec/tables.py --------
+int32_t g_dct[6][32 * 32];  // [log2-1] -> matrix (2..5 used)
+int32_t g_dst4[16] = {29, 55, 74, 84, 74, 74, 0, -74,
+                      84, -29, -74, 55, 55, -84, 74, -29};
+bool g_tr_init = false;
+
+void build_dct(int size, int32_t *out) {
+  if (size == 1) {
+    out[0] = 64;
+    return;
+  }
+  std::vector<int32_t> half((size / 2) * (size / 2));
+  build_dct(size / 2, half.data());
+  static const int c2[] = {64};
+  static const int c4[] = {83, 36};
+  static const int c8[] = {89, 75, 50, 18};
+  static const int c16[] = {90, 87, 80, 70, 57, 43, 25, 9};
+  static const int c32[] = {90, 90, 88, 85, 82, 78, 73, 67,
+                            61, 54, 46, 38, 31, 22, 13, 4};
+  const int *c = size == 2 ? c2 : size == 4 ? c4 : size == 8 ? c8
+                 : size == 16 ? c16 : c32;
+  for (int k = 0; k < size / 2; k++)
+    for (int n = 0; n < size / 2; n++) {
+      out[2 * k * size + n] = half[k * (size / 2) + n];
+      out[2 * k * size + size - 1 - n] = half[k * (size / 2) + n];
+    }
+  int period = 4 * size;
+  for (int k = 0; k < size / 2; k++) {
+    int m = 2 * k + 1;
+    for (int n = 0; n < size; n++) {
+      int u = (m * (2 * n + 1)) % period;
+      if (u > 2 * size) u = period - u;
+      out[m * size + n] = (u < size) ? c[(u - 1) / 2]
+                                     : -c[(2 * size - u - 1) / 2];
+    }
+  }
+}
+
+void init_transforms() {
+  if (g_tr_init) return;
+  for (int lg = 1; lg <= 5; lg++) build_dct(1 << lg, g_dct[lg - 1]);
+  g_tr_init = true;
+}
+
+const int32_t kQuantScales[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+const int32_t kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
+
+// tmp buffers sized for 32x32
+struct TrBuf {
+  int64_t t1[32 * 32];
+  int32_t coeff[32 * 32];
+  int32_t deq[32 * 32];
+  int32_t res[32 * 32];
+};
+
+const int32_t *mat(int lg, bool dst) {
+  return dst ? g_dst4 : g_dct[lg - 1];
+}
+
+// forward transform: res[n*n] -> coeff[n*n] (HM convention)
+void fwd_transform(const int32_t *res, int lg, bool dst, int bit_depth,
+                   int32_t *coeff, TrBuf *b) {
+  int n = 1 << lg;
+  const int32_t *t = mat(lg, dst);
+  int s1 = lg + bit_depth - 9, s2 = lg + 6;
+  int64_t add1 = s1 > 0 ? (1ll << (s1 - 1)) : 0;
+  int64_t add2 = 1ll << (s2 - 1);
+  // stage1: tmp = (T @ X) >> s1
+  for (int k = 0; k < n; k++)
+    for (int m = 0; m < n; m++) {
+      int64_t acc = 0;
+      for (int j = 0; j < n; j++) acc += (int64_t)t[k * n + j] * res[j * n + m];
+      b->t1[k * n + m] = (acc + add1) >> s1;
+    }
+  // stage2: out = (tmp @ T^T) >> s2
+  for (int k = 0; k < n; k++)
+    for (int l = 0; l < n; l++) {
+      int64_t acc = 0;
+      for (int m = 0; m < n; m++) acc += b->t1[k * n + m] * (int64_t)t[l * n + m];
+      coeff[k * n + l] = (int32_t)((acc + add2) >> s2);
+    }
+}
+
+// normative inverse transform
+void inv_transform(const int32_t *coeff, int lg, bool dst, int bit_depth,
+                   int32_t *res, TrBuf *b) {
+  int n = 1 << lg;
+  const int32_t *t = mat(lg, dst);
+  int s1 = 7, s2 = 20 - bit_depth;
+  for (int k = 0; k < n; k++)
+    for (int m = 0; m < n; m++) {
+      int64_t acc = 0;
+      for (int j = 0; j < n; j++) acc += (int64_t)t[j * n + k] * coeff[j * n + m];
+      int64_t v = (acc + 64) >> s1;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      b->t1[k * n + m] = v;
+    }
+  for (int k = 0; k < n; k++)
+    for (int l = 0; l < n; l++) {
+      int64_t acc = 0;
+      for (int m = 0; m < n; m++) acc += b->t1[k * n + m] * (int64_t)t[m * n + l];
+      int64_t v = (acc + (1ll << (s2 - 1))) >> s2;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      res[k * n + l] = (int32_t)v;
+    }
+}
+
+// returns true if any nonzero level
+bool quantize(const int32_t *coeff, int lg, int qp, int bit_depth,
+              int32_t *levels) {
+  int n = 1 << lg;
+  int tshift = 15 - bit_depth - lg;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = kQuantScales[qp % 6];
+  int64_t f = (int64_t)171 << (qbits - 9);
+  bool any = false;
+  for (int i = 0; i < n * n; i++) {
+    int64_t c = coeff[i];
+    int64_t a = c < 0 ? -c : c;
+    int64_t lv = (a * scale + f) >> qbits;
+    if (lv > 32767) lv = 32767;
+    levels[i] = (int32_t)(c < 0 ? -lv : lv);
+    any |= lv != 0;
+  }
+  return any;
+}
+
+void dequantize(const int32_t *levels, int lg, int qp, int bit_depth,
+                int32_t *out) {
+  int n = 1 << lg;
+  int bd_shift = bit_depth + lg - 5;
+  int64_t scale = (int64_t)kInvQuantScales[qp % 6] * 16;
+  int up = qp / 6;
+  for (int i = 0; i < n * n; i++) {
+    int64_t d = (((int64_t)levels[i] * scale) << up) + (1ll << (bd_shift - 1));
+    d >>= bd_shift;
+    if (d < -32768) d = -32768;
+    if (d > 32767) d = 32767;
+    out[i] = (int32_t)d;
+  }
+}
+
+// ---- intra prediction (spec 8.4.4.2) -------------------------------------
+const int kAngles[35] = {0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9,
+                         -13, -17, -21, -26, -32, -26, -21, -17, -13, -9, -5,
+                         -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
+const int kInvAngles[35] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -4096, -1638,
+                            -910, -630, -482, -390, -315, -256, -315, -390,
+                            -482, -630, -910, -1638, -4096, 0, 0, 0, 0, 0, 0,
+                            0, 0, 0};
+
+int z_order(int x4, int y4) {
+  int z = 0;
+  for (int b = 0; b < 8; b++) {
+    z |= ((x4 >> b) & 1) << (2 * b);
+    z |= ((y4 >> b) & 1) << (2 * b + 1);
+  }
+  return z;
+}
+
+struct Frame {
+  int coded_w, coded_h;   // luma coded dims
+  int log2_ctu;
+  int bit_depth;
+  std::vector<int32_t> y, cb, cr;   // recon planes
+  // 4x4 granule maps
+  int gw, gh;
+  std::vector<int8_t> gdepth, gmode;
+  std::vector<uint8_t> gcoded;
+
+  int32_t *plane(int c) { return c == 0 ? y.data() : c == 1 ? cb.data()
+                                                            : cr.data(); }
+  int pw(int c) const { return c == 0 ? coded_w : coded_w / 2; }
+  int ph(int c) const { return c == 0 ? coded_h : coded_h / 2; }
+
+  bool avail(int xn, int yn, int xc, int yc) const {
+    if (xn < 0 || yn < 0 || xn >= coded_w || yn >= coded_h) return false;
+    int cs = 1 << log2_ctu;
+    int per_row = (coded_w + cs - 1) >> log2_ctu;
+    int cn = (yn >> log2_ctu) * per_row + (xn >> log2_ctu);
+    int cc = (yc >> log2_ctu) * per_row + (xc >> log2_ctu);
+    if (cn != cc) return cn < cc;
+    int m = cs - 1;
+    return z_order((xn & m) >> 2, (yn & m) >> 2) <
+           z_order((xc & m) >> 2, (yc & m) >> 2);
+  }
+};
+
+// Fetch + substitute refs. top/left are length 2n+1, corner-first.
+void get_refs(Frame *f, int c_idx, int x0, int y0, int n, int32_t *top,
+              int32_t *left) {
+  int sub = c_idx == 0 ? 0 : 1;
+  const int32_t *pl = f->plane(c_idx);
+  int w = f->pw(c_idx), h = f->ph(c_idx);
+  int xl = x0 << sub, yl = y0 << sub;
+  int total = 4 * n + 1;
+  std::vector<int32_t> vals(total);
+  std::vector<uint8_t> av(total, 0);
+  // order: bottom-left up, corner, top row l->r
+  int i = 0;
+  for (int yy = 2 * n - 1; yy >= 0; yy--, i++) {
+    int xs = x0 - 1, ys = y0 + yy;
+    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+      vals[i] = pl[(ys < h ? ys : h - 1) * w + xs];
+      av[i] = 1;
+    }
+  }
+  {
+    int xs = x0 - 1, ys = y0 - 1;
+    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+      vals[i] = pl[ys * w + xs];
+      av[i] = 1;
+    }
+    i++;
+  }
+  for (int xx = 0; xx < 2 * n; xx++, i++) {
+    int xs = x0 + xx, ys = y0 - 1;
+    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+      vals[i] = pl[ys * w + (xs < w ? xs : w - 1)];
+      av[i] = 1;
+    }
+  }
+  bool none = true;
+  for (int k = 0; k < total; k++) none &= !av[k];
+  if (none) {
+    int32_t fill = 1 << (f->bit_depth - 1);
+    for (int k = 0; k < total; k++) vals[k] = fill;
+  } else {
+    if (!av[0]) {
+      int k = 0;
+      while (!av[k]) k++;
+      vals[0] = vals[k];
+      av[0] = 1;
+    }
+    for (int k = 1; k < total; k++)
+      if (!av[k]) vals[k] = vals[k - 1];
+  }
+  left[0] = vals[2 * n];
+  for (int k = 0; k < 2 * n; k++) left[1 + k] = vals[2 * n - 1 - k];
+  top[0] = vals[2 * n];
+  for (int k = 0; k < 2 * n; k++) top[1 + k] = vals[2 * n + 1 + k];
+}
+
+const int kFilterThresh[6] = {0, 0, 10, 7, 1, 0};  // index log2(n)
+
+bool should_filter(int mode, int n, bool luma) {
+  if (!luma || mode == 1 || n == 4) return false;
+  int d26 = mode - 26 < 0 ? 26 - mode : mode - 26;
+  int d10 = mode - 10 < 0 ? 10 - mode : mode - 10;
+  int md = d26 < d10 ? d26 : d10;
+  int lg = 0;
+  for (int t = n; t > 1; t >>= 1) lg++;
+  return md > kFilterThresh[lg];
+}
+
+void filter_refs(const int32_t *top, const int32_t *left, int n,
+                 int32_t *ftop, int32_t *fleft) {
+  int n2 = 2 * n;
+  std::vector<int32_t> seq(2 * n2 + 1);
+  for (int k = 0; k < n2; k++) seq[k] = left[n2 - k];
+  seq[n2] = left[0];
+  for (int k = 0; k < n2; k++) seq[n2 + 1 + k] = top[1 + k];
+  std::vector<int32_t> fs(seq);
+  for (int k = 1; k < 2 * n2; k++)
+    fs[k] = (seq[k - 1] + 2 * seq[k] + seq[k + 1] + 2) >> 2;
+  fleft[0] = fs[n2];
+  for (int k = 0; k < n2; k++) fleft[1 + k] = fs[n2 - 1 - k];
+  ftop[0] = fs[n2];
+  for (int k = 0; k < n2; k++) ftop[1 + k] = fs[n2 + 1 + k];
+}
+
+// predict one block, mode in [0,34]; out[n*n]
+void predict(int mode, const int32_t *top, const int32_t *left, int n,
+             bool luma, int bit_depth, int32_t *out) {
+  int lg = 0;
+  for (int t = n; t > 1; t >>= 1) lg++;
+  int maxv = (1 << bit_depth) - 1;
+  if (mode == 0) {  // planar
+    int32_t tr = top[n + 1], bl = left[n + 1];
+    for (int y = 0; y < n; y++)
+      for (int x = 0; x < n; x++)
+        out[y * n + x] =
+            ((n - 1 - x) * left[1 + y] + (x + 1) * tr +
+             (n - 1 - y) * top[1 + x] + (y + 1) * bl + n) >> (lg + 1);
+    return;
+  }
+  if (mode == 1) {  // DC
+    int32_t sum = 0;
+    for (int k = 1; k <= n; k++) sum += top[k] + left[k];
+    int32_t dc = (sum + n) >> (lg + 1);
+    for (int i = 0; i < n * n; i++) out[i] = dc;
+    if (luma && n < 32) {
+      out[0] = (left[1] + 2 * dc + top[1] + 2) >> 2;
+      for (int x = 1; x < n; x++) out[x] = (top[1 + x] + 3 * dc + 2) >> 2;
+      for (int y = 1; y < n; y++) out[y * n] = (left[1 + y] + 3 * dc + 2) >> 2;
+    }
+    return;
+  }
+  int angle = kAngles[mode];
+  bool vertical = mode >= 18;
+  const int32_t *main_r = vertical ? top : left;
+  const int32_t *side_r = vertical ? left : top;
+  // ext[k], k in [-n, 2n], offset n
+  std::vector<int32_t> ext(3 * n + 1);
+  int off = n;
+  ext[off] = main_r[0];
+  for (int j = 1; j <= 2 * n; j++) ext[off + j] = main_r[j];
+  if (angle < 0) {
+    int inv = kInvAngles[mode];
+    int lowest = ((n * angle) >> 5) + 1;
+    for (int k = -1; k >= lowest; k--) {
+      int idx = (k * inv + 128) >> 8;
+      ext[off + k] = side_r[idx];
+    }
+  }
+  for (int y = 0; y < n; y++) {
+    int i_idx = ((y + 1) * angle) >> 5;
+    int i_fact = ((y + 1) * angle) & 31;
+    for (int x = 0; x < n; x++) {
+      int base = off + i_idx + 1 + x;
+      int32_t v;
+      if (i_fact == 0)
+        v = ext[base];
+      else
+        v = ((32 - i_fact) * ext[base] + i_fact * ext[base + 1] + 16) >> 5;
+      if (vertical)
+        out[y * n + x] = v;
+      else
+        out[x * n + y] = v;
+    }
+  }
+  if (luma && n < 32) {
+    if (mode == 26) {
+      for (int y = 0; y < n; y++) {
+        int32_t v = top[1] + ((left[1 + y] - left[0]) >> 1);
+        out[y * n] = v < 0 ? 0 : v > maxv ? maxv : v;
+      }
+    } else if (mode == 10) {
+      for (int x = 0; x < n; x++) {
+        int32_t v = left[1] + ((top[1 + x] - top[0]) >> 1);
+        out[x] = v < 0 ? 0 : v > maxv ? maxv : v;
+      }
+    }
+  }
+}
+
+// ---- CU syntax + commit ---------------------------------------------------
+struct SliceEnc {
+  Frame f;
+  Encoder *e;
+  int qp_y, qp_cb, qp_cr;
+  bool lossless, bypass_enabled;
+  int log2_min_cu = 3, log2_max_tu = 5;
+  const uint8_t *src_y, *src_cb, *src_cr;
+  const int8_t *depth_map, *mode_map;
+  int dm_w;  // granule (8x8) map width
+  // extra ctx family offsets
+  int off_split, off_bypassflag, off_part, off_prev_intra, off_chroma_mode,
+      off_cbf_luma, off_cbf_chroma;
+  TrBuf trbuf;
+};
+
+int split_ctx(SliceEnc *s, int x, int y, int depth) {
+  int ctx = 0;
+  Frame &f = s->f;
+  if (x > 0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
+      f.gdepth[(y >> 2) * f.gw + ((x - 1) >> 2)] > depth)
+    ctx++;
+  if (y > 0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
+      f.gdepth[((y - 1) >> 2) * f.gw + (x >> 2)] > depth)
+    ctx++;
+  return ctx;
+}
+
+void mpm_candidates(SliceEnc *s, int x, int y, int cands[3]) {
+  Frame &f = s->f;
+  int a = 1, b = 1;  // DC default
+  if (x > 0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)]) {
+    int m = f.gmode[(y >> 2) * f.gw + ((x - 1) >> 2)];
+    if (m >= 0) a = m;
+  }
+  bool above_in_ctu = (y & ((1 << f.log2_ctu) - 1)) != 0;
+  if (y > 0 && above_in_ctu && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)]) {
+    int m = f.gmode[((y - 1) >> 2) * f.gw + (x >> 2)];
+    if (m >= 0) b = m;
+  }
+  if (a == b) {
+    if (a < 2) {
+      cands[0] = 0; cands[1] = 1; cands[2] = 26;
+    } else {
+      cands[0] = a;
+      cands[1] = 2 + ((a + 29) % 32);
+      cands[2] = 2 + ((a - 2 + 1) % 32);
+    }
+  } else {
+    cands[0] = a;
+    cands[1] = b;
+    if (a != 0 && b != 0) cands[2] = 0;
+    else if (a != 1 && b != 1) cands[2] = 1;
+    else cands[2] = 26;
+  }
+}
+
+void set_cu(SliceEnc *s, int x, int y, int size, int depth, int mode) {
+  Frame &f = s->f;
+  for (int gy = y >> 2; gy < (y + size) >> 2; gy++)
+    for (int gx = x >> 2; gx < (x + size) >> 2; gx++) {
+      f.gdepth[gy * f.gw + gx] = (int8_t)depth;
+      f.gmode[gy * f.gw + gx] = (int8_t)mode;
+      f.gcoded[gy * f.gw + gx] = 1;
+    }
+}
+
+// one transform block: predict, residual, TQ, recon; returns cbf
+bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
+               int32_t *levels_out) {
+  Frame &f = s->f;
+  int n = 1 << lg;
+  int w = f.pw(c_idx);
+  int32_t top[65], left[65], ftop[65], fleft[65];
+  get_refs(&f, c_idx, x, y, n, top, left);
+  const int32_t *ut = top, *ul = left;
+  if (c_idx == 0 && should_filter(mode, n, true)) {
+    filter_refs(top, left, n, ftop, fleft);
+    ut = ftop;
+    ul = fleft;
+  }
+  int32_t pred[32 * 32];
+  predict(mode, ut, ul, n, c_idx == 0, f.bit_depth, pred);
+  const uint8_t *src = c_idx == 0 ? s->src_y : c_idx == 1 ? s->src_cb
+                                                          : s->src_cr;
+  int32_t res[32 * 32];
+  for (int yy = 0; yy < n; yy++)
+    for (int xx = 0; xx < n; xx++)
+      res[yy * n + xx] =
+          (int32_t)src[(y + yy) * w + (x + xx)] - pred[yy * n + xx];
+  bool cbf;
+  int32_t rq[32 * 32];
+  if (s->lossless) {
+    cbf = false;
+    for (int i = 0; i < n * n; i++) {
+      levels_out[i] = res[i];
+      cbf |= res[i] != 0;
+      rq[i] = res[i];
+    }
+  } else {
+    bool dst = (c_idx == 0 && lg == 2);
+    int qp = c_idx == 0 ? s->qp_y : c_idx == 1 ? s->qp_cb : s->qp_cr;
+    int32_t coeff[32 * 32];
+    fwd_transform(res, lg, dst, f.bit_depth, coeff, &s->trbuf);
+    cbf = quantize(coeff, lg, qp, f.bit_depth, levels_out);
+    if (cbf) {
+      int32_t deq[32 * 32];
+      dequantize(levels_out, lg, qp, f.bit_depth, deq);
+      inv_transform(deq, lg, dst, f.bit_depth, rq, &s->trbuf);
+    } else {
+      std::memset(rq, 0, sizeof(int32_t) * n * n);
+    }
+  }
+  int maxv = (1 << f.bit_depth) - 1;
+  int32_t *plane = f.plane(c_idx);
+  for (int yy = 0; yy < n; yy++)
+    for (int xx = 0; xx < n; xx++) {
+      int32_t v = pred[yy * n + xx] + (cbf ? rq[yy * n + xx] : 0);
+      plane[(y + yy) * w + (x + xx)] = v < 0 ? 0 : v > maxv ? maxv : v;
+    }
+  return cbf;
+}
+
+int scan_for(int lg, int c_idx, int mode) {
+  if (lg == 2 || (lg == 3 && c_idx == 0)) {
+    if (mode >= 6 && mode <= 14) return 2;
+    if (mode >= 22 && mode <= 30) return 1;
+  }
+  return 0;
+}
+
+void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
+  Frame &f = s->f;
+  Encoder *e = s->e;
+  // the decided mode is in the map at the CU origin
+  int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
+  if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
+  if (lg == s->log2_min_cu) e->encode_bin(s->off_part, 1);  // 2Nx2N
+  int cands[3];
+  mpm_candidates(s, x, y, cands);
+  int mpm_idx = -1;
+  for (int i = 0; i < 3; i++)
+    if (cands[i] == mode) mpm_idx = i;
+  if (mpm_idx >= 0) {
+    e->encode_bin(s->off_prev_intra, 1);
+    e->encode_bypass(mpm_idx == 0 ? 0 : 1);
+    if (mpm_idx > 0) e->encode_bypass(mpm_idx - 1);
+  } else {
+    e->encode_bin(s->off_prev_intra, 0);
+    int rem = mode;
+    // subtract candidates smaller than mode
+    for (int i = 0; i < 3; i++)
+      if (mode > cands[i]) rem--;
+    e->encode_bypass_bits(rem, 5);
+  }
+  e->encode_bin(s->off_chroma_mode, 0);  // DM
+
+  // ---- transform tree (TU == CU; forced split for 64) ------------------
+  int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
+  int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+  int32_t lv_y[4][32 * 32];
+  int32_t lv_cb[4][16 * 16], lv_cr[4][16 * 16];
+  bool cbf_y[4], cbf_cb[4], cbf_cr[4];
+  int half = 1 << (lg - 1);
+  for (int i = 0; i < n_tus; i++) {
+    int tx = n_tus == 1 ? x : x + (i & 1) * half;
+    int ty = n_tus == 1 ? y : y + (i >> 1) * half;
+    cbf_y[i] = commit_tb(s, 0, tx, ty, tlg, mode, lv_y[i]);
+    cbf_cb[i] = commit_tb(s, 1, tx >> 1, ty >> 1, tlg - 1, mode, lv_cb[i]);
+    cbf_cr[i] = commit_tb(s, 2, tx >> 1, ty >> 1, tlg - 1, mode, lv_cr[i]);
+  }
+  bool cb0 = false, cr0 = false;
+  for (int i = 0; i < n_tus; i++) {
+    cb0 |= cbf_cb[i];
+    cr0 |= cbf_cr[i];
+  }
+  e->encode_bin(s->off_cbf_chroma + 0, cb0);
+  e->encode_bin(s->off_cbf_chroma + 0, cr0);
+  for (int i = 0; i < n_tus; i++) {
+    int trafo_depth = n_tus == 1 ? 0 : 1;
+    if (n_tus > 1) {
+      if (cb0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cb[i]);
+      if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[i]);
+    }
+    e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0), cbf_y[i]);
+    int n = 1 << tlg;
+    if (cbf_y[i])
+      encode_residual(e, lv_y[i], tlg, 0, scan_for(tlg, 0, mode));
+    if (cbf_cb[i])
+      encode_residual(e, lv_cb[i], tlg - 1, 1, scan_for(tlg - 1, 1, mode));
+    if (cbf_cr[i])
+      encode_residual(e, lv_cr[i], tlg - 1, 2, scan_for(tlg - 1, 2, mode));
+    (void)n;
+  }
+  set_cu(s, x, y, 1 << lg, depth, mode);
+}
+
+void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
+  Frame &f = s->f;
+  int size = 1 << lg;
+  bool inside = (x + size <= f.coded_w) && (y + size <= f.coded_h);
+  bool split;
+  if (inside && lg > s->log2_min_cu) {
+    // decided depth at this granule > depth means split
+    int d = s->depth_map[(y >> 3) * s->dm_w + (x >> 3)];
+    split = d > depth;
+    s->e->encode_bin(s->off_split + split_ctx(s, x, y, depth), split);
+  } else {
+    split = !inside;
+  }
+  if (split) {
+    int half = size >> 1;
+    for (int i = 0; i < 4; i++) {
+      int cx = x + (i & 1) * half, cy = y + (i >> 1) * half;
+      if (cx < f.coded_w && cy < f.coded_h)
+        encode_cq(s, cx, cy, lg - 1, depth + 1);
+    }
+    return;
+  }
+  encode_cu(s, x, y, lg, depth);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a full decided I-slice: commit + entropy. Returns payload size.
+// rec planes are int32 caller buffers; payload buffer must be large enough.
+int hevc_encode_slice(
+    const uint8_t *src_y, const uint8_t *src_cb, const uint8_t *src_cr,
+    int coded_w, int coded_h, int log2_ctu, int bit_depth, int qp_y,
+    int qp_cb, int qp_cr, int lossless, int bypass_enabled,
+    const int8_t *depth_map, const int8_t *mode_map, int dm_w,
+    const uint8_t *ctx_states, const uint8_t *ctx_mps, int n_ctx,
+    const int32_t *ctx_offsets,  // [12]: last,csbf,sig,gt1,gt2,split,bypass,
+                                 //        part,prev_intra,chroma,cbf_luma,
+                                 //        cbf_chroma
+    int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr, uint8_t *payload,
+    uint32_t *trail_val, int32_t *trail_bits) {
+  init_transforms();
+  init_scans();
+  SliceEnc s;
+  s.f.coded_w = coded_w;
+  s.f.coded_h = coded_h;
+  s.f.log2_ctu = log2_ctu;
+  s.f.bit_depth = bit_depth;
+  s.f.y.assign(coded_w * coded_h, 0);
+  s.f.cb.assign(coded_w * coded_h / 4, 0);
+  s.f.cr.assign(coded_w * coded_h / 4, 0);
+  s.f.gw = coded_w >> 2;
+  s.f.gh = coded_h >> 2;
+  s.f.gdepth.assign(s.f.gw * s.f.gh, -1);
+  s.f.gmode.assign(s.f.gw * s.f.gh, -1);
+  s.f.gcoded.assign(s.f.gw * s.f.gh, 0);
+  s.qp_y = qp_y;
+  s.qp_cb = qp_cb;
+  s.qp_cr = qp_cr;
+  s.lossless = lossless;
+  s.bypass_enabled = bypass_enabled;
+  s.src_y = src_y;
+  s.src_cb = src_cb;
+  s.src_cr = src_cr;
+  s.depth_map = depth_map;
+  s.mode_map = mode_map;
+  s.dm_w = dm_w;
+
+  Encoder enc;
+  enc.state.assign(ctx_states, ctx_states + n_ctx);
+  enc.mps.assign(ctx_mps, ctx_mps + n_ctx);
+  enc.off = {ctx_offsets[0], ctx_offsets[1], ctx_offsets[2], ctx_offsets[3],
+             ctx_offsets[4]};
+  enc.out.reserve(coded_w * coded_h / 2);
+  s.e = &enc;
+  s.off_split = ctx_offsets[5];
+  s.off_bypassflag = ctx_offsets[6];
+  s.off_part = ctx_offsets[7];
+  s.off_prev_intra = ctx_offsets[8];
+  s.off_chroma_mode = ctx_offsets[9];
+  s.off_cbf_luma = ctx_offsets[10];
+  s.off_cbf_chroma = ctx_offsets[11];
+
+  int cs = 1 << log2_ctu;
+  int n_ctu_x = (coded_w + cs - 1) / cs;
+  int n_ctu_y = (coded_h + cs - 1) / cs;
+  int n_ctus = n_ctu_x * n_ctu_y;
+  int i = 0;
+  for (int cy = 0; cy < coded_h; cy += cs)
+    for (int cx = 0; cx < coded_w; cx += cs) {
+      encode_cq(&s, cx, cy, log2_ctu, 0);
+      i++;
+      enc.encode_terminate(i == n_ctus ? 1 : 0);
+    }
+  uint32_t trail;
+  int tbits = enc.finish(&trail);
+  *trail_val = trail;
+  *trail_bits = tbits;
+  std::memcpy(payload, enc.out.data(), enc.out.size());
+  std::memcpy(rec_y, s.f.y.data(), sizeof(int32_t) * coded_w * coded_h);
+  std::memcpy(rec_cb, s.f.cb.data(), sizeof(int32_t) * coded_w * coded_h / 4);
+  std::memcpy(rec_cr, s.f.cr.data(), sizeof(int32_t) * coded_w * coded_h / 4);
+  return (int)enc.out.size();
+}
+
+}  // extern "C"

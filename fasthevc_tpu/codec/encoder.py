@@ -36,6 +36,29 @@ from ..utils.video import pad_plane, picture_md5
 from .search import decisions_to_trees, search_intra_frame
 
 
+def _native_engine():
+    """The C++ slice engine module, or None if the toolchain is missing."""
+    try:
+        from .. import cabac_cpp
+        if cabac_cpp.available():
+            return cabac_cpp
+    except Exception:
+        pass
+    return None
+
+
+def _make_cabac(writer, ctx):
+    """Prefer the C++ engine (SURVEY.md §2.5 native path); fall back to the
+    Python oracle coder if the toolchain is unavailable."""
+    try:
+        from .. import cabac_cpp
+        if cabac_cpp.available():
+            return cabac_cpp.CppCabacEncoder(writer, ctx)
+    except Exception:
+        pass
+    return CabacEncoder(writer, ctx)
+
+
 class TpuEncoder:
     """All-intra TPU-pipeline encoder."""
 
@@ -63,7 +86,42 @@ class TpuEncoder:
 
     # ------------------------------------------------------------------
 
+    def _encode_frame_native(self, native, src, dec, pw, ph):
+        """C++ slice engine path: decisions maps in, payload + recon out."""
+        sp = self.sp
+        cfg = self.cfg
+        from ..spec.ctu import tu_qps
+        from .search import decisions_to_maps
+
+        depth_map, mode_map = decisions_to_maps(
+            dec, pw, ph, sp.coded_width, sp.coded_height, sp.log2_ctu,
+            sp.log2_min_cu)
+        gw, gh = sp.coded_width >> 3, sp.coded_height >> 3
+        depth_map = np.ascontiguousarray(depth_map[:gh, :])
+        mode_map = np.ascontiguousarray(mode_map[:gh, :])
+        qp_y, qp_cb, qp_cr = tu_qps(sp, cfg.qp)
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
+        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+        payload, trail_val, trail_bits, ry, rcb, rcr = \
+            native.encode_slice_native(
+                (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
+                depth_map, mode_map, ContextSet(0, cfg.qp), cfg.lossless)
+        for b in payload:
+            w.write_bits(b, 8)
+        if trail_bits:
+            w.write_bits(trail_val, trail_bits)
+        w.byte_align()
+        planes = Planes(sp)
+        planes.y[:] = ry
+        planes.cb[:] = rcb
+        planes.cr[:] = rcr
+        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        md5s = picture_md5((planes.y, planes.cb, planes.cr))
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        return nal, planes
+
     def encode_frame(self, frame):
+        import jax
         import jax.numpy as jnp
 
         sp = self.sp
@@ -85,6 +143,13 @@ class TpuEncoder:
         dec = search_intra_frame(jnp.asarray(y_pad),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu)
+        dec = jax.device_get(dec)
+
+        # ---- 2+3. native slice engine (C++ commit + entropy) ---------
+        native = _native_engine()
+        if native is not None:
+            return self._encode_frame_native(native, src, dec, pw, ph)
+
         trees = decisions_to_trees(dec, pw, ph, sp.coded_width,
                                    sp.coded_height, sp.log2_ctu,
                                    sp.log2_min_cu)
@@ -99,10 +164,10 @@ class TpuEncoder:
                                    0, tree, maps, qp_y, qp_cb, qp_cr)
             decisions.append((x0, y0, cu))
 
-        # ---- 3. entropy (host CABAC) ---------------------------------
+        # ---- 3. entropy (host CABAC; C++ engine when available) ------
         sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
         w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
-        enc = CabacEncoder(w, ContextSet(0, cfg.qp))
+        enc = _make_cabac(w, ContextSet(0, cfg.qp))
         maps2 = FrameMaps(sp)
         for i, (x0, y0, cu) in enumerate(decisions):
             ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu)

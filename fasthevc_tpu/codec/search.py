@@ -88,6 +88,47 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
     return out
 
 
+def decisions_to_maps(dec: dict, padded_w: int, padded_h: int,
+                      coded_w: int, coded_h: int,
+                      log2_ctu: int, log2_min_cu: int):
+    """Convert search outputs to per-8x8-granule (depth_map, mode_map)
+    int8 arrays — the compact decision interface of the native C++ slice
+    engine (cabac_cpp.encode_slice_native).
+
+    Forced boundary splits (blocks overflowing the coded picture) descend
+    here as well, so forced children carry their own searched modes —
+    matching the tree path exactly."""
+    dec = {k: np.asarray(v) for k, v in dec.items()}
+    gw, gh = padded_w >> 3, padded_h >> 3
+    sizes = [1 << lg for lg in range(log2_ctu, log2_min_cu - 1, -1)]
+
+    def up(arr, n):
+        """[ph/n, pw/n] -> granule grid by replication."""
+        r = n >> 3
+        return np.kron(arr, np.ones((r, r), dtype=arr.dtype))
+
+    def forced(n):
+        """granule grid: covering n-block overflows the coded picture."""
+        bx = np.arange(padded_w // n) * n
+        by = np.arange(padded_h // n) * n
+        f = (by[:, None] + n > coded_h) | (bx[None, :] + n > coded_w)
+        return up(f, n)
+
+    top = sizes[0]
+    depth = np.zeros((gh, gw), dtype=np.int8)
+    mode = up(dec[f"mode{top}"].reshape(padded_h // top, padded_w // top),
+              top).astype(np.int8)
+    for d, n in enumerate(sizes[:-1]):
+        child = sizes[d + 1]
+        split = up(dec[f"split{n}"].reshape(padded_h // n, padded_w // n), n)
+        active = (depth == d) & (split | forced(n))
+        cmode = up(dec[f"mode{child}"].reshape(padded_h // child,
+                                               padded_w // child), child)
+        depth[active] = d + 1
+        mode[active] = cmode[active].astype(np.int8)
+    return depth, mode
+
+
 def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,
                        coded_w: int, coded_h: int,
                        log2_ctu: int, log2_min_cu: int) -> list:

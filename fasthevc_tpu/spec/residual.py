@@ -171,6 +171,9 @@ def encode_residual(coder, levels: np.ndarray, log2_size: int, c_idx: int,
 
     levels: (N, N) int array indexed [y][x], at least one nonzero.
     """
+    if hasattr(coder, "encode_residual_native"):
+        coder.encode_residual_native(levels, log2_size, c_idx, scan_idx)
+        return
     size = 1 << log2_size
     scan = get_scan(log2_size, scan_idx)
     n_coeffs = size * size

@@ -7,7 +7,7 @@ bench.py, not the unit suite. Must run before jax is first imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fasthevc_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU backend at interpreter
+# startup (before conftest); override back to CPU for the unit suite.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

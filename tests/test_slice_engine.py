@@ -1,0 +1,66 @@
+"""Native C++ slice engine must match the Python commit+entropy path
+byte-for-byte, and its streams must decode with hash OK."""
+
+import numpy as np
+import pytest
+
+import fasthevc_tpu.codec.encoder as enc_mod
+from fasthevc_tpu.codec.encoder import TpuEncoder
+from fasthevc_tpu.config import EncoderConfig
+from fasthevc_tpu.spec.decoder import SpecDecoder
+from fasthevc_tpu.utils import synthesize_yuv
+
+cpp = pytest.importorskip("fasthevc_tpu.cabac_cpp")
+if not cpp.available():
+    pytest.skip("C++ toolchain unavailable", allow_module_level=True)
+
+
+def _encode_both(cfg, frames, monkeypatch):
+    enc = TpuEncoder(cfg)
+    native_stream, native_recons = enc.encode(frames)
+    with monkeypatch.context() as m:
+        m.setattr(enc_mod, "_native_engine", lambda: None)
+        enc2 = TpuEncoder(cfg)
+        py_stream, py_recons = enc2.encode(frames)
+    return native_stream, native_recons, py_stream, py_recons
+
+
+@pytest.mark.parametrize("dims,qp", [((96, 64), 32), ((88, 72), 27),
+                                     ((64, 64), 45)])
+def test_native_matches_python_bitstream(dims, qp, monkeypatch):
+    w, h = dims
+    cfg = EncoderConfig(width=w, height=h, qp=qp, frames=2)
+    frames = synthesize_yuv(w, h, 2, seed=qp)
+    ns, nr, ps, pr = _encode_both(cfg, frames, monkeypatch)
+    assert ns == ps, "native and python streams differ"
+    for a, b in zip(nr, pr):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cb, b.cb)
+        np.testing.assert_array_equal(a.cr, b.cr)
+
+
+def test_native_ctu64(monkeypatch):
+    cfg = EncoderConfig(width=128, height=128, qp=32, frames=1, log2_ctu=6)
+    frames = synthesize_yuv(128, 128, 1, seed=5)
+    ns, nr, ps, pr = _encode_both(cfg, frames, monkeypatch)
+    assert ns == ps
+
+
+def test_native_lossless(monkeypatch):
+    cfg = EncoderConfig(width=64, height=64, qp=32, frames=1, lossless=True)
+    frames = synthesize_yuv(64, 64, 1, seed=6)
+    ns, nr, ps, pr = _encode_both(cfg, frames, monkeypatch)
+    assert ns == ps
+    np.testing.assert_array_equal(np.asarray(nr[0].y[:64, :64]),
+                                  frames[0][0].astype(np.int32))
+
+
+def test_native_stream_decodes():
+    cfg = EncoderConfig(width=96, height=64, qp=32, frames=2)
+    frames = synthesize_yuv(96, 64, 2, seed=7)
+    stream, recons = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == 2
+    for pic, rec in zip(pics, recons):
+        assert pic.hash_ok is True
+        np.testing.assert_array_equal(pic.planes.y, rec.y)
