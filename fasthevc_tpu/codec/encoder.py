@@ -67,7 +67,7 @@ class TpuEncoder:
         self.cfg = cfg
         self.sp = config_to_sp(cfg)
         self.sp.sao_enabled = False
-        self.sp.deblocking_disabled = True
+        self.sp.deblocking_disabled = (not cfg.deblocking) or cfg.lossless
         lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_sqrt = float(np.sqrt(lam))
 
@@ -97,8 +97,8 @@ class TpuEncoder:
             dec, pw, ph, sp.coded_width, sp.coded_height, sp.log2_ctu,
             sp.log2_min_cu)
         gw, gh = sp.coded_width >> 3, sp.coded_height >> 3
-        depth_map = np.ascontiguousarray(depth_map[:gh, :])
-        mode_map = np.ascontiguousarray(mode_map[:gh, :])
+        depth_map = np.ascontiguousarray(depth_map[:gh, :gw])
+        mode_map = np.ascontiguousarray(mode_map[:gh, :gw])
         qp_y, qp_cb, qp_cr = tu_qps(sp, cfg.qp)
         sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
         w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
@@ -116,6 +116,10 @@ class TpuEncoder:
         planes.cb[:] = rcb
         planes.cr[:] = rcr
         nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        if not sp.deblocking_disabled:
+            from ..spec.deblock import deblock_picture
+            deblock_picture(planes, sp, depth_map.astype(np.int32), cfg.qp,
+                            qp_cb, qp_cr)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
@@ -175,6 +179,10 @@ class TpuEncoder:
         enc.finish()
         w.byte_align()
         nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        if not sp.deblocking_disabled:
+            from ..spec.deblock import deblock_picture
+            deblock_picture(planes, sp, maps.depth[::2, ::2].astype(np.int32),
+                            cfg.qp, qp_cb, qp_cr)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes

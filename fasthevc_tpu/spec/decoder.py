@@ -95,6 +95,13 @@ class SpecDecoder:
                 end = dec.decode_terminate()
                 assert end == (1 if i == n_ctus else 0), \
                     f"end_of_slice mismatch at CTU {i}/{n_ctus}"
+        if not sp.deblocking_disabled:
+            from .deblock import deblock_picture
+            from .tables import chroma_qp
+            deblock_picture(planes, sp,
+                            maps.depth[::2, ::2].astype(np.int32),
+                            sh.slice_qp, chroma_qp(sh.slice_qp, sp.cb_qp_offset),
+                            chroma_qp(sh.slice_qp, sp.cr_qp_offset))
         poc = 0 if sh.is_idr else sh.poc_lsb
         self.pictures.append(DecodedPicture(poc=poc, planes=planes))
         self._poc = poc

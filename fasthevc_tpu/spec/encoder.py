@@ -82,10 +82,9 @@ class SpecEncoder:
         cfg.validate()
         self.cfg = cfg
         self.sp = config_to_sp(cfg)
-        # keep loop filters off in the golden path for now (SURVEY §7.1
-        # step 7 adds them); SAO flag must then be off in the SPS.
-        self.sp.sao_enabled = False
-        self.sp.deblocking_disabled = True
+        self.sp.sao_enabled = False  # SAO arrives with its own estimator
+        # lossless pictures are never filtered (transquant-bypass CUs)
+        self.sp.deblocking_disabled = (not cfg.deblocking) or cfg.lossless
         self.lambda_mode = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
 
     # -- public API --------------------------------------------------------
@@ -140,6 +139,11 @@ class SpecEncoder:
         enc.finish()
         w.byte_align()  # rbsp_slice_segment_trailing_bits
         nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        if not sp.deblocking_disabled:
+            from .deblock import deblock_picture
+            deblock_picture(self.planes, sp,
+                            self.maps.depth[::2, ::2].astype(np.int32),
+                            self.qp, self.qp_cb, self.qp_cr)
         # decoded picture hash SEI (suffix)
         md5s = picture_md5((self.planes.y, self.planes.cb, self.planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
