@@ -87,9 +87,22 @@ class SpecDecoder:
         ctu_size = 1 << sp.log2_ctu
         n_ctus = ((sp.coded_width + ctu_size - 1) // ctu_size) * (
             (sp.coded_height + ctu_size - 1) // ctu_size)
+        use_sao = sh.sao_luma or sh.sao_chroma
+        sao_grid = None
+        if use_sao:
+            from . import sao as sao_mod
+            n_x = -(-sp.coded_width // ctu_size)
+            n_yy = -(-sp.coded_height // ctu_size)
+            sao_grid = [[None] * n_x for _ in range(n_yy)]
         i = 0
         for cy in range(0, sp.coded_height, ctu_size):
             for cx in range(0, sp.coded_width, ctu_size):
+                if use_sao:
+                    ry, rx = cy // ctu_size, cx // ctu_size
+                    left = sao_grid[ry][rx - 1] if rx > 0 else None
+                    up = sao_grid[ry - 1][rx] if ry > 0 else None
+                    sao_grid[ry][rx] = sao_mod.decode_sao_ctu(
+                        dec, rx, ry, sh.sao_luma, sh.sao_chroma, left, up)
                 ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy, sh.slice_qp)
                 i += 1
                 end = dec.decode_terminate()
@@ -102,6 +115,11 @@ class SpecDecoder:
                             maps.depth[::2, ::2].astype(np.int32),
                             sh.slice_qp, chroma_qp(sh.slice_qp, sp.cb_qp_offset),
                             chroma_qp(sh.slice_qp, sp.cr_qp_offset))
+        if use_sao:
+            params_y = [[p[0] for p in row] for row in sao_grid]
+            params_cb = [[p[1] for p in row] for row in sao_grid]
+            params_cr = [[p[2] for p in row] for row in sao_grid]
+            sao_mod.apply_sao(planes, sp, params_y, params_cb, params_cr)
         poc = 0 if sh.is_idr else sh.poc_lsb
         self.pictures.append(DecodedPicture(poc=poc, planes=planes))
         self._poc = poc

@@ -82,8 +82,8 @@ class SpecEncoder:
         cfg.validate()
         self.cfg = cfg
         self.sp = config_to_sp(cfg)
-        self.sp.sao_enabled = False  # SAO arrives with its own estimator
         # lossless pictures are never filtered (transquant-bypass CUs)
+        self.sp.sao_enabled = cfg.sao and not cfg.lossless
         self.sp.deblocking_disabled = (not cfg.deblocking) or cfg.lossless
         self.lambda_mode = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
 
@@ -128,26 +128,75 @@ class SpecEncoder:
                 cu, _ = self._compress_cu(cx, cy, sp.log2_ctu, 0)
                 decisions.append((cx, cy, cu))
 
-        # serialize: slice header + CABAC payload
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp, is_idr=True)
-        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
-        enc = CabacEncoder(w, ContextSet(0, self.qp))
-        maps2 = FrameMaps(sp)
-        for i, (cx, cy, cu) in enumerate(decisions):
-            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu)
-            enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
-        enc.finish()
-        w.byte_align()  # rbsp_slice_segment_trailing_bits
-        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        # in-loop filters BEFORE entropy: SAO params are slice syntax
         if not sp.deblocking_disabled:
             from .deblock import deblock_picture
             deblock_picture(self.planes, sp,
                             self.maps.depth[::2, ::2].astype(np.int32),
                             self.qp, self.qp_cb, self.qp_cr)
+        sao_params = None
+        if sp.sao_enabled:
+            from . import sao as sao_mod
+            sao_params = self._estimate_sao(sao_mod)
+
+        # serialize: slice header + CABAC payload
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp, is_idr=True,
+                         sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled)
+        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+        enc = CabacEncoder(w, ContextSet(0, self.qp))
+        maps2 = FrameMaps(sp)
+        n_ctu_x = -(-sp.coded_width // ctu_size)
+        for i, (cx, cy, cu) in enumerate(decisions):
+            if sao_params is not None:
+                from . import sao as sao_mod
+                ry, rx = cy // ctu_size, cx // ctu_size
+                sao_mod.encode_sao_ctu(
+                    enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
+                    sao_params[2][ry][rx], rx, ry, True, True)
+            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu)
+            enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
+        enc.finish()
+        w.byte_align()  # rbsp_slice_segment_trailing_bits
+        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        if sao_params is not None:
+            from . import sao as sao_mod
+            sao_mod.apply_sao(self.planes, sp, *sao_params)
         # decoded picture hash SEI (suffix)
         md5s = picture_md5((self.planes.y, self.planes.cb, self.planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, self.planes
+
+    def _estimate_sao(self, sao_mod):
+        """Per-CTB SAO parameter estimation for all three components."""
+        sp = self.sp
+        ctb = 1 << sp.log2_ctu
+        n_y = -(-sp.coded_height // ctb)
+        n_x = -(-sp.coded_width // ctb)
+        out = ([], [], [])
+        for by in range(n_y):
+            rows = [[], [], []]
+            for bx in range(n_x):
+                half = ctb // 2
+                ys = slice(by * ctb, (by + 1) * ctb)
+                xs = slice(bx * ctb, (bx + 1) * ctb)
+                cys = slice(by * half, (by + 1) * half)
+                cxs = slice(bx * half, (bx + 1) * half)
+                p_y = sao_mod.estimate_ctb(self.src.y[ys, xs],
+                                           self.planes.y[ys, xs],
+                                           sp.bit_depth)
+                p_cb = sao_mod.estimate_ctb(self.src.cb[cys, cxs],
+                                            self.planes.cb[cys, cxs],
+                                            sp.bit_depth)
+                # Cr shares Cb's type/class (spec); offsets re-estimated
+                p_cr = sao_mod.estimate_ctb_given(
+                    self.src.cr[cys, cxs], self.planes.cr[cys, cxs],
+                    p_cb.type_idx, p_cb.eo_class, sp.bit_depth)
+                rows[0].append(p_y)
+                rows[1].append(p_cb)
+                rows[2].append(p_cr)
+            for ci in range(3):
+                out[ci].append(rows[ci])
+        return out
 
     # -- RDO ---------------------------------------------------------------
 
