@@ -43,6 +43,15 @@ class CuDecision:
     chroma_mode: int = CHROMA_DM
     bypass: bool = False          # cu_transquant_bypass
     tus: list = field(default_factory=list)  # 1 TU, or 4 for 64x64 CU
+    # inter fields (P slices; PU == CU, list 0, single active ref)
+    is_inter: bool = False
+    skip: bool = False            # cu_skip_flag (merge + no residual)
+    merge_flag: bool = False
+    merge_idx: int = 0
+    mv: tuple = (0, 0)            # final MV, quarter-pel
+    mvd: tuple = (0, 0)
+    mvp_flag: int = 0
+    ref_idx: int = 0
 
 
 class FrameMaps:
@@ -56,6 +65,24 @@ class FrameMaps:
         self.depth = np.full((gh, gw), -1, dtype=np.int8)
         self.mode = np.full((gh, gw), -1, dtype=np.int8)  # luma intra mode
         self.coded = np.zeros((gh, gw), dtype=bool)
+        self.skip = np.zeros((gh, gw), dtype=bool)  # cu_skip_flag ctx
+        from .inter import MotionField
+        self.motion = MotionField(sp.coded_width, sp.coded_height)
+
+    def neighbor_skip(self, x: int, y: int) -> int:
+        """cu_skip_flag context increment (left + above skip flags)."""
+        ctx = 0
+        if x > 0 and self.coded[y >> 2, (x - 1) >> 2] \
+                and self.skip[y >> 2, (x - 1) >> 2]:
+            ctx += 1
+        if y > 0 and self.coded[(y - 1) >> 2, x >> 2] \
+                and self.skip[(y - 1) >> 2, x >> 2]:
+            ctx += 1
+        return ctx
+
+    def set_skip(self, x: int, y: int, size: int, skip: bool) -> None:
+        g = slice(y >> 2, (y + size) >> 2), slice(x >> 2, (x + size) >> 2)
+        self.skip[g] = skip
 
     def set_cu(self, x: int, y: int, size: int, depth: int, mode: int) -> None:
         g = slice(y >> 2, (y + size) >> 2), slice(x >> 2, (x + size) >> 2)
@@ -199,11 +226,12 @@ def _split_ctx(maps: FrameMaps, x: int, y: int, depth: int) -> int:
 
 
 def encode_ctu(coder, maps: FrameMaps, sp: SequenceParams, x0: int, y0: int,
-               ctu: CuDecision) -> None:
-    _encode_cq(coder, maps, sp, x0, y0, sp.log2_ctu, 0, ctu)
+               ctu: CuDecision, slice_type: int = SLICE_I) -> None:
+    _encode_cq(coder, maps, sp, x0, y0, sp.log2_ctu, 0, ctu, slice_type)
 
 
-def _encode_cq(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
+def _encode_cq(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
+               slice_type):
     size = 1 << log2_size
     inside = (x + size <= sp.coded_width) and (y + size <= sp.coded_height)
     if inside and log2_size > sp.log2_min_cu:
@@ -220,14 +248,74 @@ def _encode_cq(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
             cy = y + (i >> 1) * half
             if cx < sp.coded_width and cy < sp.coded_height:
                 _encode_cq(coder, maps, sp, cx, cy, log2_size - 1,
-                           depth + 1, child)
+                           depth + 1, child, slice_type)
         return
-    _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu)
+    _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu, slice_type)
 
 
-def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
+def _encode_merge_idx(coder, idx: int) -> None:
+    """TR cMax=4: first bin context-coded, rest bypass unary."""
+    coder.encode_bin("merge_idx", 0, 1 if idx > 0 else 0)
+    if idx > 0:
+        for k in range(1, idx):
+            coder.encode_bypass(1)
+        if idx < 4:
+            coder.encode_bypass(0)
+
+
+def _decode_merge_idx(dec) -> int:
+    if not dec.decode_bin("merge_idx", 0):
+        return 0
+    idx = 1
+    while idx < 4 and dec.decode_bypass():
+        idx += 1
+    return idx
+
+
+def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
+               slice_type=SLICE_I):
+    from . import inter as inter_mod
+
+    size = 1 << log2_size
+    if slice_type != SLICE_I:
+        coder.encode_bin("cu_skip_flag", maps.neighbor_skip(x, y),
+                         int(cu.skip))
+        if cu.skip:
+            _encode_merge_idx(coder, cu.merge_idx)
+            maps.set_cu(x, y, size, depth, -1)
+            maps.set_skip(x, y, size, True)
+            maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, False)
+            return
     if sp.transquant_bypass_enabled:
         coder.encode_bin("cu_transquant_bypass_flag", 0, int(cu.bypass))
+    if slice_type != SLICE_I:
+        coder.encode_bin("pred_mode_flag", 0, 0 if cu.is_inter else 1)
+    if cu.is_inter:
+        coder.encode_bin("part_mode", 0, 1)  # PART_2Nx2N
+        coder.encode_bin("merge_flag", 0, int(cu.merge_flag))
+        if cu.merge_flag:
+            _encode_merge_idx(coder, cu.merge_idx)
+        else:
+            # P slice: no inter_pred_idc; single ref: no ref_idx
+            inter_mod.encode_mvd(coder, cu.mvd[0], cu.mvd[1])
+            coder.encode_bin("mvp_flag", 0, cu.mvp_flag)
+        cbf_any = any(tu.levels_y is not None or tu.levels_cb is not None
+                      or tu.levels_cr is not None for tu in cu.tus)
+        if not cu.merge_flag:
+            coder.encode_bin("rqt_root_cbf", 0, int(cbf_any))
+        if cbf_any or cu.merge_flag:
+            _encode_transform_tree(coder, sp, x, y, log2_size, cu)
+        maps.set_cu(x, y, size, depth, -1)
+        maps.set_skip(x, y, size, False)
+        cbf_y = any(tu.levels_y is not None for tu in cu.tus)
+        maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, cbf_y)
+        return
+    _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth, cu,
+                          slice_type)
+
+
+def _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth,
+                          cu: CuDecision, slice_type=SLICE_I):
     if log2_size == sp.log2_min_cu:
         coder.encode_bin("part_mode", 0, 1)  # PART_2Nx2N
     # luma mode with MPM
@@ -254,7 +342,11 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision):
         coder.encode_bin("intra_chroma_pred_mode", 0, 1)
         coder.encode_bypass_bits(cu.chroma_mode, 2)
     _encode_transform_tree(coder, sp, x, y, log2_size, cu)
-    maps.set_cu(x, y, 1 << log2_size, depth, cu.luma_mode)
+    size = 1 << log2_size
+    maps.set_cu(x, y, size, depth, cu.luma_mode)
+    maps.set_skip(x, y, size, False)
+    maps.motion.set_intra_cu(x, y, size,
+                             any(tu.levels_y is not None for tu in cu.tus))
 
 
 def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
@@ -282,17 +374,28 @@ def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
 def _encode_transform_unit(coder, sp, x, y, log2_size, cu: CuDecision,
                            tu: TuData, trafo_depth: int):
     cbf_y = tu.levels_y is not None
-    coder.encode_bin("cbf_luma", 1 if trafo_depth == 0 else 0, int(cbf_y))
+    # cbf_luma presence (spec 7.3.8.8): inferred 1 for inter depth-0 TUs
+    # with no chroma cbf
+    present = ((not cu.is_inter) or trafo_depth != 0
+               or tu.levels_cb is not None or tu.levels_cr is not None)
+    if present:
+        coder.encode_bin("cbf_luma", 1 if trafo_depth == 0 else 0, int(cbf_y))
+    else:
+        assert cbf_y, "inter TU with no coded cbf must have luma residual"
+    # inter blocks scan diagonally; MDCS applies to intra only
     cmode = chroma_mode_from_cu(cu)
+    luma_scan = (residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
+                 if not cu.is_inter else 0)
+    chroma_scan = (residual.intra_scan_idx(log2_size - 1, 1, cmode)
+                   if not cu.is_inter else 0)
     if cbf_y:
-        scan = residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
-        residual.encode_residual(coder, tu.levels_y, log2_size, 0, scan)
+        residual.encode_residual(coder, tu.levels_y, log2_size, 0, luma_scan)
     if tu.levels_cb is not None:
-        scan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
-        residual.encode_residual(coder, tu.levels_cb, log2_size - 1, 1, scan)
+        residual.encode_residual(coder, tu.levels_cb, log2_size - 1, 1,
+                                 chroma_scan)
     if tu.levels_cr is not None:
-        scan = residual.intra_scan_idx(log2_size - 1, 2, cmode)
-        residual.encode_residual(coder, tu.levels_cr, log2_size - 1, 2, scan)
+        residual.encode_residual(coder, tu.levels_cr, log2_size - 1, 2,
+                                 chroma_scan)
 
 
 # ---------------------------------------------------------------------------
@@ -300,11 +403,14 @@ def _encode_transform_unit(coder, sp, x, y, log2_size, cu: CuDecision,
 # ---------------------------------------------------------------------------
 
 def decode_ctu(dec, maps: FrameMaps, sp: SequenceParams, planes: Planes,
-               x0: int, y0: int, slice_qp: int) -> CuDecision:
-    return _decode_cq(dec, maps, sp, planes, x0, y0, sp.log2_ctu, 0, slice_qp)
+               x0: int, y0: int, slice_qp: int, slice_type: int = SLICE_I,
+               refs=None) -> CuDecision:
+    return _decode_cq(dec, maps, sp, planes, x0, y0, sp.log2_ctu, 0,
+                      slice_qp, slice_type, refs)
 
 
-def _decode_cq(dec, maps, sp, planes, x, y, log2_size, depth, slice_qp):
+def _decode_cq(dec, maps, sp, planes, x, y, log2_size, depth, slice_qp,
+               slice_type=SLICE_I, refs=None):
     size = 1 << log2_size
     inside = (x + size <= sp.coded_width) and (y + size <= sp.coded_height)
     if inside and log2_size > sp.log2_min_cu:
@@ -322,17 +428,67 @@ def _decode_cq(dec, maps, sp, planes, x, y, log2_size, depth, slice_qp):
             if cx < sp.coded_width and cy < sp.coded_height:
                 cu.children.append(_decode_cq(dec, maps, sp, planes, cx, cy,
                                               log2_size - 1, depth + 1,
-                                              slice_qp))
+                                              slice_qp, slice_type, refs))
             else:
                 cu.children.append(None)
         return cu
-    _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp)
+    _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
+               slice_type, refs)
     return cu
 
 
-def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp):
+def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
+               slice_type=SLICE_I, refs=None):
+    from . import inter as inter_mod
+
+    size = 1 << log2_size
+    if slice_type != SLICE_I:
+        cu.skip = bool(dec.decode_bin("cu_skip_flag",
+                                      maps.neighbor_skip(x, y)))
+        if cu.skip:
+            cu.is_inter = True
+            cu.merge_flag = True
+            cu.merge_idx = _decode_merge_idx(dec)
+            cands = inter_mod.merge_candidates(maps, maps.motion, x, y, size)
+            mvx, mvy, ref_idx = cands[cu.merge_idx]
+            cu.mv, cu.ref_idx = (mvx, mvy), ref_idx
+            _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
+                                  slice_qp)
+            maps.set_cu(x, y, size, depth, -1)
+            maps.set_skip(x, y, size, True)
+            maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, False)
+            return
     if sp.transquant_bypass_enabled:
         cu.bypass = bool(dec.decode_bin("cu_transquant_bypass_flag", 0))
+    if slice_type != SLICE_I:
+        cu.is_inter = dec.decode_bin("pred_mode_flag", 0) == 0
+    if cu.is_inter:
+        part = dec.decode_bin("part_mode", 0)
+        assert part == 1, "only 2Nx2N PUs emitted"
+        cu.merge_flag = bool(dec.decode_bin("merge_flag", 0))
+        if cu.merge_flag:
+            cu.merge_idx = _decode_merge_idx(dec)
+            cands = inter_mod.merge_candidates(maps, maps.motion, x, y, size)
+            mvx, mvy, ref_idx = cands[cu.merge_idx]
+            cu.mv, cu.ref_idx = (mvx, mvy), ref_idx
+            cbf_any = True  # rqt_root_cbf inferred 1
+        else:
+            cu.mvd = inter_mod.decode_mvd(dec)
+            cu.mvp_flag = dec.decode_bin("mvp_flag", 0)
+            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, size)
+            pred = amvp[cu.mvp_flag]
+            cu.mv = (pred[0] + cu.mvd[0], pred[1] + cu.mvd[1])
+            cu.ref_idx = 0
+            cbf_any = bool(dec.decode_bin("rqt_root_cbf", 0))
+        if cbf_any:
+            _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu)
+        _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
+                              slice_qp)
+        maps.set_cu(x, y, size, depth, -1)
+        maps.set_skip(x, y, size, False)
+        cbf_y = any(tu.levels_y is not None for tu in cu.tus)
+        maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, cbf_y)
+        return
     if log2_size == sp.log2_min_cu:
         part = dec.decode_bin("part_mode", 0)
         assert part == 1, "NxN partitions not emitted by this encoder"
@@ -354,7 +510,96 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp):
     else:
         cu.chroma_mode = CHROMA_DM
     _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp)
-    maps.set_cu(x, y, 1 << log2_size, depth, cu.luma_mode)
+    maps.set_cu(x, y, size, depth, cu.luma_mode)
+    maps.set_skip(x, y, size, False)
+    maps.motion.set_intra_cu(x, y, size,
+                             any(tu.levels_y is not None for tu in cu.tus))
+
+
+def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
+    """Parse the inter transform tree (cbfs + residuals) into cu.tus,
+    mirroring _encode_transform_tree (no reconstruction here)."""
+    forced_split = log2_size > sp.log2_max_tu
+    cbf_cb0 = bool(dec.decode_bin("cbf_chroma", 0))
+    cbf_cr0 = bool(dec.decode_bin("cbf_chroma", 0))
+    n_tus = 4 if forced_split else 1
+    for i in range(n_tus):
+        tlg = log2_size - 1 if forced_split else log2_size
+        trafo_depth = 1 if forced_split else 0
+        cb = bool(dec.decode_bin("cbf_chroma", 1)) if (forced_split
+                                                       and cbf_cb0) else \
+            (cbf_cb0 if not forced_split else False)
+        cr = bool(dec.decode_bin("cbf_chroma", 1)) if (forced_split
+                                                       and cbf_cr0) else \
+            (cbf_cr0 if not forced_split else False)
+        present = trafo_depth != 0 or cb or cr
+        if present:
+            cbf_y = bool(dec.decode_bin("cbf_luma",
+                                        1 if trafo_depth == 0 else 0))
+        else:
+            cbf_y = True  # inferred
+        tu = TuData()
+        if cbf_y:
+            tu.levels_y = residual.decode_residual(dec, tlg, 0, 0)
+        if cb:
+            tu.levels_cb = residual.decode_residual(dec, tlg - 1, 1, 0)
+        if cr:
+            tu.levels_cr = residual.decode_residual(dec, tlg - 1, 2, 0)
+        cu.tus.append(tu)
+
+
+def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
+                          slice_qp) -> None:
+    """MC prediction + residual reconstruction for an inter CU."""
+    from .mc import mc_cu
+
+    size = 1 << log2_size
+    qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
+    ref = refs[cu.ref_idx]
+    pred_y, pred_cb, pred_cr = mc_cu(ref, x, y, size, cu.mv, sp.bit_depth)
+    max_val = (1 << sp.bit_depth) - 1
+
+    def add_residual(pred, levels, qp, bypass):
+        if levels is None:
+            return pred
+        if bypass:
+            return pred + levels
+        deq = transform.dequantize(levels, qp, sp.bit_depth)
+        return pred + transform.inverse_transform(deq, sp.bit_depth, False)
+
+    n_tus = len(cu.tus) if cu.tus else 0
+    if n_tus == 0:
+        cu.tus = []  # skip CU: pure prediction
+        recon_y, recon_cb, recon_cr = pred_y, pred_cb, pred_cr
+    elif n_tus == 1:
+        tu = cu.tus[0]
+        recon_y = add_residual(pred_y, tu.levels_y, qp_y, cu.bypass)
+        recon_cb = add_residual(pred_cb, tu.levels_cb, qp_cb, cu.bypass)
+        recon_cr = add_residual(pred_cr, tu.levels_cr, qp_cr, cu.bypass)
+    else:  # forced 64->4x32 split
+        recon_y = pred_y.copy()
+        recon_cb = pred_cb.copy()
+        recon_cr = pred_cr.copy()
+        half = size >> 1
+        ch = half >> 1
+        for i, tu in enumerate(cu.tus):
+            oy, ox = (i >> 1) * half, (i & 1) * half
+            recon_y[oy:oy + half, ox:ox + half] = add_residual(
+                pred_y[oy:oy + half, ox:ox + half], tu.levels_y, qp_y,
+                cu.bypass)
+            coy, cox = (i >> 1) * ch, (i & 1) * ch
+            recon_cb[coy:coy + ch, cox:cox + ch] = add_residual(
+                pred_cb[coy:coy + ch, cox:cox + ch], tu.levels_cb, qp_cb,
+                cu.bypass)
+            recon_cr[coy:coy + ch, cox:cox + ch] = add_residual(
+                pred_cr[coy:coy + ch, cox:cox + ch], tu.levels_cr, qp_cr,
+                cu.bypass)
+    planes.y[y:y + size, x:x + size] = np.clip(recon_y, 0, max_val)
+    cs = size >> 1
+    planes.cb[y >> 1:(y >> 1) + cs, x >> 1:(x >> 1) + cs] = np.clip(
+        recon_cb, 0, max_val)
+    planes.cr[y >> 1:(y >> 1) + cs, x >> 1:(x >> 1) + cs] = np.clip(
+        recon_cr, 0, max_val)
 
 
 def _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp):

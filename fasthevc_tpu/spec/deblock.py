@@ -62,13 +62,20 @@ def _clip(v, lo, hi):
 
 def _filter_luma_edges(plane: np.ndarray, seg_y: np.ndarray,
                        seg_x: np.ndarray, qp: int, max_val: int,
+                       bs: np.ndarray | None = None,
                        beta_offset: int = 0, tc_offset: int = 0) -> None:
     """Filter vertical luma edges at (seg_y, seg_x): 4-row segments whose
-    p/q samples are plane[seg_y+i, seg_x-4 .. seg_x+3]. In-place."""
+    p/q samples are plane[seg_y+i, seg_x-4 .. seg_x+3]. In-place.
+
+    bs: per-segment boundary strength (1 or 2); defaults to 2 (intra)."""
     if len(seg_x) == 0:
         return
     beta = int(BETA_TABLE[np.clip(qp + beta_offset, 0, 51)])
-    tc = int(TC_TABLE[np.clip(qp + 2 + tc_offset, 0, 53)])  # bs=2
+    if bs is None:
+        bs = np.full(len(seg_x), 2, dtype=np.int64)
+    tc_s = TC_TABLE[np.clip(qp + 2 * (np.asarray(bs) - 1) + tc_offset,
+                            0, 53)].astype(np.int64)         # [S]
+    tc = tc_s[:, None]                                       # [S, 1]
     if beta == 0:
         return
     rows = seg_y[:, None] + np.arange(4)[None, :]       # [S, 4]
@@ -89,7 +96,7 @@ def _filter_luma_edges(plane: np.ndarray, seg_y: np.ndarray,
         return ((2 * (dp[:, i] + dq[:, i]) < (beta >> 2))
                 & (np.abs(p3[:, i] - p0[:, i])
                    + np.abs(q0[:, i] - q3[:, i]) < (beta >> 3))
-                & (np.abs(p0[:, i] - q0[:, i]) < ((5 * tc + 1) >> 1)))
+                & (np.abs(p0[:, i] - q0[:, i]) < ((5 * tc_s + 1) >> 1)))
 
     strong = do_filter & strong_line(0) & strong_line(3)   # [S]
     weak = do_filter & ~strong
@@ -155,31 +162,65 @@ def _filter_chroma_edges(plane: np.ndarray, seg_y: np.ndarray,
     plane[rows[:, :, None], cols[:, None, :]] = blk.astype(plane.dtype)
 
 
+def _segment_bs(maps, vert: bool, y4: np.ndarray, g8: np.ndarray):
+    """Boundary strength per 4-sample segment (spec 8.7.2.4).
+
+    vert: direction; y4: along-edge 4x4 granule index; g8: across-edge
+    8-grid index (edge at luma coord g8*8). Uses the FrameMaps 4x4 state:
+    intra (ref_idx < 0), luma cbf, MV, ref. All flagged edges are TU edges.
+    """
+    mf = maps.motion
+    if vert:
+        py, px = y4, g8 * 2 - 1
+        qy, qx = y4, g8 * 2
+    else:
+        py, px = g8 * 2 - 1, y4
+        qy, qx = g8 * 2, y4
+    intra_p = mf.ref_idx[py, px] < 0
+    intra_q = mf.ref_idx[qy, qx] < 0
+    cbf = mf.cbf_y[py, px] | mf.cbf_y[qy, qx]
+    dref = mf.ref_idx[py, px] != mf.ref_idx[qy, qx]
+    dmv = (np.abs(mf.mv[py, px] - mf.mv[qy, qx]) >= 4).any(axis=-1)
+    bs = np.where(intra_p | intra_q, 2,
+                  np.where(cbf | dref | dmv, 1, 0))
+    return bs
+
+
 def deblock_picture(planes, sp, depth_map: np.ndarray, slice_qp: int,
-                    qp_cb: int, qp_cr: int) -> None:
-    """Deblock the reconstructed picture in place (all-intra: BS=2).
+                    qp_cb: int, qp_cr: int, maps=None) -> None:
+    """Deblock the reconstructed picture in place.
 
     planes: object with .y/.cb/.cr int arrays in coded dims.
     depth_map: [coded_h/8, coded_w/8] int CU depths.
+    maps: FrameMaps with motion state for inter BS derivation; None =>
+    all-intra picture (BS=2 everywhere).
     """
     max_val = (1 << sp.bit_depth) - 1
     vert, horz = edge_flags(depth_map, sp.log2_ctu, sp.log2_max_tu)
     gh, gw = vert.shape
 
-    def _two_segments(a, b):
-        """Each 8-sample granule edge piece = two 4-line decision segments."""
-        return (np.concatenate([a * 8, a * 8 + 4]),
-                np.concatenate([b * 8, b * 8]))
+    def _segments(edge8, vert_dir):
+        """4-line segments: (along4, across8) index arrays + BS."""
+        e4 = np.repeat(edge8, 2, axis=0) if vert_dir else \
+            np.repeat(edge8, 2, axis=1)
+        if vert_dir:
+            a4, g8 = np.nonzero(e4)      # a4: 4-row index, g8: edge col
+        else:
+            g8, a4 = np.nonzero(e4)
+        if maps is None:
+            bs = np.full(len(a4), 2, dtype=np.int64)
+        else:
+            bs = _segment_bs(maps, vert_dir, a4, g8)
+        keep = bs > 0
+        return a4[keep], g8[keep], bs[keep]
 
     # ---- luma vertical ----
-    vy, vx = np.nonzero(vert)
-    sy, sx = _two_segments(vy, vx)
-    _filter_luma_edges(planes.y, sy, sx, slice_qp, max_val)
+    a4, g8, bsv = _segments(vert, True)
+    _filter_luma_edges(planes.y, a4 * 4, g8 * 8, slice_qp, max_val, bsv)
     # ---- luma horizontal: transpose trick ----
-    hy, hx = np.nonzero(horz)
-    sy, sx = _two_segments(hx, hy)
+    a4, g8, bsh = _segments(horz, False)
     yt = planes.y.T.copy()
-    _filter_luma_edges(yt, sy, sx, slice_qp, max_val)
+    _filter_luma_edges(yt, a4 * 4, g8 * 8, slice_qp, max_val, bsh)
     planes.y[:] = yt.T
 
     # ---- chroma: edges on the 16-luma grid (8-chroma), BS=2 only ----
@@ -187,8 +228,16 @@ def deblock_picture(planes, sp, depth_map: np.ndarray, slice_qp: int,
     chorz = horz & ((np.arange(gh) % 2 == 0)[:, None])
     for plane, qpc in ((planes.cb, qp_cb), (planes.cr, qp_cr)):
         vy, vx = np.nonzero(cvert)
+        if maps is not None and len(vy):
+            bs2 = _segment_bs(maps, True, vy * 2, vx)  # first luma unit
+            m = bs2 == 2
+            vy, vx = vy[m], vx[m]
         _filter_chroma_edges(plane, vy * 4, vx * 4, qpc, max_val)
         hy, hx = np.nonzero(chorz)
+        if maps is not None and len(hy):
+            bs2 = _segment_bs(maps, False, hx * 2, hy)
+            m = bs2 == 2
+            hy, hx = hy[m], hx[m]
         pt = plane.T.copy()
         _filter_chroma_edges(pt, hx * 4, hy * 4, qpc, max_val)
         plane[:] = pt.T

@@ -73,7 +73,15 @@ class SpecDecoder:
         sp = self.sp
         r = bs.BitReader(rbsp)
         sh = parse_slice_header(r, sp, nal_type)
-        assert sh.slice_type == SLICE_I, "only I slices implemented"
+        assert sh.slice_type in (SLICE_I, 1), "B slices not implemented yet"
+
+        poc = 0 if sh.is_idr else sh.poc_lsb
+        refs = []
+        if sh.slice_type != SLICE_I:
+            by_poc = {p.poc: p for p in self.pictures}
+            for delta in sh.ref_pocs_before:
+                assert poc - delta in by_poc, f"missing ref POC {poc-delta}"
+                refs.append(by_poc[poc - delta].planes)
 
         planes = Planes(sp)
         maps = FrameMaps(sp)
@@ -103,7 +111,8 @@ class SpecDecoder:
                     up = sao_grid[ry - 1][rx] if ry > 0 else None
                     sao_grid[ry][rx] = sao_mod.decode_sao_ctu(
                         dec, rx, ry, sh.sao_luma, sh.sao_chroma, left, up)
-                ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy, sh.slice_qp)
+                ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy,
+                                   sh.slice_qp, sh.slice_type, refs)
                 i += 1
                 end = dec.decode_terminate()
                 assert end == (1 if i == n_ctus else 0), \
@@ -114,7 +123,8 @@ class SpecDecoder:
             deblock_picture(planes, sp,
                             maps.depth[::2, ::2].astype(np.int32),
                             sh.slice_qp, chroma_qp(sh.slice_qp, sp.cb_qp_offset),
-                            chroma_qp(sh.slice_qp, sp.cr_qp_offset))
+                            chroma_qp(sh.slice_qp, sp.cr_qp_offset),
+                            maps=None if sh.slice_type == SLICE_I else maps)
         if use_sao:
             params_y = [[p[0] for p in row] for row in sao_grid]
             params_cb = [[p[1] for p in row] for row in sao_grid]

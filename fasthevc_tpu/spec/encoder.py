@@ -90,20 +90,39 @@ class SpecEncoder:
     # -- public API --------------------------------------------------------
 
     def encode(self, frames) -> tuple[bytes, list]:
-        """Encode (y, cb, cr) uint8 frames -> (annexb bytes, recon frames)."""
+        """Encode (y, cb, cr) uint8 frames -> (annexb bytes, recon frames).
+
+        GOP structure: frame 0 (and every intra_period-th frame) is an IDR
+        I picture; other frames are low-delay P referencing the previous
+        reconstructed picture (HM LDP shape with one active ref).
+        """
         sp = self.sp
         out = bytearray()
         out += bs.write_nal(bs.NAL_VPS, write_vps(sp))
         out += bs.write_nal(bs.NAL_SPS, write_sps(sp))
         out += bs.write_nal(bs.NAL_PPS, write_pps(sp))
         recons = []
+        self.dpb: list[tuple[int, Planes]] = []
+        all_intra = self.cfg.intra_period == 1 or not self.cfg.gop
+        ip = self.cfg.intra_period
         for poc, frame in enumerate(frames):
-            nal_bytes, planes = self.encode_frame(frame)
+            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra
+            slice_type = SLICE_I if is_idr else 1  # SLICE_P
+            refs = [] if is_idr else [self.dpb[-1][1]]
+            nal_bytes, planes = self.encode_frame(frame, poc=poc,
+                                                  slice_type=slice_type,
+                                                  refs=refs)
             out += nal_bytes
             recons.append(planes)
+            self.dpb.append((poc, planes))
+            if len(self.dpb) > 4:
+                self.dpb.pop(0)
+            if is_idr and not all_intra:
+                self.dpb = [(poc, planes)]
         return bytes(out), recons
 
-    def encode_frame(self, frame) -> tuple[bytes, Planes]:
+    def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
+                     refs=()) -> tuple[bytes, Planes]:
         sp = self.sp
         y, cb, cr = frame
         src = Planes(sp)
@@ -119,7 +138,10 @@ class SpecEncoder:
         self.maps = FrameMaps(sp)
         self.qp = self.cfg.qp
         self.qp_y, self.qp_cb, self.qp_cr = ctu_mod.tu_qps(sp, self.qp)
-        self.est = CabacEstimator(ContextSet(0, self.qp))
+        init_type = 0 if slice_type == SLICE_I else 1
+        self.est = CabacEstimator(ContextSet(init_type, self.qp))
+        self.slice_type = slice_type
+        self.refs = list(refs)
 
         ctu_size = 1 << sp.log2_ctu
         decisions = []
@@ -133,19 +155,25 @@ class SpecEncoder:
             from .deblock import deblock_picture
             deblock_picture(self.planes, sp,
                             self.maps.depth[::2, ::2].astype(np.int32),
-                            self.qp, self.qp_cb, self.qp_cr)
+                            self.qp, self.qp_cb, self.qp_cr,
+                            maps=None if slice_type == SLICE_I else
+                            self.maps)
         sao_params = None
         if sp.sao_enabled:
             from . import sao as sao_mod
             sao_params = self._estimate_sao(sao_mod)
 
         # serialize: slice header + CABAC payload
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp, is_idr=True,
+        is_idr = slice_type == SLICE_I
+        nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
+        sh = SliceHeader(slice_type=slice_type, slice_qp=self.qp,
+                         is_idr=is_idr,
+                         poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
+                         ref_pocs_before=() if is_idr else (1,),
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled)
-        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
-        enc = CabacEncoder(w, ContextSet(0, self.qp))
+        w = write_slice_header(sh, sp, nal_type)
+        enc = CabacEncoder(w, ContextSet(init_type, self.qp))
         maps2 = FrameMaps(sp)
-        n_ctu_x = -(-sp.coded_width // ctu_size)
         for i, (cx, cy, cu) in enumerate(decisions):
             if sao_params is not None:
                 from . import sao as sao_mod
@@ -153,11 +181,11 @@ class SpecEncoder:
                 sao_mod.encode_sao_ctu(
                     enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
                     sao_params[2][ry][rx], rx, ry, True, True)
-            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu)
+            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu, slice_type)
             enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
         enc.finish()
         w.byte_align()  # rbsp_slice_segment_trailing_bits
-        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        nal = bs.write_nal(nal_type, w.get_bytes())
         if sao_params is not None:
             from . import sao as sao_mod
             sao_mod.apply_sao(self.planes, sp, *sao_params)
@@ -200,29 +228,33 @@ class SpecEncoder:
 
     # -- RDO ---------------------------------------------------------------
 
+    def _granule_arrays(self):
+        m = self.maps
+        return (m.depth, m.mode, m.coded, m.skip, m.motion.inter,
+                m.motion.mv, m.motion.ref_idx, m.motion.cbf_y)
+
     def _save_state(self, x, y, size):
         cs = size >> 1
         cx, cy = x >> 1, y >> 1
+        g = slice(y >> 2, (y + size) >> 2), slice(x >> 2, (x + size) >> 2)
         return (
             self.planes.y[y:y + size, x:x + size].copy(),
             self.planes.cb[cy:cy + cs, cx:cx + cs].copy(),
             self.planes.cr[cy:cy + cs, cx:cx + cs].copy(),
-            self.maps.depth[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
-            self.maps.mode[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
-            self.maps.coded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2].copy(),
+            tuple(a[g].copy() for a in self._granule_arrays()),
             self.est.ctx.copy(),
         )
 
     def _restore_state(self, x, y, size, st):
         cs = size >> 1
         cx, cy = x >> 1, y >> 1
+        g = slice(y >> 2, (y + size) >> 2), slice(x >> 2, (x + size) >> 2)
         (self.planes.y[y:y + size, x:x + size],
          self.planes.cb[cy:cy + cs, cx:cx + cs],
          self.planes.cr[cy:cy + cs, cx:cx + cs]) = st[0], st[1], st[2]
-        self.maps.depth[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[3]
-        self.maps.mode[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[4]
-        self.maps.coded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = st[5]
-        self.est.ctx = st[6]
+        for a, saved in zip(self._granule_arrays(), st[3]):
+            a[g] = saved
+        self.est.ctx = st[4]
 
     def _compress_cu(self, x, y, log2_size, depth):
         """Returns (CuDecision, rd_cost). Commits recon/maps/est of the
@@ -253,7 +285,7 @@ class SpecEncoder:
         nosplit_cu, nosplit_cost = self._try_cu_modes(x, y, log2_size, depth)
         if can_split:
             nosplit_cost += self.lambda_mode * self._split_flag_bits(
-                x, y, depth, 0, pre[6])
+                x, y, depth, 0, pre[4])
         if not can_split or (self.cfg.fast_partition and False):
             return nosplit_cu, nosplit_cost
 
@@ -261,7 +293,7 @@ class SpecEncoder:
         self._restore_state(x, y, size, pre)
 
         split_cost = self.lambda_mode * self._split_flag_bits(
-            x, y, depth, 1, pre[6])
+            x, y, depth, 1, pre[4])
         cu = CuDecision(split=True, children=[])
         half = size >> 1
         for i in range(4):
@@ -324,24 +356,189 @@ class SpecEncoder:
                 best = (cost, cu)
             # restore recon after each trial (the trial wrote planes)
         cost, cu = best
+
+        # ---- inter candidates (P slices) ----------------------------------
+        if self.slice_type != SLICE_I and self.refs:
+            icost, icu = self._try_inter(x, y, log2_size)
+            if icu is not None and icost < cost:
+                cost, cu = icost, icu
+                ctu_mod._reconstruct_inter_cu(self.planes, sp, x, y,
+                                              log2_size, cu, self.refs,
+                                              self.qp)
+                self.maps.set_cu(x, y, n, depth, -1)
+                self.maps.set_skip(x, y, n, cu.skip)
+                cbf_y = any(tu.levels_y is not None for tu in cu.tus)
+                self.maps.motion.set_cu(x, y, n, cu.mv, cu.ref_idx, cbf_y)
+                self._est_cu_syntax(self.est, x, y, log2_size, cu)
+                return cu, cost
+
         # rebuild the winner (recon currently holds last trial)
         dist, tus = self._build_tus(x, y, log2_size, cu)
         cu.tus = tus
         self.maps.set_cu(x, y, n, depth, cu.luma_mode)
+        self.maps.set_skip(x, y, n, False)
+        self.maps.motion.set_intra_cu(
+            x, y, n, any(tu.levels_y is not None for tu in cu.tus))
         self._est_cu_syntax(self.est, x, y, log2_size, cu)
         return cu, cost
 
+    # ---- inter search ----------------------------------------------------
+
+    def _try_inter(self, x, y, log2_size):
+        """Evaluate merge candidates + one ME result; returns
+        (cost, CuDecision|None). Does not commit."""
+        from . import inter as inter_mod
+        from .mc import mc_cu, mc_luma
+
+        sp = self.sp
+        n = 1 << log2_size
+        src_y = self.src.y[y:y + n, x:x + n]
+        merge_cands = inter_mod.merge_candidates(self.maps, self.maps.motion,
+                                                 x, y, n)
+        amvp = inter_mod.amvp_candidates(self.maps, self.maps.motion, x, y, n)
+        ref = self.refs[0]
+
+        # --- integer ME around the first AMVP predictor (SAD) ----------
+        base_x, base_y = amvp[0][0] >> 2, amvp[0][1] >> 2
+
+        def int_sad(ix, iy):
+            px = np.clip(np.arange(x + ix, x + ix + n), 0, sp.coded_width - 1)
+            py = np.clip(np.arange(y + iy, y + iy + n), 0,
+                         sp.coded_height - 1)
+            return int(np.abs(src_y - ref.y[np.ix_(py, px)]).sum())
+
+        r = min(self.cfg.search_range, 12)
+        best_sad, best_int = None, (base_x, base_y)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                sad = int_sad(base_x + dx, base_y + dy)
+                if best_sad is None or sad < best_sad:
+                    best_sad, best_int = sad, (base_x + dx, base_y + dy)
+        # sub-pel refinement: half then quarter, 3x3 each
+        best_mv = (best_int[0] << 2, best_int[1] << 2)
+        for step in (2, 1):
+            center = best_mv
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    mv = (center[0] + dx, center[1] + dy)
+                    if mv == center:
+                        continue
+                    pred = mc_luma(ref.y, x, y, n, n, mv[0], mv[1],
+                                   sp.bit_depth)
+                    sad = int(np.abs(src_y - pred).sum())
+                    if sad < best_sad:
+                        best_sad, best_mv = sad, mv
+
+        # --- candidate list: merge cands + ME mv -----------------------
+        tried = set()
+        best = (None, None)
+        for kind, payload in ([("merge", i) for i in range(5)]
+                              + [("me", best_mv)]):
+            if kind == "merge":
+                mvx, mvy, ridx = merge_cands[payload]
+                if (mvx, mvy, "m") in tried:
+                    continue
+                tried.add((mvx, mvy, "m"))
+                cu = CuDecision(split=False, is_inter=True, merge_flag=True,
+                                merge_idx=payload, mv=(mvx, mvy),
+                                ref_idx=ridx, bypass=self.cfg.lossless)
+            else:
+                mvx, mvy = payload
+                # mvp selection: cheaper mvd
+                bits0 = abs(mvx - amvp[0][0]) + abs(mvy - amvp[0][1])
+                bits1 = abs(mvx - amvp[1][0]) + abs(mvy - amvp[1][1])
+                mvp = 0 if bits0 <= bits1 else 1
+                cu = CuDecision(
+                    split=False, is_inter=True, merge_flag=False,
+                    mv=(mvx, mvy), ref_idx=0, mvp_flag=mvp,
+                    mvd=(mvx - amvp[mvp][0], mvy - amvp[mvp][1]),
+                    bypass=self.cfg.lossless)
+            dist, tus = self._build_inter_tus(x, y, log2_size, cu)
+            cu.tus = tus
+            cbf_any = any(t.levels_y is not None or t.levels_cb is not None
+                          or t.levels_cr is not None for t in tus)
+            if cu.merge_flag and not cbf_any:
+                cu.skip = True
+                cu.tus = []
+            est = CabacEstimator(self.est.ctx.copy())
+            self._est_cu_syntax(est, x, y, log2_size, cu)
+            cost = dist + self.lambda_mode * est.bits
+            if best[0] is None or cost < best[0]:
+                best = (cost, cu)
+        return best
+
+    def _build_inter_tus(self, x, y, log2_size, cu):
+        """Residual TQ for an inter CU (MC prediction); returns
+        (distortion, [TuData...]). Does NOT write recon."""
+        from .mc import mc_cu
+
+        sp = self.sp
+        n = 1 << log2_size
+        pred_y, pred_cb, pred_cr = mc_cu(self.refs[cu.ref_idx], x, y, n,
+                                         cu.mv, sp.bit_depth)
+        qps = (self.qp_y, self.qp_cb, self.qp_cr)
+        n_tus = 4 if log2_size > sp.log2_max_tu else 1
+        tlg = log2_size - 1 if n_tus == 4 else log2_size
+        half = n >> 1
+        dist = 0
+        tus = []
+        for i in range(n_tus):
+            oy, ox = (0, 0) if n_tus == 1 else ((i >> 1) * half,
+                                                (i & 1) * half)
+            tu = TuData()
+            for ci, (srcp, predp) in enumerate((
+                    (self.src.y[y:y + n, x:x + n], pred_y),
+                    (self.src.cb[y >> 1:(y >> 1) + (n >> 1),
+                                 x >> 1:(x >> 1) + (n >> 1)], pred_cb),
+                    (self.src.cr[y >> 1:(y >> 1) + (n >> 1),
+                                 x >> 1:(x >> 1) + (n >> 1)], pred_cr))):
+                sub = 0 if ci == 0 else 1
+                tn = 1 << (tlg - sub)
+                o_y, o_x = oy >> sub, ox >> sub
+                s = srcp[o_y:o_y + tn, o_x:o_x + tn]
+                p = predp[o_y:o_y + tn, o_x:o_x + tn]
+                res = s - p
+                if cu.bypass:
+                    levels = res.astype(np.int32)
+                else:
+                    coeffs = transform.forward_transform(res, sp.bit_depth,
+                                                         False)
+                    levels = transform.quantize(coeffs, qps[ci],
+                                                sp.bit_depth,
+                                                is_intra=False)
+                if not levels.any():
+                    levels = None
+                    rec = p
+                elif cu.bypass:
+                    rec = s
+                else:
+                    deq = transform.dequantize(levels, qps[ci], sp.bit_depth)
+                    rec = np.clip(
+                        p + transform.inverse_transform(deq, sp.bit_depth,
+                                                        False),
+                        0, (1 << sp.bit_depth) - 1)
+                dist += sse(s, rec)
+                if ci == 0:
+                    tu.levels_y = levels
+                elif ci == 1:
+                    tu.levels_cb = levels
+                else:
+                    tu.levels_cr = levels
+            tus.append(tu)
+        return dist, tus
+
     def _est_cu_syntax(self, est, x, y, log2_size, cu) -> None:
         """Estimate-encode CU syntax (sans split flag) into `est`, reusing
-        the real serializer. _encode_cu mutates maps (set_cu), so the granule
-        region is saved/restored around the call."""
+        the real serializer. _encode_cu mutates maps, so the granule region
+        is saved/restored around the call."""
         sp = self.sp
         n = 1 << log2_size
         g = (slice(y >> 2, (y + n) >> 2), slice(x >> 2, (x + n) >> 2))
-        sd, sm, sc = (self.maps.depth[g].copy(), self.maps.mode[g].copy(),
-                      self.maps.coded[g].copy())
-        ctu_mod._encode_cu(est, self.maps, sp, x, y, log2_size, 0, cu)
-        self.maps.depth[g], self.maps.mode[g], self.maps.coded[g] = sd, sm, sc
+        saved = [a[g].copy() for a in self._granule_arrays()]
+        ctu_mod._encode_cu(est, self.maps, sp, x, y, log2_size, 0, cu,
+                           self.slice_type)
+        for a, s in zip(self._granule_arrays(), saved):
+            a[g] = s
 
     def _build_tus(self, x, y, log2_size, cu) -> tuple[int, list]:
         """Transform-quantize-reconstruct the CU for a given mode; returns
