@@ -62,7 +62,7 @@ def _make_cabac(writer, ctx):
 class TpuEncoder:
     """All-intra TPU-pipeline encoder."""
 
-    def __init__(self, cfg: EncoderConfig) -> None:
+    def __init__(self, cfg: EncoderConfig, partition_params=None) -> None:
         cfg.validate()
         self.cfg = cfg
         self.sp = config_to_sp(cfg)
@@ -70,6 +70,27 @@ class TpuEncoder:
         self.sp.deblocking_disabled = (not cfg.deblocking) or cfg.lossless
         lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_sqrt = float(np.sqrt(lam))
+        # learned fast-partition model (SURVEY.md E8): prunes the split DP
+        self.partition_params = partition_params
+        if cfg.fast_partition and partition_params is None:
+            raise ValueError("fast_partition requires partition_params "
+                             "(train via models.train_self_distilled)")
+
+    def _apply_fast_partition(self, dec, y_pad, pw, ph):
+        """Replace the DP split decisions with the CNN's partition map."""
+        from ..models import predict_depth_maps
+
+        sp = self.sp
+        depth = predict_depth_maps(self.partition_params, y_pad, self.cfg.qp,
+                                   sp.log2_ctu)  # [ph/8, pw/8]
+        for lg in range(sp.log2_ctu, sp.log2_min_cu, -1):
+            n = 1 << lg
+            d = sp.log2_ctu - lg
+            g = n >> 3
+            region_max = (depth.reshape(ph // n, g, pw // n, g)
+                          .max(axis=(1, 3)))
+            dec[f"split{n}"] = (region_max > d).reshape(-1)
+        return dec
 
     def encode(self, frames):
         sp = self.sp
@@ -148,6 +169,8 @@ class TpuEncoder:
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu)
         dec = jax.device_get(dec)
+        if self.cfg.fast_partition and self.partition_params is not None:
+            dec = self._apply_fast_partition(dec, y_pad, pw, ph)
 
         # ---- 2+3. native slice engine (C++ commit + entropy) ---------
         native = _native_engine()
