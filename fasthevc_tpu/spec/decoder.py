@@ -40,6 +40,7 @@ class SpecDecoder:
         self.sp = SequenceParams()
         self._have_sps = False
         self.pictures: list[DecodedPicture] = []
+        self._dpb: dict = {}  # cvs-local POC -> Planes
         self._poc = 0
 
     def decode(self, stream: bytes) -> list[DecodedPicture]:
@@ -76,12 +77,14 @@ class SpecDecoder:
         assert sh.slice_type in (SLICE_I, 1), "B slices not implemented yet"
 
         poc = 0 if sh.is_idr else sh.poc_lsb
+        if sh.is_idr:
+            self._dpb = {}  # IDR flushes the DPB (spec C.3.2)
         refs = []
         if sh.slice_type != SLICE_I:
-            by_poc = {p.poc: p for p in self.pictures}
             for delta in sh.ref_pocs_before:
-                assert poc - delta in by_poc, f"missing ref POC {poc-delta}"
-                refs.append(by_poc[poc - delta].planes)
+                assert poc - delta in self._dpb, \
+                    f"missing ref POC {poc - delta}"
+                refs.append(self._dpb[poc - delta])
 
         planes = Planes(sp)
         maps = FrameMaps(sp)
@@ -132,4 +135,5 @@ class SpecDecoder:
             sao_mod.apply_sao(planes, sp, params_y, params_cb, params_cr)
         poc = 0 if sh.is_idr else sh.poc_lsb
         self.pictures.append(DecodedPicture(poc=poc, planes=planes))
+        self._dpb[poc] = planes
         self._poc = poc

@@ -89,31 +89,60 @@ class SpecEncoder:
 
     # -- public API --------------------------------------------------------
 
-    def encode(self, frames) -> tuple[bytes, list]:
+    def encode(self, frames, start_poc: int = 0,
+               write_headers: bool = True,
+               on_frame=None) -> tuple[bytes, list]:
         """Encode (y, cb, cr) uint8 frames -> (annexb bytes, recon frames).
 
         GOP structure: frame 0 (and every intra_period-th frame) is an IDR
         I picture; other frames are low-delay P referencing the previous
         reconstructed picture (HM LDP shape with one active ref).
+
+        start_poc / write_headers support GOP-journal resume
+        (codec/journal.py): resuming at an IDR boundary with start_poc=k
+        reproduces the uninterrupted stream exactly.
+        on_frame(poc, is_idr, nal_bytes) is called per picture.
         """
         sp = self.sp
         out = bytearray()
-        out += bs.write_nal(bs.NAL_VPS, write_vps(sp))
-        out += bs.write_nal(bs.NAL_SPS, write_sps(sp))
-        out += bs.write_nal(bs.NAL_PPS, write_pps(sp))
+        if write_headers:
+            headers = (bs.write_nal(bs.NAL_VPS, write_vps(sp))
+                       + bs.write_nal(bs.NAL_SPS, write_sps(sp))
+                       + bs.write_nal(bs.NAL_PPS, write_pps(sp)))
+            out += headers
+            if on_frame is not None:
+                on_frame(-1, False, bytes(headers))  # poc -1 = headers
         recons = []
         self.dpb: list[tuple[int, Planes]] = []
         all_intra = self.cfg.intra_period == 1 or not self.cfg.gop
         ip = self.cfg.intra_period
-        for poc, frame in enumerate(frames):
-            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra
+        rc = None
+        if self.cfg.target_bitrate > 0:
+            from ..codec.rate_control import RateController
+            rc = RateController(self.cfg.target_bitrate, 30.0,
+                                sp.coded_width, sp.coded_height)
+        last_idr = start_poc
+        for i, frame in enumerate(frames):
+            poc = start_poc + i
+            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra \
+                or (i == 0)
+            if is_idr:
+                last_idr = poc
+            cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
             slice_type = SLICE_I if is_idr else 1  # SLICE_P
             refs = [] if is_idr else [self.dpb[-1][1]]
-            nal_bytes, planes = self.encode_frame(frame, poc=poc,
+            qp = None
+            if rc is not None:
+                qp = rc.picture_qp(len(frames), is_intra=is_idr)
+            nal_bytes, planes = self.encode_frame(frame, poc=cvs_poc,
                                                   slice_type=slice_type,
-                                                  refs=refs)
+                                                  refs=refs, qp=qp)
+            if rc is not None:
+                rc.update_after_picture(len(nal_bytes) * 8)
             out += nal_bytes
             recons.append(planes)
+            if on_frame is not None:
+                on_frame(poc, is_idr, bytes(nal_bytes))
             self.dpb.append((poc, planes))
             if len(self.dpb) > 4:
                 self.dpb.pop(0)
@@ -122,7 +151,7 @@ class SpecEncoder:
         return bytes(out), recons
 
     def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
-                     refs=()) -> tuple[bytes, Planes]:
+                     refs=(), qp: int | None = None) -> tuple[bytes, Planes]:
         sp = self.sp
         y, cb, cr = frame
         src = Planes(sp)
@@ -136,7 +165,8 @@ class SpecEncoder:
         self.src = src
         self.planes = Planes(sp)
         self.maps = FrameMaps(sp)
-        self.qp = self.cfg.qp
+        self.qp = self.cfg.qp if qp is None else qp
+        self.lambda_mode = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
         self.qp_y, self.qp_cb, self.qp_cr = ctu_mod.tu_qps(sp, self.qp)
         init_type = 0 if slice_type == SLICE_I else 1
         self.est = CabacEstimator(ContextSet(init_type, self.qp))
