@@ -92,17 +92,42 @@ class TpuEncoder:
             dec[f"split{n}"] = (region_max > d).reshape(-1)
         return dec
 
-    def encode(self, frames):
+    def encode(self, frames, start_poc: int = 0, write_headers: bool = True,
+               on_frame=None):
         sp = self.sp
+        cfg = self.cfg
         out = bytearray()
-        out += bs.write_nal(bs.NAL_VPS, write_vps(sp))
-        out += bs.write_nal(bs.NAL_SPS, write_sps(sp))
-        out += bs.write_nal(bs.NAL_PPS, write_pps(sp))
+        if write_headers:
+            headers = (bs.write_nal(bs.NAL_VPS, write_vps(sp))
+                       + bs.write_nal(bs.NAL_SPS, write_sps(sp))
+                       + bs.write_nal(bs.NAL_PPS, write_pps(sp)))
+            out += headers
+            if on_frame is not None:
+                on_frame(-1, False, bytes(headers))
         recons = []
-        for frame in frames:
-            nal_bytes, planes = self.encode_frame(frame)
+        dpb = []
+        all_intra = cfg.intra_period == 1 or not cfg.gop
+        ip = cfg.intra_period
+        last_idr = start_poc
+        for i, frame in enumerate(frames):
+            poc = start_poc + i
+            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra \
+                or i == 0
+            if is_idr:
+                last_idr = poc
+            cvs_poc = poc - last_idr
+            refs = [] if is_idr else [dpb[-1]]
+            nal_bytes, planes = self.encode_frame(frame, poc=cvs_poc,
+                                                  is_idr=is_idr, refs=refs)
             out += nal_bytes
             recons.append(planes)
+            if on_frame is not None:
+                on_frame(poc, is_idr, bytes(nal_bytes))
+            dpb.append(planes)
+            if len(dpb) > 2:
+                dpb.pop(0)
+            if is_idr and not all_intra:
+                dpb = [planes]
         return bytes(out), recons
 
     # ------------------------------------------------------------------
@@ -145,12 +170,14 @@ class TpuEncoder:
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
 
-    def encode_frame(self, frame):
+    def encode_frame(self, frame, poc: int = 0, is_idr: bool = True,
+                     refs=()):
         import jax
         import jax.numpy as jnp
 
         sp = self.sp
         cfg = self.cfg
+        self.refs = list(refs)
         y, cb, cr = frame
         src = Planes(sp)
         src.y[:] = pad_plane(np.asarray(y, np.int32), sp.coded_height,
@@ -165,16 +192,24 @@ class TpuEncoder:
         pw = -(-sp.coded_width // ctu_size) * ctu_size
         ph = -(-sp.coded_height // ctu_size) * ctu_size
         y_pad = pad_plane(src.y, ph, pw)
-        dec = search_intra_frame(jnp.asarray(y_pad),
+        if is_idr or not refs:
+            dec = search_intra_frame(jnp.asarray(y_pad),
+                                     jnp.float32(self.lambda_sqrt),
+                                     sp.log2_ctu, sp.log2_min_cu)
+        else:
+            from .search import search_p_frame
+            ref_pad = pad_plane(refs[0].y, ph, pw)
+            dec = search_p_frame(jnp.asarray(y_pad), jnp.asarray(ref_pad),
                                  jnp.float32(self.lambda_sqrt),
-                                 sp.log2_ctu, sp.log2_min_cu)
+                                 sp.log2_ctu, sp.log2_min_cu,
+                                 min(self.cfg.search_range, 8))
         dec = jax.device_get(dec)
         if self.cfg.fast_partition and self.partition_params is not None:
             dec = self._apply_fast_partition(dec, y_pad, pw, ph)
 
-        # ---- 2+3. native slice engine (C++ commit + entropy) ---------
+        # ---- 2+3. native slice engine (C++ commit + entropy; I only) -
         native = _native_engine()
-        if native is not None:
+        if native is not None and is_idr:
             return self._encode_frame_native(native, src, dec, pw, ph)
 
         trees = decisions_to_trees(dec, pw, ph, sp.coded_width,
@@ -191,21 +226,28 @@ class TpuEncoder:
                                    0, tree, maps, qp_y, qp_cb, qp_cr)
             decisions.append((x0, y0, cu))
 
-        # ---- 3. entropy (host CABAC; C++ engine when available) ------
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
-        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
-        enc = _make_cabac(w, ContextSet(0, cfg.qp))
+        # ---- 3. entropy (host CABAC; C++ bin engine when available) --
+        slice_type = SLICE_I if is_idr else 1
+        nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
+        sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
+                         is_idr=is_idr,
+                         poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
+                         ref_pocs_before=() if is_idr else (1,))
+        w = write_slice_header(sh, sp, nal_type)
+        init_type = 0 if is_idr else 1
+        enc = _make_cabac(w, ContextSet(init_type, cfg.qp))
         maps2 = FrameMaps(sp)
         for i, (x0, y0, cu) in enumerate(decisions):
-            ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu)
+            ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu, slice_type)
             enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
         enc.finish()
         w.byte_align()
-        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        nal = bs.write_nal(nal_type, w.get_bytes())
         if not sp.deblocking_disabled:
             from ..spec.deblock import deblock_picture
             deblock_picture(planes, sp, maps.depth[::2, ::2].astype(np.int32),
-                            cfg.qp, qp_cb, qp_cr)
+                            cfg.qp, qp_cb, qp_cr,
+                            maps=None if is_idr else maps)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
@@ -227,6 +269,9 @@ class TpuEncoder:
                     src, planes, sp, cx, cy, lg - 1, depth + 1, child,
                     maps, qp_y, qp_cb, qp_cr))
             return cu
+        if kind == "ileaf":
+            return self._commit_inter(src, planes, sp, x, y, lg, depth,
+                                      tree[1], maps, qp_y, qp_cb, qp_cr)
         mode = tree[1]
         cu = CuDecision(split=False, luma_mode=mode, chroma_mode=CHROMA_DM,
                         bypass=self.cfg.lossless)
@@ -240,7 +285,84 @@ class TpuEncoder:
         else:
             cu.tus.append(self._commit_tu(src, planes, sp, x, y, lg, cu,
                                           qp_y, qp_cb, qp_cr))
-        maps.set_cu(x, y, 1 << lg, depth, mode)
+        size = 1 << lg
+        maps.set_cu(x, y, size, depth, mode)
+        maps.set_skip(x, y, size, False)
+        maps.motion.set_intra_cu(
+            x, y, size, any(tu.levels_y is not None for tu in cu.tus))
+        return cu
+
+    def _commit_inter(self, src, planes, sp, x, y, lg, depth, mv, maps,
+                      qp_y, qp_cb, qp_cr) -> CuDecision:
+        """Commit an inter leaf: merge/AMVP selection, residual TQ, recon."""
+        from ..spec import inter as inter_mod
+        from ..spec.mc import mc_cu
+
+        n = 1 << lg
+        cu = CuDecision(split=False, is_inter=True, mv=(int(mv[0]),
+                                                        int(mv[1])),
+                        ref_idx=0, bypass=self.cfg.lossless)
+        merge_cands = inter_mod.merge_candidates(maps, maps.motion, x, y, n)
+        key = (cu.mv[0], cu.mv[1], 0)
+        if key in merge_cands:
+            cu.merge_flag = True
+            cu.merge_idx = merge_cands.index(key)
+        else:
+            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, n)
+            b0 = abs(cu.mv[0] - amvp[0][0]) + abs(cu.mv[1] - amvp[0][1])
+            b1 = abs(cu.mv[0] - amvp[1][0]) + abs(cu.mv[1] - amvp[1][1])
+            cu.mvp_flag = 0 if b0 <= b1 else 1
+            p = amvp[cu.mvp_flag]
+            cu.mvd = (cu.mv[0] - p[0], cu.mv[1] - p[1])
+
+        # residual TQ per component (TU == CU; 64 handled by forced split)
+        pred_y, pred_cb, pred_cr = mc_cu(self.refs[0], x, y, n, cu.mv,
+                                         sp.bit_depth)
+        n_tus = 4 if lg > sp.log2_max_tu else 1
+        tlg = lg - 1 if n_tus == 4 else lg
+        half = n >> 1
+        for i in range(n_tus):
+            oy, ox = (0, 0) if n_tus == 1 else ((i >> 1) * half,
+                                                (i & 1) * half)
+            tu = TuData()
+            for ci, (srcp, predp, qp) in enumerate((
+                    (src.y[y:y + n, x:x + n], pred_y, qp_y),
+                    (src.cb[y >> 1:(y >> 1) + (n >> 1),
+                            x >> 1:(x >> 1) + (n >> 1)], pred_cb, qp_cb),
+                    (src.cr[y >> 1:(y >> 1) + (n >> 1),
+                            x >> 1:(x >> 1) + (n >> 1)], pred_cr, qp_cr))):
+                sub = 0 if ci == 0 else 1
+                tn = 1 << (tlg - sub)
+                o_y, o_x = oy >> sub, ox >> sub
+                res = (srcp[o_y:o_y + tn, o_x:o_x + tn]
+                       - predp[o_y:o_y + tn, o_x:o_x + tn])
+                if cu.bypass:
+                    levels = res.astype(np.int32)
+                else:
+                    coeffs = spec_tr.forward_transform(res, sp.bit_depth,
+                                                       False)
+                    levels = spec_tr.quantize(coeffs, qp, sp.bit_depth,
+                                              is_intra=False)
+                if not levels.any():
+                    levels = None
+                if ci == 0:
+                    tu.levels_y = levels
+                elif ci == 1:
+                    tu.levels_cb = levels
+                else:
+                    tu.levels_cr = levels
+            cu.tus.append(tu)
+        cbf_any = any(t.levels_y is not None or t.levels_cb is not None
+                      or t.levels_cr is not None for t in cu.tus)
+        if cu.merge_flag and not cbf_any:
+            cu.skip = True
+            cu.tus = []
+        ctu_mod._reconstruct_inter_cu(planes, sp, x, y, lg, cu, self.refs,
+                                      self.cfg.qp)
+        maps.set_cu(x, y, n, depth, -1)
+        maps.set_skip(x, y, n, cu.skip)
+        cbf_y = any(t.levels_y is not None for t in cu.tus)
+        maps.motion.set_cu(x, y, n, cu.mv, 0, cbf_y)
         return cu
 
     def _commit_tu(self, src, planes, sp, x, y, lg, cu, qp_y, qp_cb,

@@ -68,6 +68,7 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
         cost = d.astype(jnp.float32) + lambda_sqrt * 2.5
         modes[n] = jnp.argmin(cost, axis=1).astype(jnp.int32)
         costs[n] = jnp.min(cost, axis=1)
+    raw_costs = dict(costs)  # per-block costs before the DP (P search uses)
 
     # Quadtree DP bottom-up. Per-CU overhead proxy: coding a CU costs
     # ~(mode+cbf+part) ~ 5 bits; a split adds 4 CU overheads + split flag.
@@ -85,6 +86,50 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
         out[f"mode{n}"] = modes[n]
         out[f"split{n}"] = split
         out[f"cost{n}"] = dp
+    for n, c in raw_costs.items():
+        out[f"rawcost{n}"] = c
+    return out
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
+                                   "search_range"))
+def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
+                   lambda_sqrt: jnp.ndarray, log2_ctu: int = 5,
+                   log2_min_cu: int = 3, search_range: int = 8):
+    """P-frame search: intra + inter candidates for every block, then the
+    quadtree DP over the per-block minimum.
+
+    Adds to the intra outputs: inter{n} (bool: inter chosen) and mv{n}
+    ([B_n, 2] quarter-pel).
+    """
+    from ..ops.me import search_inter_costs
+
+    h, w = y_plane.shape
+    sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
+                                   log2_min_cu)
+    inter_costs = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
+                                     log2_ctu, log2_min_cu, search_range)
+    out = {}
+    for n in sizes:
+        out[f"mode{n}"] = intra_dec[f"mode{n}"]
+        out[f"mv{n}"] = inter_costs[n][1]
+    dp = None
+    for i, n in enumerate(sizes):
+        icost, _ = inter_costs[n]
+        raw_intra = intra_dec[f"rawcost{n}"]
+        use_inter = icost < raw_intra
+        leaf = jnp.minimum(icost, raw_intra) + lambda_sqrt * 5.0
+        out[f"inter{n}"] = use_inter
+        if i == 0:
+            dp = leaf
+            continue
+        gy, gx = h // n, w // n
+        child = dp.reshape(gy, 2, gx, 2)
+        sum_child = child.sum(axis=(1, 3)).reshape(-1)
+        split = sum_child + lambda_sqrt * 1.0 < leaf
+        dp = jnp.where(split, sum_child + lambda_sqrt * 1.0, leaf)
+        out[f"split{n}"] = split
     return out
 
 
@@ -160,6 +205,9 @@ def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,
                 else:
                     children.append(None)
             return ("split", children)
+        if f"inter{n}" in dec and bool(dec[f"inter{n}"][bi]):
+            mv = dec[f"mv{n}"][bi]
+            return ("ileaf", (int(mv[0]), int(mv[1])))
         return ("leaf", int(dec[f"mode{n}"][bi]))
 
     trees = []
