@@ -39,6 +39,10 @@ class EncoderConfig:
     intra_period: int = -1       # -1: only first frame is IDR
     gop: list = field(default_factory=list)  # empty => all-intra
 
+    # Tiles (uniform spacing); 1x1 = disabled
+    tile_cols: int = 1
+    tile_rows: int = 1
+
     # Tools
     lossless: bool = False       # transquant bypass (cu level, all CUs)
     deblocking: bool = True

@@ -97,6 +97,13 @@ class BitReader:
     def byte_align(self) -> None:
         self._pos = (self._pos + 7) & ~7
 
+    def read_byte_alignment(self) -> None:
+        """Consume byte_alignment(): a 1 bit then zero bits to the boundary
+        (spec 7.3.2.10) — always at least one bit, unlike byte_align()."""
+        bit = self.read_bit()
+        assert bit == 1, "alignment_bit_equal_to_one missing"
+        self.byte_align()
+
     @property
     def bit_position(self) -> int:
         return self._pos

@@ -68,14 +68,24 @@ class FrameMaps:
         self.skip = np.zeros((gh, gw), dtype=bool)  # cu_skip_flag ctx
         from .inter import MotionField
         self.motion = MotionField(sp.coded_width, sp.coded_height)
+        # current tile rect (x0, y0, x1, y1) in luma samples; None = no tiles
+        self.tile_rect = None
+
+    def _in_tile(self, x: int, y: int) -> bool:
+        if self.tile_rect is None:
+            return True
+        x0, y0, x1, y1 = self.tile_rect
+        return x0 <= x < x1 and y0 <= y < y1
 
     def neighbor_skip(self, x: int, y: int) -> int:
         """cu_skip_flag context increment (left + above skip flags)."""
         ctx = 0
-        if x > 0 and self.coded[y >> 2, (x - 1) >> 2] \
+        if x > 0 and self._in_tile(x - 1, y) \
+                and self.coded[y >> 2, (x - 1) >> 2] \
                 and self.skip[y >> 2, (x - 1) >> 2]:
             ctx += 1
-        if y > 0 and self.coded[(y - 1) >> 2, x >> 2] \
+        if y > 0 and self._in_tile(x, y - 1) \
+                and self.coded[(y - 1) >> 2, x >> 2] \
                 and self.skip[(y - 1) >> 2, x >> 2]:
             ctx += 1
         return ctx
@@ -92,22 +102,25 @@ class FrameMaps:
 
     def neighbor_depth(self, x: int, y: int):
         """(left_depth, above_depth), None where unavailable."""
-        gw = self.depth.shape[1]
         left = above = None
-        if x > 0 and self.coded[y >> 2, (x - 1) >> 2]:
+        if x > 0 and self._in_tile(x - 1, y) \
+                and self.coded[y >> 2, (x - 1) >> 2]:
             left = int(self.depth[y >> 2, (x - 1) >> 2])
-        if y > 0 and self.coded[(y - 1) >> 2, x >> 2]:
+        if y > 0 and self._in_tile(x, y - 1) \
+                and self.coded[(y - 1) >> 2, x >> 2]:
             above = int(self.depth[(y - 1) >> 2, x >> 2])
         return left, above
 
     def neighbor_modes(self, x: int, y: int):
         """(left_mode, above_mode, above_in_ctu) for MPM derivation."""
         left = above = None
-        if x > 0 and self.coded[y >> 2, (x - 1) >> 2]:
+        if x > 0 and self._in_tile(x - 1, y) \
+                and self.coded[y >> 2, (x - 1) >> 2]:
             m = int(self.mode[y >> 2, (x - 1) >> 2])
             left = m if m >= 0 else None
         above_in_ctu = (y & ((1 << self.sp.log2_ctu) - 1)) != 0
-        if y > 0 and self.coded[(y - 1) >> 2, x >> 2]:
+        if y > 0 and self._in_tile(x, y - 1) \
+                and self.coded[(y - 1) >> 2, x >> 2]:
             m = int(self.mode[(y - 1) >> 2, x >> 2])
             above = m if m >= 0 else None
         return left, above, above_in_ctu
@@ -132,7 +145,8 @@ class Planes:
 
 def predict_block(planes: Planes, sp: SequenceParams, x: int, y: int,
                   log2_size: int, mode: int, c_idx: int) -> np.ndarray:
-    """Intra-predict one transform block (plane coords for chroma)."""
+    """Intra-predict one transform block (plane coords for chroma).
+    Tile-constrained availability via planes.tile_rect (set per tile)."""
     n = 1 << log2_size
     sub = 0 if c_idx == 0 else 1
     plane = planes.plane(c_idx)
@@ -140,7 +154,7 @@ def predict_block(planes: Planes, sp: SequenceParams, x: int, y: int,
     top, left = intra.get_reference_samples(
         plane, x, y, n, x_luma, y_luma, sp.log2_ctu,
         sp.coded_width, sp.coded_height, subsample=sub,
-        bit_depth=sp.bit_depth)
+        bit_depth=sp.bit_depth, tile_rect=getattr(planes, "tile_rect", None))
     if c_idx == 0 and intra.should_filter(mode, n, True):
         top, left = intra.filter_reference_samples(top, left)
     return intra.predict(mode, top, left, n, c_idx == 0, sp.bit_depth)

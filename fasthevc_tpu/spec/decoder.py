@@ -92,12 +92,8 @@ class SpecDecoder:
             1 if sh.slice_type == 1 else 2)
         # hand the remaining byte-aligned payload to CABAC
         assert r.bit_position % 8 == 0
-        payload = rbsp[r.bit_position // 8:] + b"\x00\x00"
-        dec = CabacDecoder(bs.BitReader(payload), ContextSet(init_type,
-                                                             sh.slice_qp))
+        payload = rbsp[r.bit_position // 8:]
         ctu_size = 1 << sp.log2_ctu
-        n_ctus = ((sp.coded_width + ctu_size - 1) // ctu_size) * (
-            (sp.coded_height + ctu_size - 1) // ctu_size)
         use_sao = sh.sao_luma or sh.sao_chroma
         sao_grid = None
         if use_sao:
@@ -105,21 +101,41 @@ class SpecDecoder:
             n_x = -(-sp.coded_width // ctu_size)
             n_yy = -(-sp.coded_height // ctu_size)
             sao_grid = [[None] * n_x for _ in range(n_yy)]
-        i = 0
-        for cy in range(0, sp.coded_height, ctu_size):
-            for cx in range(0, sp.coded_width, ctu_size):
+
+        # split into tile substreams via entry points
+        tile_ctus = sp.tile_ctus()
+        tile_rects = sp.tile_rects()
+        offsets = [0]
+        for size in sh.entry_points:
+            offsets.append(offsets[-1] + size)
+        col_starts = set(b * ctu_size for b in sp.tile_col_bounds()[1:-1])
+        row_starts = set(b * ctu_size for b in sp.tile_row_bounds()[1:-1])
+        n_tiles = len(tile_ctus)
+        for t, (rect, ctus) in enumerate(zip(tile_rects, tile_ctus)):
+            maps.tile_rect = rect if sp.tiles_enabled else None
+            planes.tile_rect = rect if sp.tiles_enabled else None
+            sub = payload[offsets[t]:] + b"\x00\x00"
+            dec = CabacDecoder(bs.BitReader(sub),
+                               ContextSet(init_type, sh.slice_qp))
+            for i, (cx, cy) in enumerate(ctus):
                 if use_sao:
                     ry, rx = cy // ctu_size, cx // ctu_size
                     left = sao_grid[ry][rx - 1] if rx > 0 else None
                     up = sao_grid[ry - 1][rx] if ry > 0 else None
                     sao_grid[ry][rx] = sao_mod.decode_sao_ctu(
-                        dec, rx, ry, sh.sao_luma, sh.sao_chroma, left, up)
+                        dec, rx, ry, sh.sao_luma, sh.sao_chroma, left, up,
+                        left_in_tile=cx not in col_starts,
+                        up_in_tile=cy not in row_starts)
                 ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy,
                                    sh.slice_qp, sh.slice_type, refs)
-                i += 1
+                last_of_slice = (t == n_tiles - 1 and i == len(ctus) - 1)
                 end = dec.decode_terminate()
-                assert end == (1 if i == n_ctus else 0), \
-                    f"end_of_slice mismatch at CTU {i}/{n_ctus}"
+                assert end == (1 if last_of_slice else 0), \
+                    f"end_of_slice mismatch tile {t} ctu {i}"
+                if i == len(ctus) - 1 and not last_of_slice:
+                    assert dec.decode_terminate() == 1, "end_of_subset"
+        maps.tile_rect = None
+        planes.tile_rect = None
         if not sp.deblocking_disabled:
             from .deblock import deblock_picture
             from .tables import chroma_qp

@@ -71,6 +71,8 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         init_qp=cfg.qp,
         transquant_bypass_enabled=cfg.lossless,
         deblocking_disabled=not cfg.deblocking,
+        tile_cols=cfg.tile_cols,
+        tile_rows=cfg.tile_rows,
     )
     return sp
 
@@ -174,11 +176,19 @@ class SpecEncoder:
         self.refs = list(refs)
 
         ctu_size = 1 << sp.log2_ctu
-        decisions = []
-        for cy in range(0, sp.coded_height, ctu_size):
-            for cx in range(0, sp.coded_width, ctu_size):
+        tile_ctus = sp.tile_ctus()
+        tile_rects = sp.tile_rects()
+        tile_decisions = []
+        for rect, ctus in zip(tile_rects, tile_ctus):
+            self.maps.tile_rect = rect if sp.tiles_enabled else None
+            self.planes.tile_rect = rect if sp.tiles_enabled else None
+            decs = []
+            for cx, cy in ctus:
                 cu, _ = self._compress_cu(cx, cy, sp.log2_ctu, 0)
-                decisions.append((cx, cy, cu))
+                decs.append((cx, cy, cu))
+            tile_decisions.append(decs)
+        self.maps.tile_rect = None
+        self.planes.tile_rect = None
 
         # in-loop filters BEFORE entropy: SAO params are slice syntax
         if not sp.deblocking_disabled:
@@ -193,28 +203,46 @@ class SpecEncoder:
             from . import sao as sao_mod
             sao_params = self._estimate_sao(sao_mod)
 
-        # serialize: slice header + CABAC payload
+        # serialize: per-tile CABAC substreams, then slice header with
+        # entry points (tile substream sizes), then concatenation
         is_idr = slice_type == SLICE_I
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
+        maps2 = FrameMaps(sp)
+        col_starts = set(b * ctu_size for b in sp.tile_col_bounds()[1:-1])
+        row_starts = set(b * ctu_size for b in sp.tile_row_bounds()[1:-1])
+        substreams = []
+        n_tiles = len(tile_decisions)
+        for t, (rect, decs) in enumerate(zip(tile_rects, tile_decisions)):
+            maps2.tile_rect = rect if sp.tiles_enabled else None
+            wt = bs.BitWriter()
+            enc = CabacEncoder(wt, ContextSet(init_type, self.qp))
+            for i, (cx, cy, cu) in enumerate(decs):
+                if sao_params is not None:
+                    from . import sao as sao_mod
+                    ry, rx = cy // ctu_size, cx // ctu_size
+                    sao_mod.encode_sao_ctu(
+                        enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
+                        sao_params[2][ry][rx], rx, ry, True, True,
+                        left_in_tile=cx not in col_starts,
+                        up_in_tile=cy not in row_starts)
+                ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu, slice_type)
+                last_of_slice = (t == n_tiles - 1 and i == len(decs) - 1)
+                enc.encode_terminate(1 if last_of_slice else 0)
+                if i == len(decs) - 1 and not last_of_slice:
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+            enc.finish()
+            wt.byte_align()
+            substreams.append(wt.get_bytes())
         sh = SliceHeader(slice_type=slice_type, slice_qp=self.qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else (1,),
-                         sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled)
+                         sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
+                         entry_points=tuple(len(s) for s in
+                                            substreams[:-1]))
         w = write_slice_header(sh, sp, nal_type)
-        enc = CabacEncoder(w, ContextSet(init_type, self.qp))
-        maps2 = FrameMaps(sp)
-        for i, (cx, cy, cu) in enumerate(decisions):
-            if sao_params is not None:
-                from . import sao as sao_mod
-                ry, rx = cy // ctu_size, cx // ctu_size
-                sao_mod.encode_sao_ctu(
-                    enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
-                    sao_params[2][ry][rx], rx, ry, True, True)
-            ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu, slice_type)
-            enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
-        enc.finish()
-        w.byte_align()  # rbsp_slice_segment_trailing_bits
+        for s in substreams:
+            w.append_bytes(s)
         nal = bs.write_nal(nal_type, w.get_bytes())
         if sao_params is not None:
             from . import sao as sao_mod

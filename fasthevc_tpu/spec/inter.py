@@ -47,7 +47,7 @@ def _motion_at(maps, mf: MotionField, xn: int, yn: int, x: int, y: int):
 
     sp = maps.sp
     if not sample_available(xn, yn, x, y, sp.coded_width, sp.coded_height,
-                           sp.log2_ctu):
+                            sp.log2_ctu, getattr(maps, "tile_rect", None)):
         return None
     gy, gx = yn >> 2, xn >> 2
     if not mf.inter[gy, gx]:

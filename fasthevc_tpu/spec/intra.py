@@ -30,12 +30,18 @@ def _z_order(x4: int, y4: int) -> int:
 
 
 def sample_available(xn: int, yn: int, x_cur: int, y_cur: int,
-                     pic_w: int, pic_h: int, log2_ctu: int) -> bool:
+                     pic_w: int, pic_h: int, log2_ctu: int,
+                     tile_rect=None) -> bool:
     """Is the reconstructed sample (xn, yn) available for prediction at the
-    block whose top-left is (x_cur, y_cur)?  True iff inside the picture and
-    earlier in CTU-raster + z-scan coding order (single slice/tile)."""
+    block whose top-left is (x_cur, y_cur)?  True iff inside the picture
+    (and the current tile, when tiles are used) and earlier in CTU-raster +
+    z-scan coding order (single slice)."""
     if xn < 0 or yn < 0 or xn >= pic_w or yn >= pic_h:
         return False
+    if tile_rect is not None:
+        tx0, ty0, tx1, ty1 = tile_rect
+        if not (tx0 <= xn < tx1 and ty0 <= yn < ty1):
+            return False
     ctu_size = 1 << log2_ctu
     ctus_per_row = (pic_w + ctu_size - 1) >> log2_ctu
     ctu_n = (yn >> log2_ctu) * ctus_per_row + (xn >> log2_ctu)
@@ -55,7 +61,8 @@ def get_reference_samples(plane: np.ndarray, x0: int, y0: int, n: int,
                           x_luma: int, y_luma: int, log2_ctu: int,
                           pic_w_luma: int, pic_h_luma: int,
                           subsample: int = 0,
-                          bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                          bit_depth: int = 8,
+                          tile_rect=None) -> tuple[np.ndarray, np.ndarray]:
     """Fetch + substitute the 4N+1 reference samples of an NxN block.
 
     plane       -- the reconstructed sample plane this block lives in
@@ -84,7 +91,7 @@ def get_reference_samples(plane: np.ndarray, x0: int, y0: int, n: int,
     avail = np.zeros(len(coords), dtype=bool)
     for i, (xs, ys) in enumerate(coords):
         ok = sample_available(xs << s, ys << s, x_luma, y_luma,
-                              pic_w_luma, pic_h_luma, log2_ctu)
+                              pic_w_luma, pic_h_luma, log2_ctu, tile_rect)
         if ok:
             vals[i] = plane[min(ys, h - 1), min(xs, w - 1)]
             avail[i] = True

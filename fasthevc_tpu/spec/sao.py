@@ -213,12 +213,15 @@ def apply_sao(planes, sp, params_y, params_cb, params_cr) -> None:
 # ---------------------------------------------------------------------------
 
 def encode_sao_ctu(coder, p_y: SaoParam, p_cb: SaoParam, p_cr: SaoParam,
-                   rx: int, ry: int, sao_luma: bool, sao_chroma: bool):
+                   rx: int, ry: int, sao_luma: bool, sao_chroma: bool,
+                   left_in_tile: bool = True, up_in_tile: bool = True):
     """Encode SAO params for one CTU (merge flags always 0 — this encoder
-    signals explicit params; merging is a rate optimization, not required)."""
-    if rx > 0:
+    signals explicit params; merging is a rate optimization, not required).
+    Merge flags are only present when the neighbor CTB is in the same
+    slice AND tile (spec 7.3.8.3)."""
+    if rx > 0 and left_in_tile:
         coder.encode_bin("sao_merge_flag", 0, 0)
-    if ry > 0:
+    if ry > 0 and up_in_tile:
         coder.encode_bin("sao_merge_flag", 0, 0)
 
     def type_and_offsets(p: SaoParam, is_luma: bool, write_class: bool):
@@ -265,12 +268,13 @@ def _encode_offsets_only(coder, p: SaoParam):
 
 
 def decode_sao_ctu(dec, rx: int, ry: int, sao_luma: bool, sao_chroma: bool,
-                   left_params=None, up_params=None):
+                   left_params=None, up_params=None,
+                   left_in_tile: bool = True, up_in_tile: bool = True):
     """Decode SAO params for one CTU -> (p_y, p_cb, p_cr)."""
     merge_left = merge_up = 0
-    if rx > 0:
+    if rx > 0 and left_in_tile:
         merge_left = dec.decode_bin("sao_merge_flag", 0)
-    if not merge_left and ry > 0:
+    if not merge_left and ry > 0 and up_in_tile:
         merge_up = dec.decode_bin("sao_merge_flag", 0)
     if merge_left:
         return tuple(SaoParam(**vars(p)) for p in left_params)

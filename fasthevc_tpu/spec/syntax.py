@@ -41,6 +41,57 @@ class SequenceParams:
     deblocking_disabled: bool = True
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
+    # tiles (uniform spacing); 1x1 = no tiles
+    tile_cols: int = 1
+    tile_rows: int = 1
+
+    @property
+    def tiles_enabled(self) -> bool:
+        return self.tile_cols > 1 or self.tile_rows > 1
+
+    def ctus_x(self) -> int:
+        return -(-self.coded_width // (1 << self.log2_ctu))
+
+    def ctus_y(self) -> int:
+        return -(-self.coded_height // (1 << self.log2_ctu))
+
+    def tile_col_bounds(self) -> list:
+        """CTU-column boundaries [b0..bN] (uniform spacing, spec 6.5.1)."""
+        n = self.ctus_x()
+        return [(i * n) // self.tile_cols for i in range(self.tile_cols + 1)]
+
+    def tile_row_bounds(self) -> list:
+        n = self.ctus_y()
+        return [(i * n) // self.tile_rows for i in range(self.tile_rows + 1)]
+
+    def tile_rects(self) -> list:
+        """Per tile (raster order): luma-sample rect (x0, y0, x1, y1)."""
+        cs = 1 << self.log2_ctu
+        cb = self.tile_col_bounds()
+        rb = self.tile_row_bounds()
+        rects = []
+        for tr in range(self.tile_rows):
+            for tc in range(self.tile_cols):
+                rects.append((cb[tc] * cs, rb[tr] * cs,
+                              min(cb[tc + 1] * cs, self.coded_width),
+                              min(rb[tr + 1] * cs, self.coded_height)))
+        return rects
+
+    def tile_ctus(self) -> list:
+        """Per tile (raster order): list of (x, y) CTU origins in coding
+        order (raster within the tile)."""
+        cs = 1 << self.log2_ctu
+        cb = self.tile_col_bounds()
+        rb = self.tile_row_bounds()
+        out = []
+        for tr in range(self.tile_rows):
+            for tc in range(self.tile_cols):
+                ctus = []
+                for cy in range(rb[tr], rb[tr + 1]):
+                    for cx in range(cb[tc], cb[tc + 1]):
+                        ctus.append((cx * cs, cy * cs))
+                out.append(ctus)
+        return out
 
     # Conformance window (right/bottom padding in luma samples)
     @property
@@ -232,8 +283,13 @@ def write_pps(sp: SequenceParams) -> bytes:
     w.write_flag(0)       # weighted_pred_flag
     w.write_flag(0)       # weighted_bipred_flag
     w.write_flag(1 if sp.transquant_bypass_enabled else 0)
-    w.write_flag(0)       # tiles_enabled_flag
+    w.write_flag(1 if sp.tiles_enabled else 0)  # tiles_enabled_flag
     w.write_flag(0)       # entropy_coding_sync_enabled_flag
+    if sp.tiles_enabled:
+        w.write_ue(sp.tile_cols - 1)
+        w.write_ue(sp.tile_rows - 1)
+        w.write_flag(1)   # uniform_spacing_flag
+        w.write_flag(1)   # loop_filter_across_tiles_enabled_flag
     w.write_flag(1)       # pps_loop_filter_across_slices_enabled_flag
     w.write_flag(1)       # deblocking_filter_control_present_flag
     w.write_flag(0)       # deblocking_filter_override_enabled_flag
@@ -271,8 +327,15 @@ def parse_pps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     assert r.read_flag() == 0  # weighted pred
     assert r.read_flag() == 0
     sp.transquant_bypass_enabled = bool(r.read_flag())
-    assert r.read_flag() == 0  # tiles
+    tiles = bool(r.read_flag())
     assert r.read_flag() == 0  # wpp
+    if tiles:
+        sp.tile_cols = r.read_ue() + 1
+        sp.tile_rows = r.read_ue() + 1
+        assert r.read_flag() == 1, "only uniform tile spacing supported"
+        r.read_flag()  # loop_filter_across_tiles
+    else:
+        sp.tile_cols = sp.tile_rows = 1
     r.read_flag()
     if r.read_flag():          # deblocking control present
         assert r.read_flag() == 0
@@ -299,6 +362,7 @@ class SliceHeader:
     num_ref_idx_l0: int = 1
     sao_luma: bool = False
     sao_chroma: bool = False
+    entry_points: tuple = ()  # per-substream byte sizes (all but last tile)
 
 
 def write_slice_header(sh: SliceHeader, sp: SequenceParams,
@@ -341,7 +405,14 @@ def write_slice_header(sh: SliceHeader, sp: SequenceParams,
         w.write_ue(5 - 5)
     w.write_se(sh.slice_qp - sp.init_qp)
     # deblocking override absent; loop filter across slices not present
-    # (no tiles/wpp -> no entry points)
+    if sp.tiles_enabled:
+        w.write_ue(len(sh.entry_points))
+        if sh.entry_points:
+            max_off = max(sh.entry_points)
+            nbits = max(1, (max_off - 1).bit_length() if max_off > 1 else 1)
+            w.write_ue(nbits - 1)  # offset_len_minus1
+            for size in sh.entry_points:
+                w.write_bits(size - 1, nbits)
     w.byte_align()            # byte_alignment() before slice data
     return w
 
@@ -382,7 +453,13 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
             r.read_flag()
         r.read_ue()
     sh.slice_qp = sp.init_qp + r.read_se()
-    r.byte_align()
+    if sp.tiles_enabled:
+        n = r.read_ue()
+        if n:
+            nbits = r.read_ue() + 1
+            sh.entry_points = tuple(r.read_bits(nbits) + 1
+                                    for _ in range(n))
+    r.read_byte_alignment()  # byte_alignment() before slice data
     return sh
 
 
