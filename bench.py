@@ -12,10 +12,26 @@ Also prints per-stage/per-resolution detail lines to stderr for tracking.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _device_healthy(timeout_s: int = 90) -> bool:
+    """Probe the default JAX device's data plane in a subprocess (a wedged
+    TPU tunnel hangs device->host copies forever; don't let bench hang)."""
+    code = ("import numpy as np, jax;"
+            "v = np.asarray(jax.device_put(np.arange(8)));"
+            "print('ok', v.sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def bench_encode(width: int, height: int, frames: int, qp: int = 32):
@@ -51,6 +67,13 @@ def verify_conformance(width=96, height=64, qp=32) -> bool:
 
 
 def main() -> int:
+    if not _device_healthy():
+        print("WARNING: TPU data plane unresponsive (device->host copies "
+              "hang); falling back to CPU so the benchmark completes. "
+              "CPU numbers are NOT chip numbers.", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     ok = verify_conformance()
     print(f"conformance (encode->decode->hash): {'OK' if ok else 'FAIL'}",
           file=sys.stderr)
