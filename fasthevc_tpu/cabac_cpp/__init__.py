@@ -42,7 +42,7 @@ def build(force: bool = False) -> str:
              or os.path.getmtime(_SO) < os.path.getmtime(_SRC_DEP))
     if force or stale:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
              f"-I{_DIR}", "-o", _SO, _SRC],
             check=True, capture_output=True)
     return _SO
@@ -77,8 +77,8 @@ def _load():
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.hevc_encode_slice.restype = ctypes.c_int
-    lib.hevc_encode_slice.argtypes = [
+    lib.hevc_encode_slice_tiled.restype = ctypes.c_int
+    lib.hevc_encode_slice_tiled.argtypes = [
         u8p, u8p, u8p,                       # src planes
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,bd
         ctypes.c_int, ctypes.c_int, ctypes.c_int,  # qps
@@ -86,9 +86,10 @@ def _load():
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
         i32p,                                # ctx offsets [12]
+        ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         i32p, i32p, i32p,                    # rec planes
         u8p,                                 # payload out
-        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+        i32p]                                # per-tile sizes out
     _lib = lib
     return lib
 
@@ -104,11 +105,14 @@ _OFFSET_ORDER = [
 
 def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         mode_map, ctx: ContextSet, lossless: bool):
-    """Run the C++ slice engine: commit + entropy for one decided I-slice.
+    """Run the C++ slice engine: commit + entropy for one decided I-slice,
+    with tiles executed on parallel threads.
 
     src_planes: (y, cb, cr) int arrays in coded dims.
     depth_map/mode_map: int8 [coded_h/8, coded_w/8] decision maps.
-    Returns (payload_bytes, trail_val, trail_nbits, rec_y, rec_cb, rec_cr).
+    Returns (substreams: list[bytes], rec_y, rec_cb, rec_cr). Each
+    substream is a complete byte-aligned tile substream (incl. trailing
+    alignment) ready to append after the slice header.
     """
     lib = _load()
     w, h = sp.coded_width, sp.coded_height
@@ -125,18 +129,26 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_cb = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_cr = np.zeros((h // 2, w // 2), dtype=np.int32)
-    payload = np.zeros(w * h * 3, dtype=np.uint8)
-    trail = ctypes.c_uint32(0)
-    tbits = ctypes.c_int32(0)
+    payload = np.zeros(w * h * 3 + 4096, dtype=np.uint8)
     dm = np.ascontiguousarray(depth_map, dtype=np.int8)
     mm = np.ascontiguousarray(mode_map, dtype=np.int8)
-    size = lib.hevc_encode_slice(
+    n_tiles = sp.tile_cols * sp.tile_rows
+    col_b = np.asarray(sp.tile_col_bounds(), dtype=np.int32)
+    row_b = np.asarray(sp.tile_row_bounds(), dtype=np.int32)
+    sizes = np.zeros(n_tiles, dtype=np.int32)
+    total = lib.hevc_encode_slice_tiled(
         sy, scb, scr, w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
-        dm.shape[1], states, mps, N_CTX, offsets, rec_y, rec_cb, rec_cr,
-        payload, ctypes.byref(trail), ctypes.byref(tbits))
-    return (payload[:size].tobytes(), trail.value, tbits.value,
-            rec_y, rec_cb, rec_cr)
+        dm.shape[1], states, mps, N_CTX, offsets,
+        sp.tile_cols, sp.tile_rows, col_b, row_b,
+        rec_y, rec_cb, rec_cr, payload, sizes)
+    subs = []
+    off = 0
+    for t in range(n_tiles):
+        subs.append(payload[off:off + int(sizes[t])].tobytes())
+        off += int(sizes[t])
+    assert off == total
+    return subs, rec_y, rec_cb, rec_cr
 
 
 def available() -> bool:

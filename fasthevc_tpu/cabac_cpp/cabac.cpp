@@ -208,6 +208,14 @@ struct Encoder {
     test_write_out();
   }
 
+  // finish + byte_alignment(): append all trailing bits and the stop bit
+  // so `out` is the complete byte-aligned substream.
+  void finish_aligned() {
+    uint32_t trail;
+    int nbits = finish(&trail);
+    out.push_back((uint8_t)((trail << (8 - nbits)) | (0x80u >> nbits)));
+  }
+
   // returns trailing bit count; trailing bits value in *trail
   int finish(uint32_t *trail) {
     if ((low >> (32 - bits_left)) != 0) {

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
 
 #include "cabac.cpp"  // engine + residual coding (single-TU compile unit)
 
@@ -200,8 +201,10 @@ struct Frame {
   int pw(int c) const { return c == 0 ? coded_w : coded_w / 2; }
   int ph(int c) const { return c == 0 ? coded_h : coded_h / 2; }
 
-  bool avail(int xn, int yn, int xc, int yc) const {
+  bool avail(int xn, int yn, int xc, int yc, int tx0, int ty0, int tx1,
+             int ty1) const {
     if (xn < 0 || yn < 0 || xn >= coded_w || yn >= coded_h) return false;
+    if (xn < tx0 || yn < ty0 || xn >= tx1 || yn >= ty1) return false;
     int cs = 1 << log2_ctu;
     int per_row = (coded_w + cs - 1) >> log2_ctu;
     int cn = (yn >> log2_ctu) * per_row + (xn >> log2_ctu);
@@ -215,7 +218,7 @@ struct Frame {
 
 // Fetch + substitute refs. top/left are length 2n+1, corner-first.
 void get_refs(Frame *f, int c_idx, int x0, int y0, int n, int32_t *top,
-              int32_t *left) {
+              int32_t *left, int tx0, int ty0, int tx1, int ty1) {
   int sub = c_idx == 0 ? 0 : 1;
   const int32_t *pl = f->plane(c_idx);
   int w = f->pw(c_idx), h = f->ph(c_idx);
@@ -227,14 +230,14 @@ void get_refs(Frame *f, int c_idx, int x0, int y0, int n, int32_t *top,
   int i = 0;
   for (int yy = 2 * n - 1; yy >= 0; yy--, i++) {
     int xs = x0 - 1, ys = y0 + yy;
-    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+    if (f->avail(xs << sub, ys << sub, xl, yl, tx0, ty0, tx1, ty1)) {
       vals[i] = pl[(ys < h ? ys : h - 1) * w + xs];
       av[i] = 1;
     }
   }
   {
     int xs = x0 - 1, ys = y0 - 1;
-    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+    if (f->avail(xs << sub, ys << sub, xl, yl, tx0, ty0, tx1, ty1)) {
       vals[i] = pl[ys * w + xs];
       av[i] = 1;
     }
@@ -242,7 +245,7 @@ void get_refs(Frame *f, int c_idx, int x0, int y0, int n, int32_t *top,
   }
   for (int xx = 0; xx < 2 * n; xx++, i++) {
     int xs = x0 + xx, ys = y0 - 1;
-    if (f->avail(xs << sub, ys << sub, xl, yl)) {
+    if (f->avail(xs << sub, ys << sub, xl, yl, tx0, ty0, tx1, ty1)) {
       vals[i] = pl[ys * w + (xs < w ? xs : w - 1)];
       av[i] = 1;
     }
@@ -373,8 +376,9 @@ void predict(int mode, const int32_t *top, const int32_t *left, int n,
 
 // ---- CU syntax + commit ---------------------------------------------------
 struct SliceEnc {
-  Frame f;
+  Frame *f;
   Encoder *e;
+  int tx0 = 0, ty0 = 0, tx1 = 1 << 20, ty1 = 1 << 20;  // tile rect (luma)
   int qp_y, qp_cb, qp_cr;
   bool lossless, bypass_enabled;
   int log2_min_cu = 3, log2_max_tu = 5;
@@ -389,25 +393,26 @@ struct SliceEnc {
 
 int split_ctx(SliceEnc *s, int x, int y, int depth) {
   int ctx = 0;
-  Frame &f = s->f;
-  if (x > 0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
+  Frame &f = *s->f;
+  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
       f.gdepth[(y >> 2) * f.gw + ((x - 1) >> 2)] > depth)
     ctx++;
-  if (y > 0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
+  if (y > s->ty0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
       f.gdepth[((y - 1) >> 2) * f.gw + (x >> 2)] > depth)
     ctx++;
   return ctx;
 }
 
 void mpm_candidates(SliceEnc *s, int x, int y, int cands[3]) {
-  Frame &f = s->f;
+  Frame &f = *s->f;
   int a = 1, b = 1;  // DC default
-  if (x > 0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)]) {
+  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)]) {
     int m = f.gmode[(y >> 2) * f.gw + ((x - 1) >> 2)];
     if (m >= 0) a = m;
   }
   bool above_in_ctu = (y & ((1 << f.log2_ctu) - 1)) != 0;
-  if (y > 0 && above_in_ctu && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)]) {
+  if (y > s->ty0 && above_in_ctu &&
+      f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)]) {
     int m = f.gmode[((y - 1) >> 2) * f.gw + (x >> 2)];
     if (m >= 0) b = m;
   }
@@ -429,7 +434,7 @@ void mpm_candidates(SliceEnc *s, int x, int y, int cands[3]) {
 }
 
 void set_cu(SliceEnc *s, int x, int y, int size, int depth, int mode) {
-  Frame &f = s->f;
+  Frame &f = *s->f;
   for (int gy = y >> 2; gy < (y + size) >> 2; gy++)
     for (int gx = x >> 2; gx < (x + size) >> 2; gx++) {
       f.gdepth[gy * f.gw + gx] = (int8_t)depth;
@@ -441,11 +446,12 @@ void set_cu(SliceEnc *s, int x, int y, int size, int depth, int mode) {
 // one transform block: predict, residual, TQ, recon; returns cbf
 bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
                int32_t *levels_out) {
-  Frame &f = s->f;
+  Frame &f = *s->f;
   int n = 1 << lg;
   int w = f.pw(c_idx);
   int32_t top[65], left[65], ftop[65], fleft[65];
-  get_refs(&f, c_idx, x, y, n, top, left);
+  get_refs(&f, c_idx, x, y, n, top, left, s->tx0, s->ty0,
+           s->tx1, s->ty1);
   const int32_t *ut = top, *ul = left;
   if (c_idx == 0 && should_filter(mode, n, true)) {
     filter_refs(top, left, n, ftop, fleft);
@@ -503,7 +509,7 @@ int scan_for(int lg, int c_idx, int mode) {
 }
 
 void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
-  Frame &f = s->f;
+  Frame &f = *s->f;
   Encoder *e = s->e;
   // the decided mode is in the map at the CU origin
   int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
@@ -569,7 +575,7 @@ void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
 }
 
 void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
-  Frame &f = s->f;
+  Frame &f = *s->f;
   int size = 1 << lg;
   bool inside = (x + size <= f.coded_w) && (y + size <= f.coded_h);
   bool split;
@@ -597,9 +603,14 @@ void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
 
 extern "C" {
 
-// Encode a full decided I-slice: commit + entropy. Returns payload size.
-// rec planes are int32 caller buffers; payload buffer must be large enough.
-int hevc_encode_slice(
+// Encode a full decided slice (I, intra tools): commit + entropy, with
+// optional tiles. Tiles are independent after decisions (per-tile CABAC
+// reset, tile-gated availability) and run on parallel threads.
+//
+// tile_col_bounds: [n_tile_cols+1] CTU-column bounds; tile_row_bounds:
+// [n_tile_rows+1]. tile_sizes (out): per-tile substream byte size; the
+// payload buffer receives the byte-aligned substreams back to back.
+int hevc_encode_slice_tiled(
     const uint8_t *src_y, const uint8_t *src_cb, const uint8_t *src_cr,
     int coded_w, int coded_h, int log2_ctu, int bit_depth, int qp_y,
     int qp_cb, int qp_cr, int lossless, int bypass_enabled,
@@ -608,70 +619,109 @@ int hevc_encode_slice(
     const int32_t *ctx_offsets,  // [12]: last,csbf,sig,gt1,gt2,split,bypass,
                                  //        part,prev_intra,chroma,cbf_luma,
                                  //        cbf_chroma
+    int n_tile_cols, int n_tile_rows, const int32_t *tile_col_bounds,
+    const int32_t *tile_row_bounds,
     int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr, uint8_t *payload,
-    uint32_t *trail_val, int32_t *trail_bits) {
+    int32_t *tile_sizes) {
   init_transforms();
   init_scans();
-  SliceEnc s;
-  s.f.coded_w = coded_w;
-  s.f.coded_h = coded_h;
-  s.f.log2_ctu = log2_ctu;
-  s.f.bit_depth = bit_depth;
-  s.f.y.assign(coded_w * coded_h, 0);
-  s.f.cb.assign(coded_w * coded_h / 4, 0);
-  s.f.cr.assign(coded_w * coded_h / 4, 0);
-  s.f.gw = coded_w >> 2;
-  s.f.gh = coded_h >> 2;
-  s.f.gdepth.assign(s.f.gw * s.f.gh, -1);
-  s.f.gmode.assign(s.f.gw * s.f.gh, -1);
-  s.f.gcoded.assign(s.f.gw * s.f.gh, 0);
-  s.qp_y = qp_y;
-  s.qp_cb = qp_cb;
-  s.qp_cr = qp_cr;
-  s.lossless = lossless;
-  s.bypass_enabled = bypass_enabled;
-  s.src_y = src_y;
-  s.src_cb = src_cb;
-  s.src_cr = src_cr;
-  s.depth_map = depth_map;
-  s.mode_map = mode_map;
-  s.dm_w = dm_w;
+  Frame f;
+  f.coded_w = coded_w;
+  f.coded_h = coded_h;
+  f.log2_ctu = log2_ctu;
+  f.bit_depth = bit_depth;
+  f.y.assign(coded_w * coded_h, 0);
+  f.cb.assign(coded_w * coded_h / 4, 0);
+  f.cr.assign(coded_w * coded_h / 4, 0);
+  f.gw = coded_w >> 2;
+  f.gh = coded_h >> 2;
+  f.gdepth.assign(f.gw * f.gh, -1);
+  f.gmode.assign(f.gw * f.gh, -1);
+  f.gcoded.assign(f.gw * f.gh, 0);
 
-  Encoder enc;
-  enc.state.assign(ctx_states, ctx_states + n_ctx);
-  enc.mps.assign(ctx_mps, ctx_mps + n_ctx);
-  enc.off = {ctx_offsets[0], ctx_offsets[1], ctx_offsets[2], ctx_offsets[3],
-             ctx_offsets[4]};
-  enc.out.reserve(coded_w * coded_h / 2);
-  s.e = &enc;
-  s.off_split = ctx_offsets[5];
-  s.off_bypassflag = ctx_offsets[6];
-  s.off_part = ctx_offsets[7];
-  s.off_prev_intra = ctx_offsets[8];
-  s.off_chroma_mode = ctx_offsets[9];
-  s.off_cbf_luma = ctx_offsets[10];
-  s.off_cbf_chroma = ctx_offsets[11];
+  const int cs = 1 << log2_ctu;
+  const int n_tiles = n_tile_cols * n_tile_rows;
+  const bool tiled = n_tiles > 1;
+  std::vector<Encoder> encs(n_tiles);
+  std::vector<SliceEnc> ses(n_tiles);
 
-  int cs = 1 << log2_ctu;
-  int n_ctu_x = (coded_w + cs - 1) / cs;
-  int n_ctu_y = (coded_h + cs - 1) / cs;
-  int n_ctus = n_ctu_x * n_ctu_y;
-  int i = 0;
-  for (int cy = 0; cy < coded_h; cy += cs)
-    for (int cx = 0; cx < coded_w; cx += cs) {
-      encode_cq(&s, cx, cy, log2_ctu, 0);
-      i++;
-      enc.encode_terminate(i == n_ctus ? 1 : 0);
+  auto run_tile = [&](int t) {
+    int tc = t % n_tile_cols, tr = t / n_tile_cols;
+    SliceEnc &se = ses[t];
+    Encoder &enc = encs[t];
+    enc.state.assign(ctx_states, ctx_states + n_ctx);
+    enc.mps.assign(ctx_mps, ctx_mps + n_ctx);
+    enc.off = {ctx_offsets[0], ctx_offsets[1], ctx_offsets[2],
+               ctx_offsets[3], ctx_offsets[4]};
+    enc.out.reserve(1 << 16);
+    se.f = &f;
+    se.e = &enc;
+    se.qp_y = qp_y;
+    se.qp_cb = qp_cb;
+    se.qp_cr = qp_cr;
+    se.lossless = lossless;
+    se.bypass_enabled = bypass_enabled;
+    se.src_y = src_y;
+    se.src_cb = src_cb;
+    se.src_cr = src_cr;
+    se.depth_map = depth_map;
+    se.mode_map = mode_map;
+    se.dm_w = dm_w;
+    se.off_split = ctx_offsets[5];
+    se.off_bypassflag = ctx_offsets[6];
+    se.off_part = ctx_offsets[7];
+    se.off_prev_intra = ctx_offsets[8];
+    se.off_chroma_mode = ctx_offsets[9];
+    se.off_cbf_luma = ctx_offsets[10];
+    se.off_cbf_chroma = ctx_offsets[11];
+    if (tiled) {
+      se.tx0 = tile_col_bounds[tc] * cs;
+      se.ty0 = tile_row_bounds[tr] * cs;
+      se.tx1 = tile_col_bounds[tc + 1] * cs;
+      if (se.tx1 > coded_w) se.tx1 = coded_w;
+      se.ty1 = tile_row_bounds[tr + 1] * cs;
+      if (se.ty1 > coded_h) se.ty1 = coded_h;
+    } else {
+      se.tx0 = 0; se.ty0 = 0; se.tx1 = coded_w; se.ty1 = coded_h;
     }
-  uint32_t trail;
-  int tbits = enc.finish(&trail);
-  *trail_val = trail;
-  *trail_bits = tbits;
-  std::memcpy(payload, enc.out.data(), enc.out.size());
-  std::memcpy(rec_y, s.f.y.data(), sizeof(int32_t) * coded_w * coded_h);
-  std::memcpy(rec_cb, s.f.cb.data(), sizeof(int32_t) * coded_w * coded_h / 4);
-  std::memcpy(rec_cr, s.f.cr.data(), sizeof(int32_t) * coded_w * coded_h / 4);
-  return (int)enc.out.size();
+    // CTUs of this tile, raster within tile
+    int first_cx = tile_col_bounds[tc] * cs;
+    int last_cx = tile_col_bounds[tc + 1] * cs;
+    int first_cy = tile_row_bounds[tr] * cs;
+    int last_cy = tile_row_bounds[tr + 1] * cs;
+    bool is_last_tile = (t == n_tiles - 1);
+    for (int cy = first_cy; cy < last_cy && cy < coded_h; cy += cs)
+      for (int cx = first_cx; cx < last_cx && cx < coded_w; cx += cs) {
+        encode_cq(&se, cx, cy, log2_ctu, 0);
+        bool last_ctu = (cy + cs >= last_cy || cy + cs >= coded_h) &&
+                        (cx + cs >= last_cx || cx + cs >= coded_w);
+        bool last_of_slice = is_last_tile && last_ctu;
+        enc.encode_terminate(last_of_slice ? 1 : 0);
+        if (last_ctu && !last_of_slice)
+          enc.encode_terminate(1);  // end_of_subset_one_bit
+      }
+    enc.finish_aligned();
+  };
+
+  if (tiled) {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_tiles; t++)
+      threads.emplace_back(run_tile, t);
+    for (auto &th : threads) th.join();
+  } else {
+    run_tile(0);
+  }
+
+  size_t off = 0;
+  for (int t = 0; t < n_tiles; t++) {
+    std::memcpy(payload + off, encs[t].out.data(), encs[t].out.size());
+    tile_sizes[t] = (int32_t)encs[t].out.size();
+    off += encs[t].out.size();
+  }
+  std::memcpy(rec_y, f.y.data(), sizeof(int32_t) * coded_w * coded_h);
+  std::memcpy(rec_cb, f.cb.data(), sizeof(int32_t) * coded_w * coded_h / 4);
+  std::memcpy(rec_cr, f.cr.data(), sizeof(int32_t) * coded_w * coded_h / 4);
+  return (int)off;
 }
 
 }  // extern "C"

@@ -75,6 +75,15 @@ class TpuEncoder:
         if cfg.fast_partition and partition_params is None:
             raise ValueError("fast_partition requires partition_params "
                              "(train via models.train_self_distilled)")
+        if self.sp.tiles_enabled:
+            if _native_engine() is None:
+                raise NotImplementedError(
+                    "TpuEncoder tiles need the native slice engine "
+                    "(C++ toolchain); use SpecEncoder otherwise")
+            if cfg.gop and cfg.intra_period != 1:
+                raise NotImplementedError(
+                    "TpuEncoder tiles are all-intra for now "
+                    "(P-frame native commit pending)")
 
     def _apply_fast_partition(self, dec, y_pad, pw, ph):
         """Replace the DP split decisions with the CNN's partition map."""
@@ -146,17 +155,15 @@ class TpuEncoder:
         depth_map = np.ascontiguousarray(depth_map[:gh, :gw])
         mode_map = np.ascontiguousarray(mode_map[:gh, :gw])
         qp_y, qp_cb, qp_cr = tu_qps(sp, cfg.qp)
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True)
+        substreams, ry, rcb, rcr = native.encode_slice_native(
+            (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
+            depth_map, mode_map, ContextSet(0, cfg.qp), cfg.lossless)
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True,
+                         entry_points=tuple(len(s) for s in
+                                            substreams[:-1]))
         w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
-        payload, trail_val, trail_bits, ry, rcb, rcr = \
-            native.encode_slice_native(
-                (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
-                depth_map, mode_map, ContextSet(0, cfg.qp), cfg.lossless)
-        for b in payload:
-            w.write_bits(b, 8)
-        if trail_bits:
-            w.write_bits(trail_val, trail_bits)
-        w.byte_align()
+        for s_bytes in substreams:
+            w.append_bytes(s_bytes)
         planes = Planes(sp)
         planes.y[:] = ry
         planes.cb[:] = rcb

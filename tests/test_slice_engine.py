@@ -64,3 +64,28 @@ def test_native_stream_decodes():
     for pic, rec in zip(pics, recons):
         assert pic.hash_ok is True
         np.testing.assert_array_equal(pic.planes.y, rec.y)
+
+
+def test_native_tiled_parallel():
+    """Tiled native engine: threaded per-tile substreams decode with hash
+    OK and match the SpecEncoder tile semantics."""
+    cfg = EncoderConfig(width=128, height=96, qp=33, frames=2, tile_cols=2,
+                        tile_rows=2)
+    frames = synthesize_yuv(128, 96, 2, seed=77)
+    stream, recons = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == 2
+    for pic, rec in zip(pics, recons):
+        assert pic.hash_ok is True
+        np.testing.assert_array_equal(pic.planes.y, rec.y)
+        np.testing.assert_array_equal(pic.planes.cb, rec.cb)
+
+
+def test_native_tiled_vs_untiled_streams_differ():
+    cfg1 = EncoderConfig(width=128, height=64, qp=32, frames=1)
+    cfg2 = cfg1.replace(tile_cols=2)
+    frames = synthesize_yuv(128, 64, 1, seed=78)
+    s1, _ = TpuEncoder(cfg1).encode(frames)
+    s2, _ = TpuEncoder(cfg2).encode(frames)
+    assert s1 != s2
+    assert len(s2) < len(s1) * 1.3
