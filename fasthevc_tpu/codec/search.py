@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cost import satd
+from ..ops.cost import level_rate_proxy, satd, sse
 from ..ops.intra import grid_refs, predict_all_modes
+from ..ops.transform import tq_roundtrip
 
 
 def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -41,13 +42,23 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
     y_plane: [H, W] int32 luma (coded dims, multiples of CTU).
     lambda_sqrt: scalar f32, sqrt of the RD lambda (SATD domain).
 
+    Two-stage per block size: (1) SATD over all 35 modes picks the mode;
+    (2) the chosen mode's residual goes through the real T/Q/IQ/IT
+    pipeline, giving true distortion (SSE) + a CABAC level-rate proxy.
+    The quadtree DP then compares commensurable D+lambda*R costs across
+    sizes (SATD alone misbalances large-vs-small blocks).
+
     Returns dict of per-depth arrays (block raster order at each size):
       mode{n}:  [B_n] best mode per n-block
       cost{n}:  [B_n] DP cost per n-block (after considering splits)
       split{n}: [B_n] bool, split decision at that node (n > min size)
+      rawcost{n}: [B_n] per-block leaf cost before the DP
     """
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    lam = lambda_sqrt * lambda_sqrt  # SSE-domain lambda
+    qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)  # invert lambda(qp)
+    qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     modes, costs = {}, {}
     for n in sizes:
         lg = n.bit_length() - 1
@@ -62,27 +73,32 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
         preds = predict_all_modes(top, left, plg, True)   # [B,35,pn,pn]
         src = _blocks(y_plane, n)[:, :pn, :pn]
         d = satd(src[:, None] - preds)                    # [B,35]
-        if pn != n:
-            d = d * 4  # scale quadrant SATD to full-block magnitude
-        # mode rate proxy: ~2.5 bits MPM-ish average, flat across modes
-        cost = d.astype(jnp.float32) + lambda_sqrt * 2.5
-        modes[n] = jnp.argmin(cost, axis=1).astype(jnp.int32)
-        costs[n] = jnp.min(cost, axis=1)
+        cost_rmd = d.astype(jnp.float32) + lambda_sqrt * 2.5
+        best_mode = jnp.argmin(cost_rmd, axis=1).astype(jnp.int32)
+        modes[n] = best_mode
+        # stage 2: true RD for the chosen mode
+        bsel = jnp.take_along_axis(
+            preds, best_mode[:, None, None, None], axis=1)[:, 0]
+        res = src - bsel
+        levels, rq = tq_roundtrip(res, qp_i, plg)
+        dist = sse(res, rq).astype(jnp.float32)
+        rate = level_rate_proxy(levels)
+        scale = 4.0 if pn != n else 1.0  # quadrant proxy for 64-blocks
+        costs[n] = scale * (dist + lam * rate)
     raw_costs = dict(costs)  # per-block costs before the DP (P search uses)
 
-    # Quadtree DP bottom-up. Per-CU overhead proxy: coding a CU costs
-    # ~(mode+cbf+part) ~ 5 bits; a split adds 4 CU overheads + split flag.
+    # Quadtree DP bottom-up. Per-CU overhead: mode+cbf+part ~ 5 bits;
+    # a split adds the split flag + 4x CU overheads (in the leaf costs).
     out = {}
-    gy, gx = h // sizes[0], w // sizes[0]
-    dp = costs[sizes[0]] + lambda_sqrt * 5.0
+    dp = costs[sizes[0]] + lam * 5.0
     out[f"mode{sizes[0]}"] = modes[sizes[0]]
     for n in sizes[1:]:
         gy, gx = h // n, w // n
         child = dp.reshape(gy, 2, gx, 2)  # children in 2x2 groups
         sum_child = child.sum(axis=(1, 3)).reshape(-1)
-        self_cost = costs[n] + lambda_sqrt * 5.0
-        split = sum_child + lambda_sqrt * 1.0 < self_cost
-        dp = jnp.where(split, sum_child + lambda_sqrt * 1.0, self_cost)
+        self_cost = costs[n] + lam * 5.0
+        split = sum_child + lam * 1.0 < self_cost
+        dp = jnp.where(split, sum_child + lam * 1.0, self_cost)
         out[f"mode{n}"] = modes[n]
         out[f"split{n}"] = split
         out[f"cost{n}"] = dp
@@ -106,20 +122,49 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    lam = lambda_sqrt * lambda_sqrt
+    qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
+    qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
                                    log2_min_cu)
     inter_costs = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
                                      log2_ctu, log2_min_cu, search_range)
+
+    def inter_rd(n, mv):
+        """True-RD leaf cost for the best integer MV of each n-block."""
+        lg = n.bit_length() - 1
+        gy, gx = h // n, w // n
+        oy = (jnp.arange(gy) * n)[:, None].repeat(gx, 1).reshape(-1)
+        ox = (jnp.arange(gx) * n)[None, :].repeat(gy, 0).reshape(-1)
+        rows = jnp.clip(oy[:, None] + (mv[:, 1] >> 2)[:, None]
+                        + jnp.arange(n)[None, :], 0, h - 1)
+        cols = jnp.clip(ox[:, None] + (mv[:, 0] >> 2)[:, None]
+                        + jnp.arange(n)[None, :], 0, w - 1)
+        pred = ref_plane[rows[:, :, None], cols[:, None, :]]
+        res = _blocks(y_plane, n) - pred
+        pn = min(n, 32)
+        res = res[:, :pn, :pn]
+        levels, rq = tq_roundtrip(res, qp_i, pn.bit_length() - 1,
+                                  is_intra=False)
+        dist = sse(res, rq).astype(jnp.float32)
+        rate = level_rate_proxy(levels)
+        mv_rate = 4.0 + 2.0 * jnp.log2(
+            1.0 + (jnp.abs(mv[:, 0]) + jnp.abs(mv[:, 1])).astype(
+                jnp.float32))
+        scale = 4.0 if pn != n else 1.0
+        return scale * (dist + lam * (rate + mv_rate))
+
     out = {}
     for n in sizes:
         out[f"mode{n}"] = intra_dec[f"mode{n}"]
         out[f"mv{n}"] = inter_costs[n][1]
     dp = None
     for i, n in enumerate(sizes):
-        icost, _ = inter_costs[n]
+        _, mv = inter_costs[n]
+        icost = inter_rd(n, mv)
         raw_intra = intra_dec[f"rawcost{n}"]
         use_inter = icost < raw_intra
-        leaf = jnp.minimum(icost, raw_intra) + lambda_sqrt * 5.0
+        leaf = jnp.minimum(icost, raw_intra) + lam * 5.0
         out[f"inter{n}"] = use_inter
         if i == 0:
             dp = leaf
@@ -127,8 +172,8 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
         gy, gx = h // n, w // n
         child = dp.reshape(gy, 2, gx, 2)
         sum_child = child.sum(axis=(1, 3)).reshape(-1)
-        split = sum_child + lambda_sqrt * 1.0 < leaf
-        dp = jnp.where(split, sum_child + lambda_sqrt * 1.0, leaf)
+        split = sum_child + lam * 1.0 < leaf
+        dp = jnp.where(split, sum_child + lam * 1.0, leaf)
         out[f"split{n}"] = split
     return out
 

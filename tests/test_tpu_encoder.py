@@ -58,9 +58,10 @@ def test_tpu_quality_near_golden():
                              96, 64)
     p_t = psnr(frames[0][0], ty)
     p_g = psnr(frames[0][0], gy)
-    # Allow up to 2 dB PSNR deficit and 40% bitrate overhead vs golden.
-    # Current gap ~1.6 dB (source-referenced search, SATD-only mode choice);
-    # tightening this bound is a tracked search-quality work item.
-    assert p_t > p_g - 2.0, (p_t, p_g)
-    assert len(t_stream) < len(g_stream) * 1.4, (len(t_stream),
-                                                 len(g_stream))
+    # Allow up to 1.2 dB PSNR deficit and 15% bitrate overhead vs golden.
+    # Current: ~0.8 dB at ~5% LOWER rate (two-stage search: SATD mode pick
+    # + true transform-domain D+lambda*R leaf costs); remaining gap is the
+    # source-referenced prediction in search.
+    assert p_t > p_g - 1.2, (p_t, p_g)
+    assert len(t_stream) < len(g_stream) * 1.15, (len(t_stream),
+                                                  len(g_stream))
