@@ -125,7 +125,7 @@ class TpuEncoder:
             if is_idr:
                 last_idr = poc
             cvs_poc = poc - last_idr
-            refs = [] if is_idr else [dpb[-1]]
+            refs = ([], []) if is_idr else ([dpb[-1]], [])
             nal_bytes, planes = self.encode_frame(frame, poc=cvs_poc,
                                                   is_idr=is_idr, refs=refs)
             out += nal_bytes
@@ -178,13 +178,13 @@ class TpuEncoder:
         return nal, planes
 
     def encode_frame(self, frame, poc: int = 0, is_idr: bool = True,
-                     refs=()):
+                     refs=((), ())):
         import jax
         import jax.numpy as jnp
 
         sp = self.sp
         cfg = self.cfg
-        self.refs = list(refs)
+        self.refs = refs
         y, cb, cr = frame
         src = Planes(sp)
         src.y[:] = pad_plane(np.asarray(y, np.int32), sp.coded_height,
@@ -199,13 +199,13 @@ class TpuEncoder:
         pw = -(-sp.coded_width // ctu_size) * ctu_size
         ph = -(-sp.coded_height // ctu_size) * ctu_size
         y_pad = pad_plane(src.y, ph, pw)
-        if is_idr or not refs:
+        if is_idr or not refs[0]:
             dec = search_intra_frame(jnp.asarray(y_pad),
                                      jnp.float32(self.lambda_sqrt),
                                      sp.log2_ctu, sp.log2_min_cu)
         else:
             from .search import search_p_frame
-            ref_pad = pad_plane(refs[0].y, ph, pw)
+            ref_pad = pad_plane(refs[0][0].y, ph, pw)
             dec = search_p_frame(jnp.asarray(y_pad), jnp.asarray(ref_pad),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu,
@@ -303,28 +303,29 @@ class TpuEncoder:
                       qp_y, qp_cb, qp_cr) -> CuDecision:
         """Commit an inter leaf: merge/AMVP selection, residual TQ, recon."""
         from ..spec import inter as inter_mod
-        from ..spec.mc import mc_cu
+        from ..spec.inter import DIR_L0, Motion
+        from ..spec.mc import mc_cu_motion
 
         n = 1 << lg
-        cu = CuDecision(split=False, is_inter=True, mv=(int(mv[0]),
-                                                        int(mv[1])),
-                        ref_idx=0, bypass=self.cfg.lossless)
+        motion = Motion(DIR_L0, (int(mv[0]), int(mv[1])), 0)
+        cu = CuDecision(split=False, is_inter=True, motion=motion,
+                        bypass=self.cfg.lossless)
         merge_cands = inter_mod.merge_candidates(maps, maps.motion, x, y, n)
-        key = (cu.mv[0], cu.mv[1], 0)
-        if key in merge_cands:
+        if motion in merge_cands:
             cu.merge_flag = True
-            cu.merge_idx = merge_cands.index(key)
+            cu.merge_idx = merge_cands.index(motion)
         else:
-            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, n)
-            b0 = abs(cu.mv[0] - amvp[0][0]) + abs(cu.mv[1] - amvp[0][1])
-            b1 = abs(cu.mv[0] - amvp[1][0]) + abs(cu.mv[1] - amvp[1][1])
+            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, n, 0)
+            mv0 = motion.mv0
+            b0 = abs(mv0[0] - amvp[0][0]) + abs(mv0[1] - amvp[0][1])
+            b1 = abs(mv0[0] - amvp[1][0]) + abs(mv0[1] - amvp[1][1])
             cu.mvp_flag = 0 if b0 <= b1 else 1
             p = amvp[cu.mvp_flag]
-            cu.mvd = (cu.mv[0] - p[0], cu.mv[1] - p[1])
+            cu.mvd = (mv0[0] - p[0], mv0[1] - p[1])
 
         # residual TQ per component (TU == CU; 64 handled by forced split)
-        pred_y, pred_cb, pred_cr = mc_cu(self.refs[0], x, y, n, cu.mv,
-                                         sp.bit_depth)
+        pred_y, pred_cb, pred_cr = mc_cu_motion(
+            motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
         n_tus = 4 if lg > sp.log2_max_tu else 1
         tlg = lg - 1 if n_tus == 4 else lg
         half = n >> 1
@@ -369,7 +370,7 @@ class TpuEncoder:
         maps.set_cu(x, y, n, depth, -1)
         maps.set_skip(x, y, n, cu.skip)
         cbf_y = any(t.levels_y is not None for t in cu.tus)
-        maps.motion.set_cu(x, y, n, cu.mv, 0, cbf_y)
+        maps.motion.set_cu(x, y, n, cu.motion, cbf_y)
         return cu
 
     def _commit_tu(self, src, planes, sp, x, y, lg, cu, qp_y, qp_cb,

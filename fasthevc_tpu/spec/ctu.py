@@ -43,15 +43,16 @@ class CuDecision:
     chroma_mode: int = CHROMA_DM
     bypass: bool = False          # cu_transquant_bypass
     tus: list = field(default_factory=list)  # 1 TU, or 4 for 64x64 CU
-    # inter fields (P slices; PU == CU, list 0, single active ref)
+    # inter fields (P/B slices; PU == CU, one active ref per list)
     is_inter: bool = False
     skip: bool = False            # cu_skip_flag (merge + no residual)
     merge_flag: bool = False
     merge_idx: int = 0
-    mv: tuple = (0, 0)            # final MV, quarter-pel
-    mvd: tuple = (0, 0)
+    motion: object = None         # inter.Motion (dir + per-list mv/ref)
+    mvd: tuple = (0, 0)           # L0 mvd (non-merge)
+    mvd_l1: tuple = (0, 0)
     mvp_flag: int = 0
-    ref_idx: int = 0
+    mvp_flag_l1: int = 0
 
 
 class FrameMaps:
@@ -291,6 +292,7 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
     from . import inter as inter_mod
 
     size = 1 << log2_size
+    is_b = slice_type == 0  # SLICE_B
     if slice_type != SLICE_I:
         coder.encode_bin("cu_skip_flag", maps.neighbor_skip(x, y),
                          int(cu.skip))
@@ -298,7 +300,7 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
             _encode_merge_idx(coder, cu.merge_idx)
             maps.set_cu(x, y, size, depth, -1)
             maps.set_skip(x, y, size, True)
-            maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, False)
+            maps.motion.set_cu(x, y, size, cu.motion, False)
             return
     if sp.transquant_bypass_enabled:
         coder.encode_bin("cu_transquant_bypass_flag", 0, int(cu.bypass))
@@ -310,9 +312,16 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
         if cu.merge_flag:
             _encode_merge_idx(coder, cu.merge_idx)
         else:
-            # P slice: no inter_pred_idc; single ref: no ref_idx
-            inter_mod.encode_mvd(coder, cu.mvd[0], cu.mvd[1])
-            coder.encode_bin("mvp_flag", 0, cu.mvp_flag)
+            m = cu.motion
+            if is_b:
+                inter_mod.encode_inter_pred_idc(coder, m.inter_dir, depth)
+            # single active ref per list: no ref_idx
+            if m.inter_dir & inter_mod.DIR_L0:
+                inter_mod.encode_mvd(coder, cu.mvd[0], cu.mvd[1])
+                coder.encode_bin("mvp_flag", 0, cu.mvp_flag)
+            if m.inter_dir & inter_mod.DIR_L1:
+                inter_mod.encode_mvd(coder, cu.mvd_l1[0], cu.mvd_l1[1])
+                coder.encode_bin("mvp_flag", 0, cu.mvp_flag_l1)
         cbf_any = any(tu.levels_y is not None or tu.levels_cb is not None
                       or tu.levels_cr is not None for tu in cu.tus)
         if not cu.merge_flag:
@@ -322,7 +331,7 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
         maps.set_cu(x, y, size, depth, -1)
         maps.set_skip(x, y, size, False)
         cbf_y = any(tu.levels_y is not None for tu in cu.tus)
-        maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, cbf_y)
+        maps.motion.set_cu(x, y, size, cu.motion, cbf_y)
         return
     _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth, cu,
                           slice_type)
@@ -456,6 +465,7 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
     from . import inter as inter_mod
 
     size = 1 << log2_size
+    is_b = slice_type == 0  # SLICE_B
     if slice_type != SLICE_I:
         cu.skip = bool(dec.decode_bin("cu_skip_flag",
                                       maps.neighbor_skip(x, y)))
@@ -463,14 +473,14 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
             cu.is_inter = True
             cu.merge_flag = True
             cu.merge_idx = _decode_merge_idx(dec)
-            cands = inter_mod.merge_candidates(maps, maps.motion, x, y, size)
-            mvx, mvy, ref_idx = cands[cu.merge_idx]
-            cu.mv, cu.ref_idx = (mvx, mvy), ref_idx
+            cands = inter_mod.merge_candidates(maps, maps.motion, x, y,
+                                               size, is_b)
+            cu.motion = cands[cu.merge_idx]
             _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
                                   slice_qp)
             maps.set_cu(x, y, size, depth, -1)
             maps.set_skip(x, y, size, True)
-            maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, False)
+            maps.motion.set_cu(x, y, size, cu.motion, False)
             return
     if sp.transquant_bypass_enabled:
         cu.bypass = bool(dec.decode_bin("cu_transquant_bypass_flag", 0))
@@ -482,17 +492,31 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
         cu.merge_flag = bool(dec.decode_bin("merge_flag", 0))
         if cu.merge_flag:
             cu.merge_idx = _decode_merge_idx(dec)
-            cands = inter_mod.merge_candidates(maps, maps.motion, x, y, size)
-            mvx, mvy, ref_idx = cands[cu.merge_idx]
-            cu.mv, cu.ref_idx = (mvx, mvy), ref_idx
+            cands = inter_mod.merge_candidates(maps, maps.motion, x, y,
+                                               size, is_b)
+            cu.motion = cands[cu.merge_idx]
             cbf_any = True  # rqt_root_cbf inferred 1
         else:
-            cu.mvd = inter_mod.decode_mvd(dec)
-            cu.mvp_flag = dec.decode_bin("mvp_flag", 0)
-            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, size)
-            pred = amvp[cu.mvp_flag]
-            cu.mv = (pred[0] + cu.mvd[0], pred[1] + cu.mvd[1])
-            cu.ref_idx = 0
+            inter_dir = inter_mod.decode_inter_pred_idc(dec, depth)                 if is_b else inter_mod.DIR_L0
+            mv0 = mv1 = (0, 0)
+            r0 = r1 = -1
+            if inter_dir & inter_mod.DIR_L0:
+                cu.mvd = inter_mod.decode_mvd(dec)
+                cu.mvp_flag = dec.decode_bin("mvp_flag", 0)
+                amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
+                                                 size, 0)
+                p = amvp[cu.mvp_flag]
+                mv0 = (p[0] + cu.mvd[0], p[1] + cu.mvd[1])
+                r0 = 0
+            if inter_dir & inter_mod.DIR_L1:
+                cu.mvd_l1 = inter_mod.decode_mvd(dec)
+                cu.mvp_flag_l1 = dec.decode_bin("mvp_flag", 0)
+                amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
+                                                 size, 1)
+                p = amvp[cu.mvp_flag_l1]
+                mv1 = (p[0] + cu.mvd_l1[0], p[1] + cu.mvd_l1[1])
+                r1 = 0
+            cu.motion = inter_mod.Motion(inter_dir, mv0, r0, mv1, r1)
             cbf_any = bool(dec.decode_bin("rqt_root_cbf", 0))
         if cbf_any:
             _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu)
@@ -501,7 +525,7 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
         maps.set_cu(x, y, size, depth, -1)
         maps.set_skip(x, y, size, False)
         cbf_y = any(tu.levels_y is not None for tu in cu.tus)
-        maps.motion.set_cu(x, y, size, cu.mv, cu.ref_idx, cbf_y)
+        maps.motion.set_cu(x, y, size, cu.motion, cbf_y)
         return
     if log2_size == sp.log2_min_cu:
         part = dec.decode_bin("part_mode", 0)
@@ -564,13 +588,16 @@ def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
 
 def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
                           slice_qp) -> None:
-    """MC prediction + residual reconstruction for an inter CU."""
-    from .mc import mc_cu
+    """MC prediction + residual reconstruction for an inter CU.
+
+    refs: (refs_l0, refs_l1) lists of Planes."""
+    from .mc import mc_cu_motion
 
     size = 1 << log2_size
     qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
-    ref = refs[cu.ref_idx]
-    pred_y, pred_cb, pred_cr = mc_cu(ref, x, y, size, cu.mv, sp.bit_depth)
+    refs_l0, refs_l1 = refs
+    pred_y, pred_cb, pred_cr = mc_cu_motion(cu.motion, refs_l0, refs_l1,
+                                            x, y, size, sp.bit_depth)
     max_val = (1 << sp.bit_depth) - 1
 
     def add_residual(pred, levels, qp, bypass):

@@ -176,11 +176,11 @@ def _segment_bs(maps, vert: bool, y4: np.ndarray, g8: np.ndarray):
     else:
         py, px = g8 * 2 - 1, y4
         qy, qx = g8 * 2, y4
-    intra_p = mf.ref_idx[py, px] < 0
-    intra_q = mf.ref_idx[qy, qx] < 0
+    intra_p = (mf.ref_idx[py, px] < 0).all(axis=-1)
+    intra_q = (mf.ref_idx[qy, qx] < 0).all(axis=-1)
     cbf = mf.cbf_y[py, px] | mf.cbf_y[qy, qx]
-    dref = mf.ref_idx[py, px] != mf.ref_idx[qy, qx]
-    dmv = (np.abs(mf.mv[py, px] - mf.mv[qy, qx]) >= 4).any(axis=-1)
+    dref = (mf.ref_idx[py, px] != mf.ref_idx[qy, qx]).any(axis=-1)
+    dmv = (np.abs(mf.mv[py, px] - mf.mv[qy, qx]) >= 4).any(axis=(-2, -1))
     bs = np.where(intra_p | intra_q, 2,
                   np.where(cbf | dref | dmv, 1, 0))
     return bs

@@ -74,17 +74,22 @@ class SpecDecoder:
         sp = self.sp
         r = bs.BitReader(rbsp)
         sh = parse_slice_header(r, sp, nal_type)
-        assert sh.slice_type in (SLICE_I, 1), "B slices not implemented yet"
 
         poc = 0 if sh.is_idr else sh.poc_lsb
         if sh.is_idr:
             self._dpb = {}  # IDR flushes the DPB (spec C.3.2)
-        refs = []
+        refs = ([], [])
         if sh.slice_type != SLICE_I:
-            for delta in sh.ref_pocs_before:
-                assert poc - delta in self._dpb, \
-                    f"missing ref POC {poc - delta}"
-                refs.append(self._dpb[poc - delta])
+            # one active ref per list: L0 = [before..., after...][0],
+            # L1 = [after..., before...][0] (GPB when no future refs)
+            before = [poc - d for d in sh.ref_pocs_before]
+            after = [poc + d for d in sh.ref_pocs_after]
+            for p_ref in before + after:
+                assert p_ref in self._dpb, f"missing ref POC {p_ref}"
+            l0 = before + after
+            l1 = after + before
+            refs = ([self._dpb[p] for p in l0[:1]],
+                    [self._dpb[p] for p in l1[:1]])
 
         planes = Planes(sp)
         maps = FrameMaps(sp)

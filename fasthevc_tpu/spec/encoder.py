@@ -114,46 +114,97 @@ class SpecEncoder:
             out += headers
             if on_frame is not None:
                 on_frame(-1, False, bytes(headers))  # poc -1 = headers
-        recons = []
-        self.dpb: list[tuple[int, Planes]] = []
-        all_intra = self.cfg.intra_period == 1 or not self.cfg.gop
-        ip = self.cfg.intra_period
+        recons: dict = {}
+        self.dpb: dict[int, Planes] = {}
         rc = None
         if self.cfg.target_bitrate > 0:
             from ..codec.rate_control import RateController
             rc = RateController(self.cfg.target_bitrate, 30.0,
                                 sp.coded_width, sp.coded_height)
+        order = self._coding_order(len(frames), start_poc)
         last_idr = start_poc
-        for i, frame in enumerate(frames):
-            poc = start_poc + i
-            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra \
-                or (i == 0)
+        for poc, slice_type, ref_deltas in order:
+            is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
+                self.dpb = {}
             cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
-            slice_type = SLICE_I if is_idr else 1  # SLICE_P
-            refs = [] if is_idr else [self.dpb[-1][1]]
+            before = tuple(sorted(-d for d in ref_deltas if d < 0))
+            after = tuple(sorted(d for d in ref_deltas if d > 0))
+            before = tuple(d for d in before if cvs_poc - d in self.dpb)
+            after = tuple(d for d in after if cvs_poc + d in self.dpb)
+            if not is_idr and not before and not after:
+                before = (1,) if cvs_poc - 1 in self.dpb else ()
+            # one active ref per list: L0 = nearest past (or future),
+            # L1 = nearest future (or past) — GPB when no future ref
+            l0_pocs = [cvs_poc - d for d in before] + \
+                [cvs_poc + d for d in after]
+            l1_pocs = [cvs_poc + d for d in after] + \
+                [cvs_poc - d for d in before]
+            refs_l0 = [self.dpb[p] for p in l0_pocs[:1]]
+            refs_l1 = [self.dpb[p] for p in l1_pocs[:1]]
+            if slice_type == 0 and not refs_l1:
+                slice_type = 1  # no refs for L1 at all -> P
             qp = None
             if rc is not None:
                 qp = rc.picture_qp(len(frames), is_intra=is_idr)
-            nal_bytes, planes = self.encode_frame(frame, poc=cvs_poc,
-                                                  slice_type=slice_type,
-                                                  refs=refs, qp=qp)
+            nal_bytes, planes = self.encode_frame(
+                frames[poc - start_poc], poc=cvs_poc,
+                slice_type=slice_type, refs=(refs_l0, refs_l1), qp=qp,
+                ref_deltas=(before, after))
             if rc is not None:
                 rc.update_after_picture(len(nal_bytes) * 8)
             out += nal_bytes
-            recons.append(planes)
+            recons[poc] = planes
             if on_frame is not None:
                 on_frame(poc, is_idr, bytes(nal_bytes))
-            self.dpb.append((poc, planes))
-            if len(self.dpb) > 4:
-                self.dpb.pop(0)
-            if is_idr and not all_intra:
-                self.dpb = [(poc, planes)]
-        return bytes(out), recons
+            self.dpb[cvs_poc] = planes
+        return bytes(out), [recons[start_poc + i]
+                            for i in range(len(frames))]
+
+    def _coding_order(self, n_frames: int, start_poc: int):
+        """(poc, slice_type, ref_deltas) in coding order.
+
+        All-intra: every frame IDR. LDP/RA: IDR at intra_period boundaries,
+        then the cfg.gop table (display->coding reorder for hierarchical
+        GOPs); leftover tail frames fall back to P(prev).
+        """
+        cfg = self.cfg
+        all_intra = cfg.intra_period == 1 or not cfg.gop
+        if all_intra:
+            return [(start_poc + i, SLICE_I, ()) for i in range(n_frames)]
+        st_map = {"I": SLICE_I, "P": 1, "B": 0}
+        gop = cfg.gop
+        gop_len = max(e.poc_offset for e in gop)
+        order = []
+        i = 0
+        while i < n_frames:
+            poc = start_poc + i
+            is_idr = poc == 0 or (cfg.intra_period > 0
+                                  and poc % cfg.intra_period == 0)
+            if is_idr or i == 0:
+                order.append((poc, SLICE_I, ()))
+                i += 1
+                continue
+            base = poc - 1  # GOP anchored at the previous picture
+            block_ok = (i + gop_len <= n_frames and gop_len > 1
+                        and not any(
+                            cfg.intra_period > 0
+                            and (base + k) % cfg.intra_period == 0
+                            for k in range(1, gop_len + 1)))
+            if block_ok:
+                for e in gop:
+                    order.append((base + e.poc_offset, st_map[e.slice_type],
+                                  tuple(e.ref_pocs)))
+                i += gop_len
+            else:
+                order.append((poc, 1, (-1,)))
+                i += 1
+        return order
 
     def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
-                     refs=(), qp: int | None = None) -> tuple[bytes, Planes]:
+                     refs=((), ()), qp: int | None = None,
+                     ref_deltas=((), ())) -> tuple[bytes, Planes]:
         sp = self.sp
         y, cb, cr = frame
         src = Planes(sp)
@@ -170,10 +221,11 @@ class SpecEncoder:
         self.qp = self.cfg.qp if qp is None else qp
         self.lambda_mode = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
         self.qp_y, self.qp_cb, self.qp_cr = ctu_mod.tu_qps(sp, self.qp)
-        init_type = 0 if slice_type == SLICE_I else 1
+        init_type = 0 if slice_type == SLICE_I else (
+            1 if slice_type == 1 else 2)
         self.est = CabacEstimator(ContextSet(init_type, self.qp))
         self.slice_type = slice_type
-        self.refs = list(refs)
+        self.refs = (list(refs[0]), list(refs[1]))
 
         ctu_size = 1 << sp.log2_ctu
         tile_ctus = sp.tile_ctus()
@@ -236,7 +288,8 @@ class SpecEncoder:
         sh = SliceHeader(slice_type=slice_type, slice_qp=self.qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
-                         ref_pocs_before=() if is_idr else (1,),
+                         ref_pocs_before=() if is_idr else ref_deltas[0],
+                         ref_pocs_after=() if is_idr else ref_deltas[1],
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
                                             substreams[:-1]))
@@ -415,8 +468,8 @@ class SpecEncoder:
             # restore recon after each trial (the trial wrote planes)
         cost, cu = best
 
-        # ---- inter candidates (P slices) ----------------------------------
-        if self.slice_type != SLICE_I and self.refs:
+        # ---- inter candidates (P/B slices) --------------------------------
+        if self.slice_type != SLICE_I and self.refs[0]:
             icost, icu = self._try_inter(x, y, log2_size)
             if icu is not None and icost < cost:
                 cost, cu = icost, icu
@@ -426,7 +479,7 @@ class SpecEncoder:
                 self.maps.set_cu(x, y, n, depth, -1)
                 self.maps.set_skip(x, y, n, cu.skip)
                 cbf_y = any(tu.levels_y is not None for tu in cu.tus)
-                self.maps.motion.set_cu(x, y, n, cu.mv, cu.ref_idx, cbf_y)
+                self.maps.motion.set_cu(x, y, n, cu.motion, cbf_y)
                 self._est_cu_syntax(self.est, x, y, log2_size, cu)
                 return cu, cost
 
@@ -443,74 +496,108 @@ class SpecEncoder:
     # ---- inter search ----------------------------------------------------
 
     def _try_inter(self, x, y, log2_size):
-        """Evaluate merge candidates + one ME result; returns
-        (cost, CuDecision|None). Does not commit."""
+        """Evaluate merge candidates + per-list ME (+ BI for B slices);
+        returns (cost, CuDecision|None). Does not commit."""
         from . import inter as inter_mod
-        from .mc import mc_cu, mc_luma
+        from .inter import DIR_BI, DIR_L0, DIR_L1, Motion
+        from .mc import mc_luma
 
         sp = self.sp
         n = 1 << log2_size
         src_y = self.src.y[y:y + n, x:x + n]
-        merge_cands = inter_mod.merge_candidates(self.maps, self.maps.motion,
-                                                 x, y, n)
-        amvp = inter_mod.amvp_candidates(self.maps, self.maps.motion, x, y, n)
-        ref = self.refs[0]
+        is_b = self.slice_type == 0
+        merge_cands = inter_mod.merge_candidates(
+            self.maps, self.maps.motion, x, y, n, is_b)
 
-        # --- integer ME around the first AMVP predictor (SAD) ----------
-        base_x, base_y = amvp[0][0] >> 2, amvp[0][1] >> 2
+        def run_me(list_idx):
+            refs = self.refs[list_idx]
+            if not refs:
+                return None, None, None
+            ref = refs[0]
+            amvp = inter_mod.amvp_candidates(self.maps, self.maps.motion,
+                                             x, y, n, list_idx)
+            base_x, base_y = amvp[0][0] >> 2, amvp[0][1] >> 2
 
-        def int_sad(ix, iy):
-            px = np.clip(np.arange(x + ix, x + ix + n), 0, sp.coded_width - 1)
-            py = np.clip(np.arange(y + iy, y + iy + n), 0,
-                         sp.coded_height - 1)
-            return int(np.abs(src_y - ref.y[np.ix_(py, px)]).sum())
+            def int_sad(ix, iy):
+                px = np.clip(np.arange(x + ix, x + ix + n), 0,
+                             sp.coded_width - 1)
+                py = np.clip(np.arange(y + iy, y + iy + n), 0,
+                             sp.coded_height - 1)
+                return int(np.abs(src_y - ref.y[np.ix_(py, px)]).sum())
 
-        r = min(self.cfg.search_range, 12)
-        best_sad, best_int = None, (base_x, base_y)
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                sad = int_sad(base_x + dx, base_y + dy)
-                if best_sad is None or sad < best_sad:
-                    best_sad, best_int = sad, (base_x + dx, base_y + dy)
-        # sub-pel refinement: half then quarter, 3x3 each
-        best_mv = (best_int[0] << 2, best_int[1] << 2)
-        for step in (2, 1):
-            center = best_mv
-            for dy in (-step, 0, step):
-                for dx in (-step, 0, step):
-                    mv = (center[0] + dx, center[1] + dy)
-                    if mv == center:
-                        continue
-                    pred = mc_luma(ref.y, x, y, n, n, mv[0], mv[1],
-                                   sp.bit_depth)
-                    sad = int(np.abs(src_y - pred).sum())
-                    if sad < best_sad:
-                        best_sad, best_mv = sad, mv
+            r = min(self.cfg.search_range, 12)
+            best_sad, best_int = None, (base_x, base_y)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    sad = int_sad(base_x + dx, base_y + dy)
+                    if best_sad is None or sad < best_sad:
+                        best_sad = sad
+                        best_int = (base_x + dx, base_y + dy)
+            best_mv = (best_int[0] << 2, best_int[1] << 2)
+            for step in (2, 1):
+                center = best_mv
+                for dy in (-step, 0, step):
+                    for dx in (-step, 0, step):
+                        mv = (center[0] + dx, center[1] + dy)
+                        if mv == center:
+                            continue
+                        pred = mc_luma(ref.y, x, y, n, n, mv[0], mv[1],
+                                       sp.bit_depth)
+                        sad = int(np.abs(src_y - pred).sum())
+                        if sad < best_sad:
+                            best_sad, best_mv = sad, mv
+            return best_mv, amvp, best_sad
 
-        # --- candidate list: merge cands + ME mv -----------------------
+        mv0, amvp0, _ = run_me(0)
+        mv1, amvp1, _ = (run_me(1) if is_b else (None, None, None))
+
+        def mvp_pick(mv, amvp):
+            b0 = abs(mv[0] - amvp[0][0]) + abs(mv[1] - amvp[0][1])
+            b1 = abs(mv[0] - amvp[1][0]) + abs(mv[1] - amvp[1][1])
+            return 0 if b0 <= b1 else 1
+
+        candidates = [("merge", i) for i in range(5)]
+        if mv0 is not None:
+            candidates.append(("me", (DIR_L0, mv0, mv1)))
+        if mv1 is not None:
+            candidates.append(("me", (DIR_L1, mv0, mv1)))
+        if mv0 is not None and mv1 is not None:
+            candidates.append(("me", (DIR_BI, mv0, mv1)))
+
         tried = set()
         best = (None, None)
-        for kind, payload in ([("merge", i) for i in range(5)]
-                              + [("me", best_mv)]):
+        for kind, payload in candidates:
             if kind == "merge":
-                mvx, mvy, ridx = merge_cands[payload]
-                if (mvx, mvy, "m") in tried:
+                m = merge_cands[payload]
+                key = ("m", m)
+                if key in tried:
                     continue
-                tried.add((mvx, mvy, "m"))
+                tried.add(key)
                 cu = CuDecision(split=False, is_inter=True, merge_flag=True,
-                                merge_idx=payload, mv=(mvx, mvy),
-                                ref_idx=ridx, bypass=self.cfg.lossless)
+                                merge_idx=payload, motion=m,
+                                bypass=self.cfg.lossless)
             else:
-                mvx, mvy = payload
-                # mvp selection: cheaper mvd
-                bits0 = abs(mvx - amvp[0][0]) + abs(mvy - amvp[0][1])
-                bits1 = abs(mvx - amvp[1][0]) + abs(mvy - amvp[1][1])
-                mvp = 0 if bits0 <= bits1 else 1
-                cu = CuDecision(
-                    split=False, is_inter=True, merge_flag=False,
-                    mv=(mvx, mvy), ref_idx=0, mvp_flag=mvp,
-                    mvd=(mvx - amvp[mvp][0], mvy - amvp[mvp][1]),
-                    bypass=self.cfg.lossless)
+                d, m0, m1 = payload
+                motion = Motion(d, m0 if d & DIR_L0 else (0, 0),
+                                0 if d & DIR_L0 else -1,
+                                m1 if d & DIR_L1 else (0, 0),
+                                0 if d & DIR_L1 else -1)
+                cu = CuDecision(split=False, is_inter=True,
+                                merge_flag=False, motion=motion,
+                                bypass=self.cfg.lossless)
+                if d & DIR_L0:
+                    cu.mvp_flag = mvp_pick(m0, amvp0)
+                    pr = amvp0[cu.mvp_flag]
+                    cu.mvd = (m0[0] - pr[0], m0[1] - pr[1])
+                if d & DIR_L1:
+                    cu.mvp_flag_l1 = mvp_pick(m1, amvp1)
+                    pr = amvp1[cu.mvp_flag_l1]
+                    cu.mvd_l1 = (m1[0] - pr[0], m1[1] - pr[1])
+            # motion with an unavailable list cannot be reconstructed
+            md = cu.motion
+            if (md.inter_dir & DIR_L0 and not self.refs[0]) or \
+                    (md.inter_dir & DIR_L1 and not self.refs[1]):
+                continue
             dist, tus = self._build_inter_tus(x, y, log2_size, cu)
             cu.tus = tus
             cbf_any = any(t.levels_y is not None or t.levels_cb is not None
@@ -528,12 +615,12 @@ class SpecEncoder:
     def _build_inter_tus(self, x, y, log2_size, cu):
         """Residual TQ for an inter CU (MC prediction); returns
         (distortion, [TuData...]). Does NOT write recon."""
-        from .mc import mc_cu
+        from .mc import mc_cu_motion
 
         sp = self.sp
         n = 1 << log2_size
-        pred_y, pred_cb, pred_cr = mc_cu(self.refs[cu.ref_idx], x, y, n,
-                                         cu.mv, sp.bit_depth)
+        pred_y, pred_cb, pred_cr = mc_cu_motion(
+            cu.motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
         qps = (self.qp_y, self.qp_cb, self.qp_cr)
         n_tus = 4 if log2_size > sp.log2_max_tu else 1
         tlg = log2_size - 1 if n_tus == 4 else log2_size
@@ -553,9 +640,9 @@ class SpecEncoder:
                 sub = 0 if ci == 0 else 1
                 tn = 1 << (tlg - sub)
                 o_y, o_x = oy >> sub, ox >> sub
-                s = srcp[o_y:o_y + tn, o_x:o_x + tn]
-                p = predp[o_y:o_y + tn, o_x:o_x + tn]
-                res = s - p
+                s2 = srcp[o_y:o_y + tn, o_x:o_x + tn]
+                p2 = predp[o_y:o_y + tn, o_x:o_x + tn]
+                res = s2 - p2
                 if cu.bypass:
                     levels = res.astype(np.int32)
                 else:
@@ -566,16 +653,16 @@ class SpecEncoder:
                                                 is_intra=False)
                 if not levels.any():
                     levels = None
-                    rec = p
+                    rec = p2
                 elif cu.bypass:
-                    rec = s
+                    rec = s2
                 else:
                     deq = transform.dequantize(levels, qps[ci], sp.bit_depth)
                     rec = np.clip(
-                        p + transform.inverse_transform(deq, sp.bit_depth,
-                                                        False),
+                        p2 + transform.inverse_transform(deq, sp.bit_depth,
+                                                         False),
                         0, (1 << sp.bit_depth) - 1)
-                dist += sse(s, rec)
+                dist += sse(s2, rec)
                 if ci == 0:
                     tu.levels_y = levels
                 elif ci == 1:

@@ -2,8 +2,12 @@
 
 Reference parity: HM TComPrediction::motionCompensation +
 TComInterpolationFilter (SURVEY.md C4). Luma: 8-tap filters at quarter-pel
-positions; chroma: 4-tap at eighth-pel. Uni-prediction (P slices); the
-bi-prediction average is a straightforward extension for B slices.
+positions; chroma: 4-tap at eighth-pel.
+
+The *_raw functions return the spec's 14-bit intermediate predSampleLX
+values; uni-prediction rounds them with (x + 32) >> 6 and bi-prediction
+averages two lists with (a + b + 64) >> 7 (8-bit depth), per the weighted
+sample process defaults (spec 8.5.4.3.5).
 
 Out-of-picture references use edge clamping (equivalent to the spec's
 padded reference pictures).
@@ -42,75 +46,126 @@ def _fetch(ref: np.ndarray, x0: int, y0: int, w: int, h: int) -> np.ndarray:
     return ref[np.ix_(ys, xs)]
 
 
-def mc_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
-            mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
-    """Motion-compensated luma block (spec 8.5.4.2.2.1).
-
-    (x, y): block position; (mv_x, mv_y): MV in quarter-pel units.
-    Returns int32 [h, w] prediction samples.
-    """
+def mc_luma_raw(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    """14-bit intermediate luma prediction (spec 8.5.4.2.2.1)."""
     ix, iy = x + (mv_x >> 2), y + (mv_y >> 2)
     fx, fy = mv_x & 3, mv_y & 3
-    shift1 = bit_depth - 8          # 0 for 8-bit
-    max_val = (1 << bit_depth) - 1
+    shift1 = bit_depth - 8
+    shift3 = 14 - bit_depth
     if fx == 0 and fy == 0:
-        return _fetch(ref, ix, iy, w, h).astype(np.int32)
+        return _fetch(ref, ix, iy, w, h).astype(np.int64) << shift3
     if fy == 0:
         win = _fetch(ref, ix - 3, iy, w + 7, h).astype(np.int64)
         f = LUMA_FILTERS[fx]
         acc = sum(int(f[k]) * win[:, k:k + w] for k in range(8))
-        out = (acc >> shift1) if shift1 else acc
-        return np.clip((out + 32) >> 6, 0, max_val).astype(np.int32)
+        return acc >> shift1
     if fx == 0:
         win = _fetch(ref, ix, iy - 3, w, h + 7).astype(np.int64)
         f = LUMA_FILTERS[fy]
         acc = sum(int(f[k]) * win[k:k + h, :] for k in range(8))
-        return np.clip((acc + 32) >> 6, 0, max_val).astype(np.int32)
-    # separable: horizontal to intermediate (14-bit), then vertical
+        return acc >> shift1
     win = _fetch(ref, ix - 3, iy - 3, w + 7, h + 7).astype(np.int64)
     fh = LUMA_FILTERS[fx]
-    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(8))
-    tmp >>= (bit_depth - 8)  # shift1; 0 for 8-bit
+    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(8)) >> shift1
     fv = LUMA_FILTERS[fy]
     acc = sum(int(fv[k]) * tmp[k:k + h, :] for k in range(8))
-    return np.clip((acc + (1 << 11)) >> 12, 0, max_val).astype(np.int32)
+    return acc >> 6
 
 
-def mc_chroma(ref: np.ndarray, x: int, y: int, w: int, h: int,
-              mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
-    """Motion-compensated chroma block (eighth-pel; mv in luma quarter-pel
-    so chroma frac = mv & 7 on the chroma grid)."""
-    # chroma mv = luma mv / 2 in units of 1/8 chroma pel
+def mc_chroma_raw(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                  mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    """14-bit intermediate chroma prediction (eighth-pel on the chroma
+    grid; mv in luma quarter-pel units)."""
     ix, iy = x + (mv_x >> 3), y + (mv_y >> 3)
     fx, fy = mv_x & 7, mv_y & 7
-    max_val = (1 << bit_depth) - 1
+    shift1 = bit_depth - 8
+    shift3 = 14 - bit_depth
     if fx == 0 and fy == 0:
-        return _fetch(ref, ix, iy, w, h).astype(np.int32)
+        return _fetch(ref, ix, iy, w, h).astype(np.int64) << shift3
     if fy == 0:
         win = _fetch(ref, ix - 1, iy, w + 3, h).astype(np.int64)
         f = CHROMA_FILTERS[fx]
         acc = sum(int(f[k]) * win[:, k:k + w] for k in range(4))
-        return np.clip((acc + 32) >> 6, 0, max_val).astype(np.int32)
+        return acc >> shift1
     if fx == 0:
         win = _fetch(ref, ix, iy - 1, w, h + 3).astype(np.int64)
         f = CHROMA_FILTERS[fy]
         acc = sum(int(f[k]) * win[k:k + h, :] for k in range(4))
-        return np.clip((acc + 32) >> 6, 0, max_val).astype(np.int32)
+        return acc >> shift1
     win = _fetch(ref, ix - 1, iy - 1, w + 3, h + 3).astype(np.int64)
     fh = CHROMA_FILTERS[fx]
-    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(4))
-    tmp >>= (bit_depth - 8)
+    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(4)) >> shift1
     fv = CHROMA_FILTERS[fy]
     acc = sum(int(fv[k]) * tmp[k:k + h, :] for k in range(4))
-    return np.clip((acc + (1 << 11)) >> 12, 0, max_val).astype(np.int32)
+    return acc >> 6
+
+
+def _uni(raw: np.ndarray, bit_depth: int) -> np.ndarray:
+    shift = 14 - bit_depth  # 6 for 8-bit
+    off = 1 << (shift - 1)
+    return np.clip((raw + off) >> shift, 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
+
+
+def _bi(raw0: np.ndarray, raw1: np.ndarray, bit_depth: int) -> np.ndarray:
+    shift = 15 - bit_depth  # 7 for 8-bit
+    off = 1 << (shift - 1)
+    return np.clip((raw0 + raw1 + off) >> shift, 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
+            mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    """Uni-prediction luma block (final sample values)."""
+    return _uni(mc_luma_raw(ref, x, y, w, h, mv_x, mv_y, bit_depth),
+                bit_depth)
+
+
+def mc_chroma(ref: np.ndarray, x: int, y: int, w: int, h: int,
+              mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    return _uni(mc_chroma_raw(ref, x, y, w, h, mv_x, mv_y, bit_depth),
+                bit_depth)
 
 
 def mc_cu(planes_ref, x: int, y: int, size: int, mv, bit_depth: int = 8):
-    """Full-CU motion compensation: returns (pred_y, pred_cb, pred_cr)."""
+    """Full-CU uni-prediction: returns (pred_y, pred_cb, pred_cr)."""
     mvx, mvy = int(mv[0]), int(mv[1])
     py = mc_luma(planes_ref.y, x, y, size, size, mvx, mvy, bit_depth)
     pcb = mc_chroma(planes_ref.cb, x >> 1, y >> 1, size >> 1, size >> 1,
                     mvx, mvy, bit_depth)
     pcr = mc_chroma(planes_ref.cr, x >> 1, y >> 1, size >> 1, size >> 1,
                     mvx, mvy, bit_depth)
+    return py, pcb, pcr
+
+
+def mc_cu_motion(motion, refs_l0, refs_l1, x: int, y: int, size: int,
+                 bit_depth: int = 8):
+    """Full-CU prediction for a Motion (L0 / L1 / BI) given both ref lists.
+
+    refs_lX: list of Planes for each list. Returns (y, cb, cr) int32.
+    """
+    from .inter import DIR_L0, DIR_L1
+
+    cs = size >> 1
+    cx, cy = x >> 1, y >> 1
+    if motion.inter_dir == DIR_L0:
+        return mc_cu(refs_l0[motion.ref0], x, y, size,
+                     motion.mv0, bit_depth)
+    if motion.inter_dir == DIR_L1:
+        return mc_cu(refs_l1[motion.ref1], x, y, size,
+                     motion.mv1, bit_depth)
+    # BI: average the 14-bit intermediates
+    r0 = refs_l0[motion.ref0]
+    r1 = refs_l1[motion.ref1]
+    mv0, mv1 = motion.mv0, motion.mv1
+    py = _bi(mc_luma_raw(r0.y, x, y, size, size, mv0[0], mv0[1], bit_depth),
+             mc_luma_raw(r1.y, x, y, size, size, mv1[0], mv1[1], bit_depth),
+             bit_depth)
+    pcb = _bi(mc_chroma_raw(r0.cb, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth),
+              mc_chroma_raw(r1.cb, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth),
+              bit_depth)
+    pcr = _bi(mc_chroma_raw(r0.cr, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth),
+              mc_chroma_raw(r1.cr, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth),
+              bit_depth)
     return py, pcb, pcr

@@ -73,7 +73,11 @@ def test_merge_zero_fill():
     maps = FrameMaps(sp)
     cands = inter.merge_candidates(maps, maps.motion, 0, 0, 16)
     assert len(cands) == 5
-    assert all(c == (0, 0, 0) for c in cands)
+    assert all(c == inter.Motion(inter.DIR_L0, (0, 0), 0) for c in cands)
+    # B slices zero-fill with BI candidates
+    cands_b = inter.merge_candidates(maps, maps.motion, 0, 0, 16, True)
+    assert all(c == inter.Motion(inter.DIR_BI, (0, 0), 0, (0, 0), 0)
+               for c in cands_b)
     amvp = inter.amvp_candidates(maps, maps.motion, 0, 0, 16)
     assert amvp == [(0, 0), (0, 0)]
 
