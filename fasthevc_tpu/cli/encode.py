@@ -57,6 +57,17 @@ def main(argv=None) -> int:
     ap.add_argument("--ctu", type=int, default=32, choices=[16, 32, 64])
     ap.add_argument("--rd-candidates", type=int, default=3)
     ap.add_argument("--engine", default="spec", choices=["spec", "tpu"])
+    ap.add_argument("--preset", default="all_intra",
+                    choices=["all_intra", "low_delay_p",
+                             "random_access_gop16"])
+    ap.add_argument("--tiles", default="1x1",
+                    help="tile columns x rows, e.g. 4x2")
+    ap.add_argument("--bitrate", type=int, default=0,
+                    help="target bits/s (enables rate control)")
+    ap.add_argument("--metrics", help="write per-picture JSONL records")
+    ap.add_argument("--profile",
+                    help="capture a jax.profiler trace into this directory "
+                         "(TensorBoard-viewable)")
     args = ap.parse_args(argv)
 
     if args.synth:
@@ -68,10 +79,19 @@ def main(argv=None) -> int:
     else:
         ap.error("need --synth WxH or (-i FILE --size WxH)")
 
-    cfg = EncoderConfig(width=w, height=h, qp=args.qp, frames=args.frames,
-                        lossless=args.lossless,
-                        log2_ctu=args.ctu.bit_length() - 1,
-                        num_intra_rd_candidates=args.rd_candidates)
+    from ..config import all_intra, low_delay_p, random_access_gop16
+    preset_fn = {"all_intra": all_intra, "low_delay_p": low_delay_p,
+                 "random_access_gop16": random_access_gop16}[args.preset]
+    try:
+        tc, tr = map(int, args.tiles.lower().split("x"))
+    except ValueError:
+        ap.error(f"--tiles expects COLSxROWS (e.g. 4x2), got {args.tiles!r}")
+    cfg = preset_fn(width=w, height=h, qp=args.qp, frames=args.frames,
+                    lossless=args.lossless,
+                    log2_ctu=args.ctu.bit_length() - 1,
+                    num_intra_rd_candidates=args.rd_candidates,
+                    tile_cols=tc, tile_rows=tr,
+                    target_bitrate=args.bitrate)
 
     if args.engine == "tpu":
         from ..codec.encoder import TpuEncoder as Encoder
@@ -79,13 +99,28 @@ def main(argv=None) -> int:
         from ..spec.encoder import SpecEncoder as Encoder
 
     enc = Encoder(cfg)
+    frame_info = {}
+
+    def on_frame(poc, is_idr, nal_bytes):
+        if poc >= 0:
+            frame_info[poc] = (is_idr, len(nal_bytes) * 8)
+
     t0 = time.time()
-    stream, recons = enc.encode(frames)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            stream, recons = enc.encode(frames, on_frame=on_frame)
+    else:
+        stream, recons = enc.encode(frames, on_frame=on_frame)
     dt = time.time() - t0
 
     with open(args.bitstream, "wb") as f:
         f.write(stream)
 
+    metrics = None
+    if args.metrics:
+        from ..utils.metrics import MetricsLog, PictureRecord
+        metrics = MetricsLog(args.metrics)
     rec_frames = []
     total_psnr = np.zeros(3)
     for poc, (frame, rec) in enumerate(zip(frames, recons)):
@@ -95,6 +130,16 @@ def main(argv=None) -> int:
         total_psnr += ps
         print(f"POC {poc:4d} [Y {ps[0]:7.4f} dB  U {ps[1]:7.4f} dB  "
               f"V {ps[2]:7.4f} dB]")
+        if metrics is not None:
+            from ..utils.metrics import PictureRecord
+            is_idr, bits = frame_info.get(poc, (True, 0))
+            metrics.add(PictureRecord(
+                poc=poc, slice_type="I" if is_idr else "PB", qp=args.qp,
+                bits=bits, psnr_y=float(ps[0]), psnr_u=float(ps[1]),
+                psnr_v=float(ps[2]),
+                times={"total": dt / len(frames)}))
+    if metrics is not None:
+        metrics.close()
     if args.recon:
         write_yuv(args.recon, rec_frames)
 

@@ -57,6 +57,7 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
     lam = lambda_sqrt * lambda_sqrt  # SSE-domain lambda
+    # jax.named_scope markers make the profiler trace readable (aux 5.1)
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)  # invert lambda(qp)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     modes, costs = {}, {}
@@ -70,19 +71,21 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
         if pn != n:
             top = top[:, :2 * pn + 1]
             left = left[:, :2 * pn + 1]
-        preds = predict_all_modes(top, left, plg, True)   # [B,35,pn,pn]
-        src = _blocks(y_plane, n)[:, :pn, :pn]
-        d = satd(src[:, None] - preds)                    # [B,35]
+        with jax.named_scope(f"intra_rmd_{n}"):
+            preds = predict_all_modes(top, left, plg, True)  # [B,35,pn,pn]
+            src = _blocks(y_plane, n)[:, :pn, :pn]
+            d = satd(src[:, None] - preds)                   # [B,35]
         cost_rmd = d.astype(jnp.float32) + lambda_sqrt * 2.5
         best_mode = jnp.argmin(cost_rmd, axis=1).astype(jnp.int32)
         modes[n] = best_mode
         # stage 2: true RD for the chosen mode
-        bsel = jnp.take_along_axis(
-            preds, best_mode[:, None, None, None], axis=1)[:, 0]
-        res = src - bsel
-        levels, rq = tq_roundtrip(res, qp_i, plg)
-        dist = sse(res, rq).astype(jnp.float32)
-        rate = level_rate_proxy(levels)
+        with jax.named_scope(f"intra_rd_{n}"):
+            bsel = jnp.take_along_axis(
+                preds, best_mode[:, None, None, None], axis=1)[:, 0]
+            res = src - bsel
+            levels, rq = tq_roundtrip(res, qp_i, plg)
+            dist = sse(res, rq).astype(jnp.float32)
+            rate = level_rate_proxy(levels)
         scale = 4.0 if pn != n else 1.0  # quadrant proxy for 64-blocks
         costs[n] = scale * (dist + lam * rate)
     raw_costs = dict(costs)  # per-block costs before the DP (P search uses)
