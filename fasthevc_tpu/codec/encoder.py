@@ -113,31 +113,30 @@ class TpuEncoder:
             out += headers
             if on_frame is not None:
                 on_frame(-1, False, bytes(headers))
-        recons = []
-        dpb = []
-        all_intra = cfg.intra_period == 1 or not cfg.gop
-        ip = cfg.intra_period
+        from .gop import coding_order, ref_lists
+        recons: dict = {}
+        dpb: dict = {}
+        order = coding_order(cfg, len(frames), start_poc)
         last_idr = start_poc
-        for i, frame in enumerate(frames):
-            poc = start_poc + i
-            is_idr = poc == 0 or (ip > 0 and poc % ip == 0) or all_intra \
-                or i == 0
+        for poc, slice_type, ref_deltas in order:
+            is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
+                dpb = {}
             cvs_poc = poc - last_idr
-            refs = ([], []) if is_idr else ([dpb[-1]], [])
-            nal_bytes, planes = self.encode_frame(frame, poc=cvs_poc,
-                                                  is_idr=is_idr, refs=refs)
+            slice_type, refs_l0, refs_l1, deltas = ref_lists(
+                dpb, cvs_poc, slice_type, ref_deltas, is_idr)
+            nal_bytes, planes = self.encode_frame(
+                frames[poc - start_poc], poc=cvs_poc,
+                slice_type=slice_type, refs=(refs_l0, refs_l1),
+                ref_deltas=deltas)
             out += nal_bytes
-            recons.append(planes)
+            recons[poc] = planes
             if on_frame is not None:
                 on_frame(poc, is_idr, bytes(nal_bytes))
-            dpb.append(planes)
-            if len(dpb) > 2:
-                dpb.pop(0)
-            if is_idr and not all_intra:
-                dpb = [planes]
-        return bytes(out), recons
+            dpb[cvs_poc] = planes
+        return bytes(out), [recons[start_poc + i]
+                            for i in range(len(frames))]
 
     # ------------------------------------------------------------------
 
@@ -177,14 +176,16 @@ class TpuEncoder:
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
 
-    def encode_frame(self, frame, poc: int = 0, is_idr: bool = True,
-                     refs=((), ())):
+    def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
+                     refs=((), ()), ref_deltas=((), ())):
+        is_idr = slice_type == SLICE_I
         import jax
         import jax.numpy as jnp
 
         sp = self.sp
         cfg = self.cfg
         self.refs = refs
+        self.slice_type = slice_type
         y, cb, cr = frame
         src = Planes(sp)
         src.y[:] = pad_plane(np.asarray(y, np.int32), sp.coded_height,
@@ -203,6 +204,15 @@ class TpuEncoder:
             dec = search_intra_frame(jnp.asarray(y_pad),
                                      jnp.float32(self.lambda_sqrt),
                                      sp.log2_ctu, sp.log2_min_cu)
+        elif slice_type == 0 and refs[1]:  # B
+            from .search import search_b_frame
+            r0 = pad_plane(refs[0][0].y, ph, pw)
+            r1 = pad_plane(refs[1][0].y, ph, pw)
+            dec = search_b_frame(jnp.asarray(y_pad), jnp.asarray(r0),
+                                 jnp.asarray(r1),
+                                 jnp.float32(self.lambda_sqrt),
+                                 sp.log2_ctu, sp.log2_min_cu,
+                                 min(self.cfg.search_range, 8))
         else:
             from .search import search_p_frame
             ref_pad = pad_plane(refs[0][0].y, ph, pw)
@@ -234,14 +244,14 @@ class TpuEncoder:
             decisions.append((x0, y0, cu))
 
         # ---- 3. entropy (host CABAC; C++ bin engine when available) --
-        slice_type = SLICE_I if is_idr else 1
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
-                         ref_pocs_before=() if is_idr else (1,))
+                         ref_pocs_before=() if is_idr else ref_deltas[0],
+                         ref_pocs_after=() if is_idr else ref_deltas[1])
         w = write_slice_header(sh, sp, nal_type)
-        init_type = 0 if is_idr else 1
+        init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
         enc = _make_cabac(w, ContextSet(init_type, cfg.qp))
         maps2 = FrameMaps(sp)
         for i, (x0, y0, cu) in enumerate(decisions):
@@ -299,29 +309,49 @@ class TpuEncoder:
             x, y, size, any(tu.levels_y is not None for tu in cu.tus))
         return cu
 
-    def _commit_inter(self, src, planes, sp, x, y, lg, depth, mv, maps,
-                      qp_y, qp_cb, qp_cr) -> CuDecision:
-        """Commit an inter leaf: merge/AMVP selection, residual TQ, recon."""
+    def _commit_inter(self, src, planes, sp, x, y, lg, depth, payload,
+                      maps, qp_y, qp_cb, qp_cr) -> CuDecision:
+        """Commit an inter leaf: merge/AMVP selection, residual TQ, recon.
+
+        payload: (inter_dir, mv0, mv1) from the search decision tree."""
         from ..spec import inter as inter_mod
-        from ..spec.inter import DIR_L0, Motion
+        from ..spec.inter import DIR_L0, DIR_L1, Motion
         from ..spec.mc import mc_cu_motion
 
         n = 1 << lg
-        motion = Motion(DIR_L0, (int(mv[0]), int(mv[1])), 0)
+        d, mv0_, mv1_ = payload
+        is_b = self.slice_type == 0
+        motion = Motion(d,
+                        tuple(map(int, mv0_)) if d & DIR_L0 else (0, 0),
+                        0 if d & DIR_L0 else -1,
+                        tuple(map(int, mv1_)) if d & DIR_L1 else (0, 0),
+                        0 if d & DIR_L1 else -1)
         cu = CuDecision(split=False, is_inter=True, motion=motion,
                         bypass=self.cfg.lossless)
-        merge_cands = inter_mod.merge_candidates(maps, maps.motion, x, y, n)
+        merge_cands = inter_mod.merge_candidates(maps, maps.motion, x, y, n,
+                                                 is_b)
         if motion in merge_cands:
             cu.merge_flag = True
             cu.merge_idx = merge_cands.index(motion)
         else:
-            amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y, n, 0)
-            mv0 = motion.mv0
-            b0 = abs(mv0[0] - amvp[0][0]) + abs(mv0[1] - amvp[0][1])
-            b1 = abs(mv0[0] - amvp[1][0]) + abs(mv0[1] - amvp[1][1])
-            cu.mvp_flag = 0 if b0 <= b1 else 1
-            p = amvp[cu.mvp_flag]
-            cu.mvd = (mv0[0] - p[0], mv0[1] - p[1])
+            if d & DIR_L0:
+                amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
+                                                 n, 0)
+                mv0 = motion.mv0
+                b0 = abs(mv0[0] - amvp[0][0]) + abs(mv0[1] - amvp[0][1])
+                b1 = abs(mv0[0] - amvp[1][0]) + abs(mv0[1] - amvp[1][1])
+                cu.mvp_flag = 0 if b0 <= b1 else 1
+                p = amvp[cu.mvp_flag]
+                cu.mvd = (mv0[0] - p[0], mv0[1] - p[1])
+            if d & DIR_L1:
+                amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
+                                                 n, 1)
+                mv1 = motion.mv1
+                b0 = abs(mv1[0] - amvp[0][0]) + abs(mv1[1] - amvp[0][1])
+                b1 = abs(mv1[0] - amvp[1][0]) + abs(mv1[1] - amvp[1][1])
+                cu.mvp_flag_l1 = 0 if b0 <= b1 else 1
+                p = amvp[cu.mvp_flag_l1]
+                cu.mvd_l1 = (mv1[0] - p[0], mv1[1] - p[1])
 
         # residual TQ per component (TU == CU; 64 handled by forced split)
         pred_y, pred_cb, pred_cr = mc_cu_motion(

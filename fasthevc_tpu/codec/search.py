@@ -181,6 +181,86 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     return out
 
 
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
+                                   "search_range"))
+def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
+                   ref1_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
+                   log2_ctu: int = 5, log2_min_cu: int = 3,
+                   search_range: int = 8):
+    """B-frame search: intra + L0 + L1 + BI candidates per block.
+
+    Adds to the intra outputs: inter{n}, dir{n} (1/2/3), mv0{n}, mv1{n}.
+    BI cost uses the integer average of the two integer-MV predictions
+    (commit re-derives the exact 14-bit average).
+    """
+    from ..ops.me import search_inter_costs
+
+    h, w = y_plane.shape
+    sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    lam = lambda_sqrt * lambda_sqrt
+    qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
+    qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
+    intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
+                                   log2_min_cu)
+    me0 = search_inter_costs(y_plane, ref0_plane, lambda_sqrt, log2_ctu,
+                             log2_min_cu, search_range)
+    me1 = search_inter_costs(y_plane, ref1_plane, lambda_sqrt, log2_ctu,
+                             log2_min_cu, search_range)
+
+    def block_pred(ref, n, mv):
+        gy, gx = h // n, w // n
+        oy = (jnp.arange(gy) * n)[:, None].repeat(gx, 1).reshape(-1)
+        ox = (jnp.arange(gx) * n)[None, :].repeat(gy, 0).reshape(-1)
+        rows = jnp.clip(oy[:, None] + (mv[:, 1] >> 2)[:, None]
+                        + jnp.arange(n)[None, :], 0, h - 1)
+        cols = jnp.clip(ox[:, None] + (mv[:, 0] >> 2)[:, None]
+                        + jnp.arange(n)[None, :], 0, w - 1)
+        return ref[rows[:, :, None], cols[:, None, :]]
+
+    def rd_of(pred, n, mv_mag):
+        pn = min(n, 32)
+        res = (_blocks(y_plane, n) - pred)[:, :pn, :pn]
+        levels, rq = tq_roundtrip(res, qp_i, pn.bit_length() - 1,
+                                  is_intra=False)
+        dist = sse(res, rq).astype(jnp.float32)
+        rate = level_rate_proxy(levels)
+        mv_rate = 4.0 + 2.0 * jnp.log2(1.0 + mv_mag.astype(jnp.float32))
+        scale = 4.0 if pn != n else 1.0
+        return scale * (dist + lam * (rate + mv_rate))
+
+    out = {}
+    dp = None
+    for i, n in enumerate(sizes):
+        mv0 = me0[n][1]
+        mv1 = me1[n][1]
+        p0 = block_pred(ref0_plane, n, mv0)
+        p1 = block_pred(ref1_plane, n, mv1)
+        mag0 = jnp.abs(mv0).sum(-1)
+        mag1 = jnp.abs(mv1).sum(-1)
+        c0 = rd_of(p0, n, mag0)
+        c1 = rd_of(p1, n, mag1)
+        cbi = rd_of((p0 + p1 + 1) >> 1, n, mag0 + mag1)
+        raw_intra = intra_dec[f"rawcost{n}"]
+        stacked = jnp.stack([raw_intra, c0, c1, cbi])      # [4, B]
+        choice = jnp.argmin(stacked, axis=0)               # 0=intra,1,2,3=bi
+        leaf = jnp.min(stacked, axis=0) + lam * 5.0
+        out[f"mode{n}"] = intra_dec[f"mode{n}"]
+        out[f"inter{n}"] = choice > 0
+        out[f"dir{n}"] = jnp.where(choice == 0, 1, choice).astype(jnp.int32)
+        out[f"mv0{n}"] = mv0
+        out[f"mv1{n}"] = mv1
+        if i == 0:
+            dp = leaf
+            continue
+        gy, gx = h // n, w // n
+        child = dp.reshape(gy, 2, gx, 2)
+        sum_child = child.sum(axis=(1, 3)).reshape(-1)
+        split = sum_child + lam * 1.0 < leaf
+        dp = jnp.where(split, sum_child + lam * 1.0, leaf)
+        out[f"split{n}"] = split
+    return out
+
+
 def decisions_to_maps(dec: dict, padded_w: int, padded_h: int,
                       coded_w: int, coded_h: int,
                       log2_ctu: int, log2_min_cu: int):
@@ -254,8 +334,14 @@ def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,
                     children.append(None)
             return ("split", children)
         if f"inter{n}" in dec and bool(dec[f"inter{n}"][bi]):
+            if f"dir{n}" in dec:  # B search: direction + both MVs
+                mv0 = dec[f"mv0{n}"][bi]
+                mv1 = dec[f"mv1{n}"][bi]
+                return ("ileaf", (int(dec[f"dir{n}"][bi]),
+                                  (int(mv0[0]), int(mv0[1])),
+                                  (int(mv1[0]), int(mv1[1]))))
             mv = dec[f"mv{n}"][bi]
-            return ("ileaf", (int(mv[0]), int(mv[1])))
+            return ("ileaf", (1, (int(mv[0]), int(mv[1])), (0, 0)))
         return ("leaf", int(dec[f"mode{n}"][bi]))
 
     trees = []

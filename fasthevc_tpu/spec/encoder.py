@@ -121,7 +121,8 @@ class SpecEncoder:
             from ..codec.rate_control import RateController
             rc = RateController(self.cfg.target_bitrate, 30.0,
                                 sp.coded_width, sp.coded_height)
-        order = self._coding_order(len(frames), start_poc)
+        from ..codec.gop import coding_order, ref_lists
+        order = coding_order(self.cfg, len(frames), start_poc)
         last_idr = start_poc
         for poc, slice_type, ref_deltas in order:
             is_idr = slice_type == SLICE_I
@@ -129,22 +130,8 @@ class SpecEncoder:
                 last_idr = poc
                 self.dpb = {}
             cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
-            before = tuple(sorted(-d for d in ref_deltas if d < 0))
-            after = tuple(sorted(d for d in ref_deltas if d > 0))
-            before = tuple(d for d in before if cvs_poc - d in self.dpb)
-            after = tuple(d for d in after if cvs_poc + d in self.dpb)
-            if not is_idr and not before and not after:
-                before = (1,) if cvs_poc - 1 in self.dpb else ()
-            # one active ref per list: L0 = nearest past (or future),
-            # L1 = nearest future (or past) — GPB when no future ref
-            l0_pocs = [cvs_poc - d for d in before] + \
-                [cvs_poc + d for d in after]
-            l1_pocs = [cvs_poc + d for d in after] + \
-                [cvs_poc - d for d in before]
-            refs_l0 = [self.dpb[p] for p in l0_pocs[:1]]
-            refs_l1 = [self.dpb[p] for p in l1_pocs[:1]]
-            if slice_type == 0 and not refs_l1:
-                slice_type = 1  # no refs for L1 at all -> P
+            slice_type, refs_l0, refs_l1, (before, after) = ref_lists(
+                self.dpb, cvs_poc, slice_type, ref_deltas, is_idr)
             qp = None
             if rc is not None:
                 qp = rc.picture_qp(len(frames), is_intra=is_idr)
@@ -161,46 +148,6 @@ class SpecEncoder:
             self.dpb[cvs_poc] = planes
         return bytes(out), [recons[start_poc + i]
                             for i in range(len(frames))]
-
-    def _coding_order(self, n_frames: int, start_poc: int):
-        """(poc, slice_type, ref_deltas) in coding order.
-
-        All-intra: every frame IDR. LDP/RA: IDR at intra_period boundaries,
-        then the cfg.gop table (display->coding reorder for hierarchical
-        GOPs); leftover tail frames fall back to P(prev).
-        """
-        cfg = self.cfg
-        all_intra = cfg.intra_period == 1 or not cfg.gop
-        if all_intra:
-            return [(start_poc + i, SLICE_I, ()) for i in range(n_frames)]
-        st_map = {"I": SLICE_I, "P": 1, "B": 0}
-        gop = cfg.gop
-        gop_len = max(e.poc_offset for e in gop)
-        order = []
-        i = 0
-        while i < n_frames:
-            poc = start_poc + i
-            is_idr = poc == 0 or (cfg.intra_period > 0
-                                  and poc % cfg.intra_period == 0)
-            if is_idr or i == 0:
-                order.append((poc, SLICE_I, ()))
-                i += 1
-                continue
-            base = poc - 1  # GOP anchored at the previous picture
-            block_ok = (i + gop_len <= n_frames and gop_len > 1
-                        and not any(
-                            cfg.intra_period > 0
-                            and (base + k) % cfg.intra_period == 0
-                            for k in range(1, gop_len + 1)))
-            if block_ok:
-                for e in gop:
-                    order.append((base + e.poc_offset, st_map[e.slice_type],
-                                  tuple(e.ref_pocs)))
-                i += gop_len
-            else:
-                order.append((poc, 1, (-1,)))
-                i += 1
-        return order
 
     def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
                      refs=((), ()), qp: int | None = None,

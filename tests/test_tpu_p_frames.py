@@ -57,3 +57,28 @@ def test_tpu_p_with_intra_period():
     pics = SpecDecoder().decode(stream)
     assert len(pics) == 5
     assert all(p.hash_ok for p in pics)
+
+
+def test_tpu_b_frames_random_access():
+    """TPU encoder with the RA GOP-16 preset: B search (L0/L1/BI) +
+    conformant streams."""
+    from fasthevc_tpu.config import random_access_gop16
+    cfg = random_access_gop16(width=64, height=64, qp=35, frames=17,
+                              sao=False, deblocking=False)
+    frames = synthesize_yuv(64, 64, 17, seed=85)
+    stream, recons = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == 17
+    assert all(p.hash_ok for p in pics)
+
+
+def test_tpu_b_frames_gop8_with_deblock():
+    from fasthevc_tpu.config import EncoderConfig, GopEntry
+    gop = [GopEntry(4, 1, "B", (-4,)), GopEntry(2, 3, "B", (-2, 2)),
+           GopEntry(1, 4, "B", (-1, 1)), GopEntry(3, 4, "B", (-1, 1))]
+    cfg = EncoderConfig(width=96, height=64, qp=32, frames=5,
+                        intra_period=-1, gop=gop, deblocking=True)
+    frames = synthesize_yuv(96, 64, 5, seed=86)
+    stream, recons = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert all(p.hash_ok for p in pics)
