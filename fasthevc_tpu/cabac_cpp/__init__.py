@@ -77,6 +77,7 @@ def _load():
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.hevc_encode_slice_tiled.restype = ctypes.c_int
     lib.hevc_encode_slice_tiled.argtypes = [
         u8p, u8p, u8p,                       # src planes
@@ -85,8 +86,11 @@ def _load():
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [12]
+        i32p,                                # ctx offsets [20]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
+        ctypes.c_int, i8p, i16p,             # slice_type, dir_map, mv_map
+        i32p, i32p, i32p, i32p, i32p, i32p,  # ref planes l0 + l1
+        i32p, i32p, u8p, u8p,                # motion field export
         i32p, i32p, i32p,                    # rec planes
         u8p,                                 # payload out
         i32p]                                # per-tile sizes out
@@ -99,20 +103,27 @@ _OFFSET_ORDER = [
     "coeff_abs_level_greater1_flag", "coeff_abs_level_greater2_flag",
     "split_cu_flag", "cu_transquant_bypass_flag", "part_mode",
     "prev_intra_luma_pred_flag", "intra_chroma_pred_mode", "cbf_luma",
-    "cbf_chroma",
+    "cbf_chroma", "cu_skip_flag", "pred_mode_flag", "merge_flag",
+    "merge_idx", "inter_pred_idc", "mvd_flag", "mvp_flag", "rqt_root_cbf",
 ]
 
 
 def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
-                        mode_map, ctx: ContextSet, lossless: bool):
-    """Run the C++ slice engine: commit + entropy for one decided I-slice,
-    with tiles executed on parallel threads.
+                        mode_map, ctx: ContextSet, lossless: bool,
+                        slice_type: int = 2, dir_map=None, mv_map=None,
+                        refs=((), ())):
+    """Run the C++ slice engine: commit + entropy for one decided slice
+    (I/P/B), with tiles executed on parallel threads.
 
     src_planes: (y, cb, cr) int arrays in coded dims.
     depth_map/mode_map: int8 [coded_h/8, coded_w/8] decision maps.
-    Returns (substreams: list[bytes], rec_y, rec_cb, rec_cr). Each
-    substream is a complete byte-aligned tile substream (incl. trailing
-    alignment) ready to append after the slice header.
+    dir_map/mv_map (P/B): int8 [gh,gw] inter dir (0=intra) and int16
+    [gh,gw,4] per-granule (mv0x,mv0y,mv1x,mv1y).
+    refs: (refs_l0, refs_l1) lists of Planes-like objects.
+    Returns (substreams, rec_y, rec_cb, rec_cr, motion) where motion =
+    (mf_mv [gh4,gw4,2,2], mf_ref [gh4,gw4,2], mf_cbf, mf_inter) for
+    host-side deblock BS derivation. Substreams are byte-aligned tile
+    substreams ready to append after the slice header.
     """
     lib = _load()
     w, h = sp.coded_width, sp.coded_height
@@ -136,11 +147,37 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     col_b = np.asarray(sp.tile_col_bounds(), dtype=np.int32)
     row_b = np.asarray(sp.tile_row_bounds(), dtype=np.int32)
     sizes = np.zeros(n_tiles, dtype=np.int32)
+    gh8, gw8 = dm.shape
+    if dir_map is None:
+        dir_map = np.zeros((gh8, gw8), dtype=np.int8)
+        mv_map = np.zeros((gh8, gw8, 4), dtype=np.int16)
+    dir_map = np.ascontiguousarray(dir_map, dtype=np.int8)
+    mv_map = np.ascontiguousarray(mv_map, dtype=np.int16)
+
+    def plane_i32(p):
+        return np.ascontiguousarray(p, dtype=np.int32)
+
+    dummy = np.zeros(1, dtype=np.int32)
+    r0 = refs[0][0] if refs[0] else None
+    r1 = refs[1][0] if refs[1] else None
+    r0y = plane_i32(r0.y) if r0 is not None else dummy
+    r0cb = plane_i32(r0.cb) if r0 is not None else dummy
+    r0cr = plane_i32(r0.cr) if r0 is not None else dummy
+    r1y = plane_i32(r1.y) if r1 is not None else r0y
+    r1cb = plane_i32(r1.cb) if r1 is not None else r0cb
+    r1cr = plane_i32(r1.cr) if r1 is not None else r0cr
+    gh4, gw4 = h >> 2, w >> 2
+    mf_mv = np.zeros((gh4, gw4, 2, 2), dtype=np.int32)
+    mf_ref = np.full((gh4, gw4, 2), -1, dtype=np.int32)
+    mf_cbf = np.zeros((gh4, gw4), dtype=np.uint8)
+    mf_inter = np.zeros((gh4, gw4), dtype=np.uint8)
     total = lib.hevc_encode_slice_tiled(
         sy, scb, scr, w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
         dm.shape[1], states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b,
+        slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+        mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes)
     subs = []
     off = 0
@@ -148,7 +185,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         subs.append(payload[off:off + int(sizes[t])].tobytes())
         off += int(sizes[t])
     assert off == total
-    return subs, rec_y, rec_cb, rec_cr
+    return (subs, rec_y, rec_cb, rec_cr,
+            (mf_mv, mf_ref, mf_cbf, mf_inter))
 
 
 def available() -> bool:

@@ -194,7 +194,9 @@ struct Frame {
   // 4x4 granule maps
   int gw, gh;
   std::vector<int8_t> gdepth, gmode;
-  std::vector<uint8_t> gcoded;
+  std::vector<uint8_t> gcoded, gskip, ginter, gcbf;
+  std::vector<int32_t> gmv;   // [g][4]: l0x,l0y,l1x,l1y
+  std::vector<int32_t> gref;  // [g][2]: ref idx per list (-1 unused)
 
   int32_t *plane(int c) { return c == 0 ? y.data() : c == 1 ? cb.data()
                                                             : cr.data(); }
@@ -375,6 +377,97 @@ void predict(int mode, const int32_t *top, const int32_t *left, int n,
 }
 
 // ---- CU syntax + commit ---------------------------------------------------
+// ---- motion compensation (spec 8.5.4) -------------------------------------
+const int kLumaF[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},   {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1}, {0, 1, -5, 17, 58, -10, 4, -1}};
+const int kChromaF[8][4] = {
+    {0, 64, 0, 0},   {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : v > hi ? hi : v;
+}
+
+// 14-bit intermediate MC (raw); taps = 8 (luma) or 4 (chroma)
+void mc_raw(const int32_t *ref, int rw, int rh, int x, int y, int w, int h,
+            int mvx, int mvy, bool luma, int64_t *out) {
+  int ix, iy, fx, fy, taps, center;
+  if (luma) {
+    ix = x + (mvx >> 2); iy = y + (mvy >> 2);
+    fx = mvx & 3; fy = mvy & 3; taps = 8; center = 3;
+  } else {
+    ix = x + (mvx >> 3); iy = y + (mvy >> 3);
+    fx = mvx & 7; fy = mvy & 7; taps = 4; center = 1;
+  }
+  const int *fhx = luma ? kLumaF[fx] : kChromaF[fx];
+  const int *fvy = luma ? kLumaF[fy] : kChromaF[fy];
+  if (fx == 0 && fy == 0) {
+    for (int yy = 0; yy < h; yy++)
+      for (int xx = 0; xx < w; xx++) {
+        int sy = clampi(iy + yy, 0, rh - 1), sx = clampi(ix + xx, 0, rw - 1);
+        out[yy * w + xx] = (int64_t)ref[sy * rw + sx] << 6;
+      }
+    return;
+  }
+  if (fy == 0) {
+    for (int yy = 0; yy < h; yy++)
+      for (int xx = 0; xx < w; xx++) {
+        int sy = clampi(iy + yy, 0, rh - 1);
+        int64_t acc = 0;
+        for (int k = 0; k < taps; k++)
+          acc += (int64_t)fhx[k] *
+                 ref[sy * rw + clampi(ix + xx - center + k, 0, rw - 1)];
+        out[yy * w + xx] = acc;
+      }
+    return;
+  }
+  if (fx == 0) {
+    for (int yy = 0; yy < h; yy++)
+      for (int xx = 0; xx < w; xx++) {
+        int sx = clampi(ix + xx, 0, rw - 1);
+        int64_t acc = 0;
+        for (int k = 0; k < taps; k++)
+          acc += (int64_t)fvy[k] *
+                 ref[clampi(iy + yy - center + k, 0, rh - 1) * rw + sx];
+        out[yy * w + xx] = acc;
+      }
+    return;
+  }
+  // separable: horizontal into tmp (h + taps - 1 rows), then vertical >> 6
+  std::vector<int64_t> tmp((h + taps) * w);
+  for (int yy = 0; yy < h + taps - 1; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int sy = clampi(iy + yy - center, 0, rh - 1);
+      int64_t acc = 0;
+      for (int k = 0; k < taps; k++)
+        acc += (int64_t)fhx[k] *
+               ref[sy * rw + clampi(ix + xx - center + k, 0, rw - 1)];
+      tmp[yy * w + xx] = acc;
+    }
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int64_t acc = 0;
+      for (int k = 0; k < taps; k++) acc += (int64_t)fvy[k] * tmp[(yy + k) * w + xx];
+      out[yy * w + xx] = acc >> 6;
+    }
+}
+
+struct MotionCu {
+  int dir = 0;               // 0 intra, 1 L0, 2 L1, 3 BI
+  int mv0x = 0, mv0y = 0, mv1x = 0, mv1y = 0;
+  // unused-list MVs are zeroed by construction, so full comparison matches
+  // the Python Motion dataclass equality exactly
+  bool operator==(const MotionCu &o) const {
+    return dir == o.dir && mv0x == o.mv0x && mv0y == o.mv0y &&
+           mv1x == o.mv1x && mv1y == o.mv1y;
+  }
+  void normalize() {
+    if (!(dir & 1)) { mv0x = 0; mv0y = 0; }
+    if (!(dir & 2)) { mv1x = 0; mv1y = 0; }
+  }
+};
+
 struct SliceEnc {
   Frame *f;
   Encoder *e;
@@ -385,6 +478,14 @@ struct SliceEnc {
   const uint8_t *src_y, *src_cb, *src_cr;
   const int8_t *depth_map, *mode_map;
   int dm_w;  // granule (8x8) map width
+  // inter (P/B): 0 -> I slice
+  int slice_type = 2;  // 2=I, 1=P, 0=B
+  const int32_t *ref0_y = nullptr, *ref0_cb = nullptr, *ref0_cr = nullptr;
+  const int32_t *ref1_y = nullptr, *ref1_cb = nullptr, *ref1_cr = nullptr;
+  const int8_t *dir_map = nullptr;     // per-8x8 granule: 0..3
+  const int16_t *mv_map = nullptr;     // per-8x8 granule: mv0x,mv0y,mv1x,mv1y
+  int off_skip, off_pred_mode, off_merge_flag, off_merge_idx,
+      off_inter_idc, off_mvd, off_mvp, off_rqt_root;
   // extra ctx family offsets
   int off_split, off_bypassflag, off_part, off_prev_intra, off_chroma_mode,
       off_cbf_luma, off_cbf_chroma;
@@ -441,6 +542,150 @@ void set_cu(SliceEnc *s, int x, int y, int size, int depth, int mode) {
       f.gmode[gy * f.gw + gx] = (int8_t)mode;
       f.gcoded[gy * f.gw + gx] = 1;
     }
+}
+
+// ---- inter helpers ---------------------------------------------------------
+void set_motion_cu(SliceEnc *s, int x, int y, int size, const MotionCu &m,
+                   bool skip, bool cbf_y) {
+  Frame &f = *s->f;
+  for (int gy = y >> 2; gy < (y + size) >> 2; gy++)
+    for (int gx = x >> 2; gx < (x + size) >> 2; gx++) {
+      int g = gy * f.gw + gx;
+      f.ginter[g] = 1;
+      f.gskip[g] = skip;
+      f.gcbf[g] = cbf_y;
+      f.gmv[g * 4 + 0] = (m.dir & 1) ? m.mv0x : 0;
+      f.gmv[g * 4 + 1] = (m.dir & 1) ? m.mv0y : 0;
+      f.gmv[g * 4 + 2] = (m.dir & 2) ? m.mv1x : 0;
+      f.gmv[g * 4 + 3] = (m.dir & 2) ? m.mv1y : 0;
+      f.gref[g * 2 + 0] = (m.dir & 1) ? 0 : -1;
+      f.gref[g * 2 + 1] = (m.dir & 2) ? 0 : -1;
+    }
+}
+
+void set_intra_motion(SliceEnc *s, int x, int y, int size, bool cbf_y) {
+  Frame &f = *s->f;
+  for (int gy = y >> 2; gy < (y + size) >> 2; gy++)
+    for (int gx = x >> 2; gx < (x + size) >> 2; gx++) {
+      int g = gy * f.gw + gx;
+      f.ginter[g] = 0;
+      f.gskip[g] = 0;
+      f.gcbf[g] = cbf_y;
+      f.gref[g * 2 + 0] = -1;
+      f.gref[g * 2 + 1] = -1;
+    }
+}
+
+// motion of PU covering (xn, yn), available + inter; returns dir 0 if not
+MotionCu motion_at(SliceEnc *s, int xn, int yn, int xc, int yc) {
+  MotionCu m;
+  Frame &f = *s->f;
+  if (!f.avail(xn, yn, xc, yc, s->tx0, s->ty0, s->tx1, s->ty1)) return m;
+  int g = (yn >> 2) * f.gw + (xn >> 2);
+  if (!f.ginter[g]) return m;
+  int r0 = f.gref[g * 2], r1 = f.gref[g * 2 + 1];
+  m.dir = (r0 >= 0 ? 1 : 0) | (r1 >= 0 ? 2 : 0);
+  m.mv0x = f.gmv[g * 4 + 0];
+  m.mv0y = f.gmv[g * 4 + 1];
+  m.mv1x = f.gmv[g * 4 + 2];
+  m.mv1y = f.gmv[g * 4 + 3];
+  m.normalize();
+  return m;
+}
+
+// merge candidate list (matches spec/inter.py merge_candidates)
+int merge_list(SliceEnc *s, int x, int y, int size, MotionCu out[5]) {
+  MotionCu a1 = motion_at(s, x - 1, y + size - 1, x, y);
+  MotionCu b1 = motion_at(s, x + size - 1, y - 1, x, y);
+  MotionCu b0 = motion_at(s, x + size, y - 1, x, y);
+  MotionCu a0 = motion_at(s, x - 1, y + size, x, y);
+  MotionCu b2 = motion_at(s, x - 1, y - 1, x, y);
+  int n = 0;
+  if (a1.dir) out[n++] = a1;
+  if (b1.dir && !(a1.dir && b1 == a1)) out[n++] = b1;
+  if (b0.dir && !(b1.dir && b0 == b1)) out[n++] = b0;
+  if (a0.dir && !(a1.dir && a0 == a1)) out[n++] = a0;
+  int n4 = (a0.dir != 0) + (a1.dir != 0) + (b0.dir != 0) + (b1.dir != 0);
+  if (n < 4 && n4 < 4 && b2.dir && !(a1.dir && b2 == a1) &&
+      !(b1.dir && b2 == b1))
+    out[n++] = b2;
+  MotionCu zero;
+  zero.dir = (s->slice_type == 0) ? 3 : 1;
+  while (n < 5) out[n++] = zero;
+  return 5;
+}
+
+// AMVP list for one list (matches spec/inter.py amvp_candidates)
+void amvp_list(SliceEnc *s, int x, int y, int size, int list_idx,
+               int out[2][2]) {
+  MotionCu cands[5] = {motion_at(s, x - 1, y + size, x, y),
+                       motion_at(s, x - 1, y + size - 1, x, y),
+                       motion_at(s, x + size, y - 1, x, y),
+                       motion_at(s, x + size - 1, y - 1, x, y),
+                       motion_at(s, x - 1, y - 1, x, y)};
+  int ax = 0, ay = 0, bx = 0, by = 0;
+  bool have_a = false, have_b = false;
+  for (int i = 0; i < 2 && !have_a; i++)
+    if (cands[i].dir & (1 << list_idx)) {
+      ax = list_idx ? cands[i].mv1x : cands[i].mv0x;
+      ay = list_idx ? cands[i].mv1y : cands[i].mv0y;
+      have_a = true;
+    }
+  for (int i = 2; i < 5 && !have_b; i++)
+    if (cands[i].dir & (1 << list_idx)) {
+      bx = list_idx ? cands[i].mv1x : cands[i].mv0x;
+      by = list_idx ? cands[i].mv1y : cands[i].mv0y;
+      have_b = true;
+    }
+  int n = 0;
+  int lst[2][2] = {{0, 0}, {0, 0}};
+  if (have_a) { lst[n][0] = ax; lst[n][1] = ay; n++; }
+  if (have_b && (!have_a || bx != ax || by != ay)) {
+    lst[n][0] = bx; lst[n][1] = by; n++;
+  }
+  for (int i = 0; i < 2; i++) {
+    out[i][0] = i < n ? lst[i][0] : 0;
+    out[i][1] = i < n ? lst[i][1] : 0;
+  }
+}
+
+// mvd coding (matches spec/inter.py encode_mvd)
+void encode_mvd_cpp(SliceEnc *s, int mx, int my) {
+  Encoder *e = s->e;
+  int g0x = mx != 0, g0y = my != 0;
+  e->encode_bin(s->off_mvd + 0, g0x);
+  e->encode_bin(s->off_mvd + 0, g0y);
+  int g1x = (mx > 1 || mx < -1), g1y = (my > 1 || my < -1);
+  if (g0x) e->encode_bin(s->off_mvd + 1, g1x);
+  if (g0y) e->encode_bin(s->off_mvd + 1, g1y);
+  int vals[2] = {mx, my};
+  int g0s[2] = {g0x, g0y}, g1s[2] = {g1x, g1y};
+  for (int i = 0; i < 2; i++) {
+    if (!g0s[i]) continue;
+    int v = vals[i] < 0 ? -vals[i] : vals[i];
+    if (g1s[i]) {
+      // EG1 of v-2
+      uint32_t value = v - 2;
+      int k = 1;
+      while (value >= (1u << k)) {
+        e->encode_bypass(1);
+        value -= 1u << k;
+        k++;
+      }
+      e->encode_bypass(0);
+      e->encode_bypass_bits(value, k);
+    }
+    e->encode_bypass(vals[i] < 0 ? 1 : 0);
+  }
+}
+
+void encode_merge_idx_cpp(SliceEnc *s, int idx) {
+  Encoder *e = s->e;
+  e->encode_bin(s->off_merge_idx, idx > 0);
+  if (idx > 0) {
+    for (int k = 1; k < idx; k++) e->encode_bypass(1);
+    if (idx < 4) e->encode_bypass(0);
+  }
 }
 
 // one transform block: predict, residual, TQ, recon; returns cbf
@@ -508,12 +753,276 @@ int scan_for(int lg, int c_idx, int mode) {
   return 0;
 }
 
+int skip_ctx(SliceEnc *s, int x, int y) {
+  Frame &f = *s->f;
+  int ctx = 0;
+  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
+      f.gskip[(y >> 2) * f.gw + ((x - 1) >> 2)])
+    ctx++;
+  if (y > s->ty0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
+      f.gskip[((y - 1) >> 2) * f.gw + (x >> 2)])
+    ctx++;
+  return ctx;
+}
+
+// Commit + serialize one inter CU (P/B, 2Nx2N, one ref per list).
+void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
+                     const MotionCu &m) {
+  Frame &f = *s->f;
+  Encoder *e = s->e;
+  int n = 1 << lg;
+  int cn = n >> 1;
+
+  // ---- motion compensation (14-bit raw, then uni/bi rounding) ----------
+  static thread_local std::vector<int64_t> r0, r1;
+  r0.assign(n * n, 0);
+  r1.assign(n * n, 0);
+  std::vector<int32_t> pred_y(n * n), pred_cb(cn * cn), pred_cr(cn * cn);
+  int maxv = (1 << f.bit_depth) - 1;
+  auto blend = [&](const int64_t *a, const int64_t *b, int cnt,
+                   int32_t *out) {
+    if (m.dir == 3) {
+      for (int i = 0; i < cnt; i++)
+        out[i] = clampi((int)((a[i] + b[i] + 64) >> 7), 0, maxv);
+    } else {
+      const int64_t *src = (m.dir == 1) ? a : b;
+      for (int i = 0; i < cnt; i++)
+        out[i] = clampi((int)((src[i] + 32) >> 6), 0, maxv);
+    }
+  };
+  int w = f.coded_w, h = f.coded_h;
+  if (m.dir & 1) mc_raw(s->ref0_y, w, h, x, y, n, n, m.mv0x, m.mv0y, true,
+                        r0.data());
+  if (m.dir & 2) mc_raw(s->ref1_y, w, h, x, y, n, n, m.mv1x, m.mv1y, true,
+                        r1.data());
+  blend(r0.data(), r1.data(), n * n, pred_y.data());
+  if (m.dir & 1) mc_raw(s->ref0_cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+                        m.mv0x, m.mv0y, false, r0.data());
+  if (m.dir & 2) mc_raw(s->ref1_cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+                        m.mv1x, m.mv1y, false, r1.data());
+  blend(r0.data(), r1.data(), cn * cn, pred_cb.data());
+  if (m.dir & 1) mc_raw(s->ref0_cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+                        m.mv0x, m.mv0y, false, r0.data());
+  if (m.dir & 2) mc_raw(s->ref1_cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+                        m.mv1x, m.mv1y, false, r1.data());
+  blend(r0.data(), r1.data(), cn * cn, pred_cr.data());
+
+  // ---- residual TQ per TU (TU == CU; 64 -> 4x32 forced split) ----------
+  int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
+  int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+  int tn = 1 << tlg;
+  int half = n >> 1;
+  static thread_local std::vector<int32_t> lv_y, lv_cb, lv_cr, res, coeff,
+      deq, rq;
+  lv_y.assign(n_tus * tn * tn, 0);
+  lv_cb.assign(n_tus * (tn / 2) * (tn / 2), 0);
+  lv_cr.assign(n_tus * (tn / 2) * (tn / 2), 0);
+  res.assign(32 * 32, 0);
+  coeff.assign(32 * 32, 0);
+  deq.assign(32 * 32, 0);
+  rq.assign(32 * 32, 0);
+  bool cbf_y[4] = {}, cbf_cb[4] = {}, cbf_cr[4] = {};
+
+  auto do_tb = [&](int ci, int ti, int32_t *levels, bool *cbf) {
+    int bs = ci == 0 ? tn : tn / 2;
+    int blg = ci == 0 ? tlg : tlg - 1;
+    int ox = (n_tus == 1 ? 0 : (ti & 1) * half) >> (ci ? 1 : 0);
+    int oy = (n_tus == 1 ? 0 : (ti >> 1) * half) >> (ci ? 1 : 0);
+    int bx = (ci == 0 ? x : x >> 1) + ox, by = (ci == 0 ? y : y >> 1) + oy;
+    int pw = ci == 0 ? n : cn;
+    const int32_t *pred = ci == 0 ? pred_y.data()
+                          : ci == 1 ? pred_cb.data() : pred_cr.data();
+    const uint8_t *src = ci == 0 ? s->src_y : ci == 1 ? s->src_cb
+                                                      : s->src_cr;
+    int sw = ci == 0 ? w : w / 2;
+    int qp = ci == 0 ? s->qp_y : ci == 1 ? s->qp_cb : s->qp_cr;
+    for (int yy = 0; yy < bs; yy++)
+      for (int xx = 0; xx < bs; xx++)
+        res[yy * bs + xx] = (int32_t)src[(by + yy) * sw + (bx + xx)] -
+                            pred[(oy + yy) * pw + (ox + xx)];
+    bool any;
+    if (s->lossless) {
+      any = false;
+      for (int i = 0; i < bs * bs; i++) {
+        levels[i] = res[i];
+        any |= res[i] != 0;
+        rq[i] = res[i];
+      }
+    } else {
+      fwd_transform(res.data(), blg, false, f.bit_depth, coeff.data(),
+                    &s->trbuf);
+      // inter dead-zone offset (85/512)
+      {
+        int nn = 1 << blg;
+        int tshift = 15 - f.bit_depth - blg;
+        int qbits = 14 + qp / 6 + tshift;
+        int64_t scale = kQuantScales[qp % 6];
+        int64_t off = (int64_t)85 << (qbits - 9);
+        any = false;
+        for (int i = 0; i < nn * nn; i++) {
+          int64_t c = coeff[i];
+          int64_t a = c < 0 ? -c : c;
+          int64_t lvv = (a * scale + off) >> qbits;
+          if (lvv > 32767) lvv = 32767;
+          levels[i] = (int32_t)(c < 0 ? -lvv : lvv);
+          any |= lvv != 0;
+        }
+      }
+      if (any) {
+        dequantize(levels, blg, qp, f.bit_depth, deq.data());
+        inv_transform(deq.data(), blg, false, f.bit_depth, rq.data(),
+                      &s->trbuf);
+      }
+    }
+    *cbf = any;
+    // reconstruct into the plane
+    int32_t *plane = f.plane(ci);
+    for (int yy = 0; yy < bs; yy++)
+      for (int xx = 0; xx < bs; xx++) {
+        int32_t v = pred[(oy + yy) * pw + (ox + xx)] +
+                    (any ? rq[yy * bs + xx] : 0);
+        plane[(by + yy) * sw + (bx + xx)] = clampi(v, 0, maxv);
+      }
+  };
+  for (int ti = 0; ti < n_tus; ti++) {
+    do_tb(0, ti, lv_y.data() + ti * tn * tn, &cbf_y[ti]);
+    do_tb(1, ti, lv_cb.data() + ti * (tn / 2) * (tn / 2), &cbf_cb[ti]);
+    do_tb(2, ti, lv_cr.data() + ti * (tn / 2) * (tn / 2), &cbf_cr[ti]);
+  }
+  bool cbf_any = false, cbf_y_any = false;
+  for (int ti = 0; ti < n_tus; ti++) {
+    cbf_any |= cbf_y[ti] | cbf_cb[ti] | cbf_cr[ti];
+    cbf_y_any |= cbf_y[ti];
+  }
+
+  // ---- merge/AMVP decision (mirror of the Python commit) ---------------
+  MotionCu cands[5];
+  merge_list(s, x, y, n, cands);
+  int merge_idx = -1;
+  for (int i = 0; i < 5 && merge_idx < 0; i++)
+    if (cands[i] == m) merge_idx = i;
+  bool merge = merge_idx >= 0;
+  bool skip = merge && !cbf_any;
+
+  // ---- syntax -----------------------------------------------------------
+  e->encode_bin(s->off_skip + skip_ctx(s, x, y), skip);
+  if (skip) {
+    encode_merge_idx_cpp(s, merge_idx);
+    for (int gy = y >> 2; gy < (y + n) >> 2; gy++)
+      for (int gx = x >> 2; gx < (x + n) >> 2; gx++) {
+        f.gdepth[gy * f.gw + gx] = (int8_t)depth;
+        f.gmode[gy * f.gw + gx] = -1;
+        f.gcoded[gy * f.gw + gx] = 1;
+      }
+    set_motion_cu(s, x, y, n, m, true, false);
+    return;
+  }
+  if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
+  e->encode_bin(s->off_pred_mode, 0);  // inter
+  e->encode_bin(s->off_part, 1);       // 2Nx2N
+  e->encode_bin(s->off_merge_flag, merge);
+  if (merge) {
+    encode_merge_idx_cpp(s, merge_idx);
+  } else {
+    if (s->slice_type == 0) {
+      e->encode_bin(s->off_inter_idc + (m.dir == 3 ? depth : depth),
+                    m.dir == 3 ? 1 : 0);
+      if (m.dir != 3)
+        e->encode_bin(s->off_inter_idc + 4, m.dir == 2 ? 1 : 0);
+    }
+    if (m.dir & 1) {
+      int amvp[2][2];
+      amvp_list(s, x, y, n, 0, amvp);
+      int c0 = (m.mv0x > amvp[0][0] ? m.mv0x - amvp[0][0]
+                                    : amvp[0][0] - m.mv0x) +
+               (m.mv0y > amvp[0][1] ? m.mv0y - amvp[0][1]
+                                    : amvp[0][1] - m.mv0y);
+      int c1 = (m.mv0x > amvp[1][0] ? m.mv0x - amvp[1][0]
+                                    : amvp[1][0] - m.mv0x) +
+               (m.mv0y > amvp[1][1] ? m.mv0y - amvp[1][1]
+                                    : amvp[1][1] - m.mv0y);
+      int mvp = c0 <= c1 ? 0 : 1;
+      encode_mvd_cpp(s, m.mv0x - amvp[mvp][0], m.mv0y - amvp[mvp][1]);
+      e->encode_bin(s->off_mvp, mvp);
+    }
+    if (m.dir & 2) {
+      int amvp[2][2];
+      amvp_list(s, x, y, n, 1, amvp);
+      int c0 = (m.mv1x > amvp[0][0] ? m.mv1x - amvp[0][0]
+                                    : amvp[0][0] - m.mv1x) +
+               (m.mv1y > amvp[0][1] ? m.mv1y - amvp[0][1]
+                                    : amvp[0][1] - m.mv1y);
+      int c1 = (m.mv1x > amvp[1][0] ? m.mv1x - amvp[1][0]
+                                    : amvp[1][0] - m.mv1x) +
+               (m.mv1y > amvp[1][1] ? m.mv1y - amvp[1][1]
+                                    : amvp[1][1] - m.mv1y);
+      int mvp = c0 <= c1 ? 0 : 1;
+      encode_mvd_cpp(s, m.mv1x - amvp[mvp][0], m.mv1y - amvp[mvp][1]);
+      e->encode_bin(s->off_mvp, mvp);
+    }
+  }
+  if (!merge) e->encode_bin(s->off_rqt_root, cbf_any);
+  if (cbf_any || merge) {
+    // transform tree: depth-0 chroma cbfs, then TUs
+    bool cb0 = false, cr0 = false;
+    for (int ti = 0; ti < n_tus; ti++) {
+      cb0 |= cbf_cb[ti];
+      cr0 |= cbf_cr[ti];
+    }
+    e->encode_bin(s->off_cbf_chroma + 0, cb0);
+    e->encode_bin(s->off_cbf_chroma + 0, cr0);
+    for (int ti = 0; ti < n_tus; ti++) {
+      int trafo_depth = n_tus == 1 ? 0 : 1;
+      if (n_tus > 1) {
+        if (cb0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cb[ti]);
+        if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[ti]);
+      }
+      bool present = trafo_depth != 0 || cbf_cb[ti] || cbf_cr[ti];
+      if (present)
+        e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0),
+                      cbf_y[ti]);
+      if (cbf_y[ti])
+        encode_residual(e, lv_y.data() + ti * tn * tn, tlg, 0, 0);
+      if (cbf_cb[ti])
+        encode_residual(e, lv_cb.data() + ti * (tn / 2) * (tn / 2),
+                        tlg - 1, 1, 0);
+      if (cbf_cr[ti])
+        encode_residual(e, lv_cr.data() + ti * (tn / 2) * (tn / 2),
+                        tlg - 1, 2, 0);
+    }
+  }
+  for (int gy = y >> 2; gy < (y + n) >> 2; gy++)
+    for (int gx = x >> 2; gx < (x + n) >> 2; gx++) {
+      f.gdepth[gy * f.gw + gx] = (int8_t)depth;
+      f.gmode[gy * f.gw + gx] = -1;
+      f.gcoded[gy * f.gw + gx] = 1;
+    }
+  set_motion_cu(s, x, y, n, m, false, cbf_y_any);
+}
+
 void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
   Frame &f = *s->f;
   Encoder *e = s->e;
   // the decided mode is in the map at the CU origin
   int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
+  if (s->slice_type != 2) {
+    int g8 = (y >> 3) * s->dm_w + (x >> 3);
+    int dir = s->dir_map ? s->dir_map[g8] : 0;
+    if (dir > 0) {
+      MotionCu m;
+      m.dir = dir;
+      m.mv0x = s->mv_map[g8 * 4 + 0];
+      m.mv0y = s->mv_map[g8 * 4 + 1];
+      m.mv1x = s->mv_map[g8 * 4 + 2];
+      m.mv1y = s->mv_map[g8 * 4 + 3];
+      m.normalize();
+      encode_inter_cu(s, x, y, lg, depth, m);
+      return;
+    }
+    e->encode_bin(s->off_skip + skip_ctx(s, x, y), 0);
+  }
   if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
+  if (s->slice_type != 2) e->encode_bin(s->off_pred_mode, 1);  // intra
   if (lg == s->log2_min_cu) e->encode_bin(s->off_part, 1);  // 2Nx2N
   int cands[3];
   mpm_candidates(s, x, y, cands);
@@ -572,6 +1081,7 @@ void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
     (void)n;
   }
   set_cu(s, x, y, 1 << lg, depth, mode);
+  set_intra_motion(s, x, y, 1 << lg, false);
 }
 
 void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
@@ -616,11 +1126,18 @@ int hevc_encode_slice_tiled(
     int qp_cb, int qp_cr, int lossless, int bypass_enabled,
     const int8_t *depth_map, const int8_t *mode_map, int dm_w,
     const uint8_t *ctx_states, const uint8_t *ctx_mps, int n_ctx,
-    const int32_t *ctx_offsets,  // [12]: last,csbf,sig,gt1,gt2,split,bypass,
-                                 //        part,prev_intra,chroma,cbf_luma,
-                                 //        cbf_chroma
+    const int32_t *ctx_offsets,  // [20]: last,csbf,sig,gt1,gt2,split,bypass,
+                                 //  part,prev_intra,chroma,cbf_luma,
+                                 //  cbf_chroma,skip,pred_mode,merge_flag,
+                                 //  merge_idx,inter_idc,mvd,mvp,rqt_root
     int n_tile_cols, int n_tile_rows, const int32_t *tile_col_bounds,
     const int32_t *tile_row_bounds,
+    // inter (P/B); pass slice_type=2 and nulls for I slices
+    int slice_type, const int8_t *dir_map, const int16_t *mv_map,
+    const int32_t *ref0_y, const int32_t *ref0_cb, const int32_t *ref0_cr,
+    const int32_t *ref1_y, const int32_t *ref1_cb, const int32_t *ref1_cr,
+    // exported 4x4 motion field (for host-side deblock BS): may be null
+    int32_t *mf_mv, int32_t *mf_ref, uint8_t *mf_cbf, uint8_t *mf_inter,
     int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr, uint8_t *payload,
     int32_t *tile_sizes) {
   init_transforms();
@@ -638,6 +1155,11 @@ int hevc_encode_slice_tiled(
   f.gdepth.assign(f.gw * f.gh, -1);
   f.gmode.assign(f.gw * f.gh, -1);
   f.gcoded.assign(f.gw * f.gh, 0);
+  f.gskip.assign(f.gw * f.gh, 0);
+  f.ginter.assign(f.gw * f.gh, 0);
+  f.gcbf.assign(f.gw * f.gh, 0);
+  f.gmv.assign(f.gw * f.gh * 4, 0);
+  f.gref.assign(f.gw * f.gh * 2, -1);
 
   const int cs = 1 << log2_ctu;
   const int n_tiles = n_tile_cols * n_tile_rows;
@@ -674,6 +1196,19 @@ int hevc_encode_slice_tiled(
     se.off_chroma_mode = ctx_offsets[9];
     se.off_cbf_luma = ctx_offsets[10];
     se.off_cbf_chroma = ctx_offsets[11];
+    se.off_skip = ctx_offsets[12];
+    se.off_pred_mode = ctx_offsets[13];
+    se.off_merge_flag = ctx_offsets[14];
+    se.off_merge_idx = ctx_offsets[15];
+    se.off_inter_idc = ctx_offsets[16];
+    se.off_mvd = ctx_offsets[17];
+    se.off_mvp = ctx_offsets[18];
+    se.off_rqt_root = ctx_offsets[19];
+    se.slice_type = slice_type;
+    se.dir_map = dir_map;
+    se.mv_map = mv_map;
+    se.ref0_y = ref0_y; se.ref0_cb = ref0_cb; se.ref0_cr = ref0_cr;
+    se.ref1_y = ref1_y; se.ref1_cb = ref1_cb; se.ref1_cr = ref1_cr;
     if (tiled) {
       se.tx0 = tile_col_bounds[tc] * cs;
       se.ty0 = tile_row_bounds[tr] * cs;
@@ -721,6 +1256,12 @@ int hevc_encode_slice_tiled(
   std::memcpy(rec_y, f.y.data(), sizeof(int32_t) * coded_w * coded_h);
   std::memcpy(rec_cb, f.cb.data(), sizeof(int32_t) * coded_w * coded_h / 4);
   std::memcpy(rec_cr, f.cr.data(), sizeof(int32_t) * coded_w * coded_h / 4);
+  if (mf_mv) std::memcpy(mf_mv, f.gmv.data(),
+                         sizeof(int32_t) * f.gw * f.gh * 4);
+  if (mf_ref) std::memcpy(mf_ref, f.gref.data(),
+                          sizeof(int32_t) * f.gw * f.gh * 2);
+  if (mf_cbf) std::memcpy(mf_cbf, f.gcbf.data(), f.gw * f.gh);
+  if (mf_inter) std::memcpy(mf_inter, f.ginter.data(), f.gw * f.gh);
   return (int)off;
 }
 

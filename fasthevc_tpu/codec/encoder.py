@@ -80,10 +80,6 @@ class TpuEncoder:
                 raise NotImplementedError(
                     "TpuEncoder tiles need the native slice engine "
                     "(C++ toolchain); use SpecEncoder otherwise")
-            if cfg.gop and cfg.intra_period != 1:
-                raise NotImplementedError(
-                    "TpuEncoder tiles are all-intra for now "
-                    "(P-frame native commit pending)")
 
     def _apply_fast_partition(self, dec, y_pad, pw, ph):
         """Replace the DP split decisions with the CNN's partition map."""
@@ -140,38 +136,60 @@ class TpuEncoder:
 
     # ------------------------------------------------------------------
 
-    def _encode_frame_native(self, native, src, dec, pw, ph):
+    def _encode_frame_native(self, native, src, dec, pw, ph, poc=0,
+                             slice_type=SLICE_I, refs=((), ()),
+                             ref_deltas=((), ())):
         """C++ slice engine path: decisions maps in, payload + recon out."""
         sp = self.sp
         cfg = self.cfg
         from ..spec.ctu import tu_qps
         from .search import decisions_to_maps
 
-        depth_map, mode_map = decisions_to_maps(
+        is_idr = slice_type == SLICE_I
+        depth_map, mode_map, dir_map, mv_map = decisions_to_maps(
             dec, pw, ph, sp.coded_width, sp.coded_height, sp.log2_ctu,
             sp.log2_min_cu)
         gw, gh = sp.coded_width >> 3, sp.coded_height >> 3
         depth_map = np.ascontiguousarray(depth_map[:gh, :gw])
         mode_map = np.ascontiguousarray(mode_map[:gh, :gw])
+        dir_map = np.ascontiguousarray(dir_map[:gh, :gw])
+        mv_map = np.ascontiguousarray(mv_map[:gh, :gw])
         qp_y, qp_cb, qp_cr = tu_qps(sp, cfg.qp)
-        substreams, ry, rcb, rcr = native.encode_slice_native(
+        init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
+        substreams, ry, rcb, rcr, motion = native.encode_slice_native(
             (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
-            depth_map, mode_map, ContextSet(0, cfg.qp), cfg.lossless)
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=cfg.qp, is_idr=True,
+            depth_map, mode_map, ContextSet(init_type, cfg.qp),
+            cfg.lossless, slice_type=slice_type, dir_map=dir_map,
+            mv_map=mv_map, refs=refs)
+        nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
+        sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
+                         is_idr=is_idr,
+                         poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
+                         ref_pocs_before=() if is_idr else ref_deltas[0],
+                         ref_pocs_after=() if is_idr else ref_deltas[1],
                          entry_points=tuple(len(s) for s in
                                             substreams[:-1]))
-        w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+        w = write_slice_header(sh, sp, nal_type)
         for s_bytes in substreams:
             w.append_bytes(s_bytes)
         planes = Planes(sp)
         planes.y[:] = ry
         planes.cb[:] = rcb
         planes.cr[:] = rcr
-        nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+        nal = bs.write_nal(nal_type, w.get_bytes())
         if not sp.deblocking_disabled:
             from ..spec.deblock import deblock_picture
+            maps_arg = None
+            if not is_idr:
+                # wrap the exported motion field for BS derivation
+                maps_arg = FrameMaps(sp)
+                mf_mv, mf_ref, mf_cbf, mf_inter = motion
+                maps_arg.motion.mv[:] = mf_mv
+                maps_arg.motion.ref_idx[:] = mf_ref
+                maps_arg.motion.cbf_y[:] = mf_cbf.astype(bool)
+                maps_arg.motion.inter[:] = mf_inter.astype(bool)
             deblock_picture(planes, sp, depth_map.astype(np.int32), cfg.qp,
-                            qp_cb, qp_cr)
+                            qp_cb, qp_cr, maps=maps_arg)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
@@ -224,10 +242,14 @@ class TpuEncoder:
         if self.cfg.fast_partition and self.partition_params is not None:
             dec = self._apply_fast_partition(dec, y_pad, pw, ph)
 
-        # ---- 2+3. native slice engine (C++ commit + entropy; I only) -
+        # ---- 2+3. native slice engine (C++ commit + entropy) ---------
         native = _native_engine()
-        if native is not None and is_idr:
-            return self._encode_frame_native(native, src, dec, pw, ph)
+        if native is not None:
+            return self._encode_frame_native(native, src, dec, pw, ph,
+                                             poc=poc,
+                                             slice_type=slice_type,
+                                             refs=refs,
+                                             ref_deltas=ref_deltas)
 
         trees = decisions_to_trees(dec, pw, ph, sp.coded_width,
                                    sp.coded_height, sp.log2_ctu,

@@ -287,19 +287,42 @@ def decisions_to_maps(dec: dict, padded_w: int, padded_h: int,
         f = (by[:, None] + n > coded_h) | (bx[None, :] + n > coded_w)
         return up(f, n)
 
+    def level_maps(n):
+        """(mode, dir, mv4) granule maps for one CU size."""
+        ph_n, pw_n = padded_h // n, padded_w // n
+        mode_n = up(dec[f"mode{n}"].reshape(ph_n, pw_n), n).astype(np.int8)
+        dir_n = np.zeros((gh, gw), dtype=np.int8)
+        mv_n = np.zeros((gh, gw, 4), dtype=np.int16)
+        if f"dir{n}" in dec:  # B search
+            inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
+            dir_n[inter] = up(dec[f"dir{n}"].reshape(ph_n, pw_n),
+                              n)[inter].astype(np.int8)
+            for k, key in enumerate((f"mv0{n}", f"mv1{n}")):
+                mvs = dec[key].reshape(ph_n, pw_n, 2)
+                for c in range(2):
+                    mv_n[..., 2 * k + c] = up(mvs[..., c], n).astype(np.int16)
+        elif f"inter{n}" in dec:  # P search
+            inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
+            dir_n[inter] = 1
+            mvs = dec[f"mv{n}"].reshape(ph_n, pw_n, 2)
+            for c in range(2):
+                mv_n[..., c] = up(mvs[..., c], n).astype(np.int16)
+        mode_n[dir_n > 0] = -1
+        return mode_n, dir_n, mv_n
+
     top = sizes[0]
     depth = np.zeros((gh, gw), dtype=np.int8)
-    mode = up(dec[f"mode{top}"].reshape(padded_h // top, padded_w // top),
-              top).astype(np.int8)
+    mode, dir_map, mv_map = level_maps(top)
     for d, n in enumerate(sizes[:-1]):
         child = sizes[d + 1]
         split = up(dec[f"split{n}"].reshape(padded_h // n, padded_w // n), n)
         active = (depth == d) & (split | forced(n))
-        cmode = up(dec[f"mode{child}"].reshape(padded_h // child,
-                                               padded_w // child), child)
+        cmode, cdir, cmv = level_maps(child)
         depth[active] = d + 1
-        mode[active] = cmode[active].astype(np.int8)
-    return depth, mode
+        mode[active] = cmode[active]
+        dir_map[active] = cdir[active]
+        mv_map[active] = cmv[active]
+    return depth, mode, dir_map, mv_map
 
 
 def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,

@@ -114,7 +114,7 @@ def train_self_distilled(clips=None, qps=(27, 32, 37), log2_ctu: int = 5,
             dec = search_intra_frame(jnp.asarray(yp), jnp.float32(lam),
                                      log2_ctu, 3)
             dec = jax.device_get(dec)
-            depth, _ = decisions_to_maps(dec, w, h, w, h, log2_ctu, 3)
+            depth, _, _, _ = decisions_to_maps(dec, w, h, w, h, log2_ctu, 3)
             xs.append(_ctu_batch(yp, ctu))
             g = ctu // 8
             t = (depth.reshape(h // ctu, g, w // ctu, g)

@@ -89,3 +89,27 @@ def test_native_tiled_vs_untiled_streams_differ():
     s2, _ = TpuEncoder(cfg2).encode(frames)
     assert s1 != s2
     assert len(s2) < len(s1) * 1.3
+
+
+def test_native_matches_python_p_frames(monkeypatch):
+    """Native inter commit must be byte-identical to the Python commit."""
+    from fasthevc_tpu.config import low_delay_p
+    cfg = low_delay_p(width=96, height=64, qp=33, frames=3)
+    frames = synthesize_yuv(96, 64, 3, seed=79)
+    ns, nr, ps, pr = _encode_both(cfg, frames, monkeypatch)
+    assert ns == ps, "native and python P streams differ"
+    for a, b in zip(nr, pr):
+        np.testing.assert_array_equal(a.y, b.y)
+
+
+def test_native_matches_python_b_frames(monkeypatch):
+    from fasthevc_tpu.config import EncoderConfig, GopEntry
+    gop = [GopEntry(4, 1, "B", (-4,)), GopEntry(2, 3, "B", (-2, 2)),
+           GopEntry(1, 4, "B", (-1, 1)), GopEntry(3, 4, "B", (-1, 1))]
+    cfg = EncoderConfig(width=96, height=64, qp=35, frames=5,
+                        intra_period=-1, gop=gop)
+    frames = synthesize_yuv(96, 64, 5, seed=80)
+    ns, nr, ps, pr = _encode_both(cfg, frames, monkeypatch)
+    assert ns == ps, "native and python B streams differ"
+    for a, b in zip(nr, pr):
+        np.testing.assert_array_equal(a.y, b.y)
