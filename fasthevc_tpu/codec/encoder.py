@@ -136,19 +136,57 @@ class TpuEncoder:
 
     # ------------------------------------------------------------------
 
-    def _encode_frame_native(self, native, src, dec, pw, ph, poc=0,
+    def _search_packed_native(self, y_pad, refs, slice_type, is_idr, pw,
+                              ph):
+        """Dispatch the jitted search+pack and fetch the ONE packed int16
+        decision tensor (the axon tunnel makes multi-array fetches slow —
+        see _pack_maps_device)."""
+        import jax.numpy as jnp
+
+        sp = self.sp
+        cfg = self.cfg
+        from .search import search_b_maps, search_intra_maps, search_p_maps
+
+        use_cnn = bool(cfg.fast_partition
+                       and self.partition_params is not None)
+        up_dtype = np.uint8 if sp.bit_depth == 8 else np.int32
+        lam = jnp.float32(self.lambda_sqrt)
+        kw = dict(cnn_params=self.partition_params, qp=cfg.qp,
+                  use_cnn=use_cnn)
+        y_dev = jnp.asarray(y_pad.astype(up_dtype))
+        if is_idr or not refs[0]:
+            packed = search_intra_maps(y_dev, lam, sp.log2_ctu,
+                                       sp.log2_min_cu, sp.coded_width,
+                                       sp.coded_height, **kw)
+        elif slice_type == 0 and refs[1]:  # B
+            r0 = pad_plane(refs[0][0].y, ph, pw).astype(up_dtype)
+            r1 = pad_plane(refs[1][0].y, ph, pw).astype(up_dtype)
+            packed = search_b_maps(y_dev, jnp.asarray(r0), jnp.asarray(r1),
+                                   lam, sp.log2_ctu, sp.log2_min_cu,
+                                   sp.coded_width, sp.coded_height,
+                                   min(cfg.search_range, 8), **kw)
+        else:
+            ref = pad_plane(refs[0][0].y, ph, pw).astype(up_dtype)
+            packed = search_p_maps(y_dev, jnp.asarray(ref), lam,
+                                   sp.log2_ctu, sp.log2_min_cu,
+                                   sp.coded_width, sp.coded_height,
+                                   min(cfg.search_range, 8), **kw)
+        return np.asarray(packed)  # single tunnel fetch
+
+    def _encode_frame_native(self, native, src, packed, pw, ph, poc=0,
                              slice_type=SLICE_I, refs=((), ()),
                              ref_deltas=((), ())):
-        """C++ slice engine path: decisions maps in, payload + recon out."""
+        """C++ slice engine path: packed decision tensor in, payload +
+        recon out."""
         sp = self.sp
         cfg = self.cfg
         from ..spec.ctu import tu_qps
-        from .search import decisions_to_maps
 
         is_idr = slice_type == SLICE_I
-        depth_map, mode_map, dir_map, mv_map = decisions_to_maps(
-            dec, pw, ph, sp.coded_width, sp.coded_height, sp.log2_ctu,
-            sp.log2_min_cu)
+        depth_map = packed[..., 0].astype(np.int8)
+        mode_map = packed[..., 1].astype(np.int8)
+        dir_map = packed[..., 2].astype(np.int8)
+        mv_map = packed[..., 3:7].astype(np.int16)
         gw, gh = sp.coded_width >> 3, sp.coded_height >> 3
         depth_map = np.ascontiguousarray(depth_map[:gh, :gw])
         mode_map = np.ascontiguousarray(mode_map[:gh, :gw])
@@ -218,6 +256,18 @@ class TpuEncoder:
         pw = -(-sp.coded_width // ctu_size) * ctu_size
         ph = -(-sp.coded_height // ctu_size) * ctu_size
         y_pad = pad_plane(src.y, ph, pw)
+
+        # ---- 2+3. native slice engine (C++ commit + entropy) ---------
+        native = _native_engine()
+        if native is not None:
+            packed = self._search_packed_native(y_pad, refs, slice_type,
+                                                is_idr, pw, ph)
+            return self._encode_frame_native(native, src, packed, pw, ph,
+                                             poc=poc,
+                                             slice_type=slice_type,
+                                             refs=refs,
+                                             ref_deltas=ref_deltas)
+
         if is_idr or not refs[0]:
             dec = search_intra_frame(jnp.asarray(y_pad),
                                      jnp.float32(self.lambda_sqrt),
@@ -241,15 +291,6 @@ class TpuEncoder:
         dec = jax.device_get(dec)
         if self.cfg.fast_partition and self.partition_params is not None:
             dec = self._apply_fast_partition(dec, y_pad, pw, ph)
-
-        # ---- 2+3. native slice engine (C++ commit + entropy) ---------
-        native = _native_engine()
-        if native is not None:
-            return self._encode_frame_native(native, src, dec, pw, ph,
-                                             poc=poc,
-                                             slice_type=slice_type,
-                                             refs=refs,
-                                             ref_deltas=ref_deltas)
 
         trees = decisions_to_trees(dec, pw, ph, sp.coded_width,
                                    sp.coded_height, sp.log2_ctu,

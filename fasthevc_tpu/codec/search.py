@@ -261,6 +261,139 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     return out
 
 
+def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
+                      coded_w: int, coded_h: int,
+                      log2_ctu: int, log2_min_cu: int,
+                      depth_override=None) -> jnp.ndarray:
+    """Device-side decisions_to_maps: fold the per-size search outputs into
+    one packed int16 tensor [ph/8, pw/8, 7] = (depth, mode, dir, mv0x,
+    mv0y, mv1x, mv1y) so the host fetches ONE small array per frame (the
+    axon TPU tunnel makes many-array fetches pathologically slow).
+
+    depth_override: optional [ph/8, pw/8] granule depth map (the
+    fast-partition CNN's prediction, SURVEY.md E8) replacing the DP split
+    decisions, mirroring TpuEncoder._apply_fast_partition semantics."""
+    gw, gh = padded_w >> 3, padded_h >> 3
+    sizes = [1 << lg for lg in range(log2_ctu, log2_min_cu - 1, -1)]
+
+    def up(a, n):
+        r = n >> 3
+        return jnp.repeat(jnp.repeat(a, r, axis=0), r, axis=1)
+
+    def forced(n):
+        bx = np.arange(padded_w // n) * n
+        by = np.arange(padded_h // n) * n
+        f = (by[:, None] + n > coded_h) | (bx[None, :] + n > coded_w)
+        r = n >> 3
+        return jnp.asarray(np.kron(f, np.ones((r, r), dtype=bool)))
+
+    def level_maps(n):
+        ph_n, pw_n = padded_h // n, padded_w // n
+        mode_n = up(dec[f"mode{n}"].reshape(ph_n, pw_n).astype(jnp.int16),
+                    n)
+        dir_n = jnp.zeros((gh, gw), jnp.int16)
+        mv_n = jnp.zeros((gh, gw, 4), jnp.int16)
+        if f"dir{n}" in dec:  # B search
+            inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
+            dir_n = jnp.where(
+                inter,
+                up(dec[f"dir{n}"].reshape(ph_n, pw_n).astype(jnp.int16), n),
+                jnp.int16(0))
+            mvs = [dec[f"mv0{n}"], dec[f"mv1{n}"]]
+            comps = [up(m.reshape(ph_n, pw_n, 2)[..., c].astype(jnp.int16),
+                        n) for m in mvs for c in range(2)]
+            mv_n = jnp.stack(comps, axis=-1)
+        elif f"inter{n}" in dec:  # P search
+            inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
+            dir_n = jnp.where(inter, jnp.int16(1), jnp.int16(0))
+            mvs = dec[f"mv{n}"].reshape(ph_n, pw_n, 2)
+            mv_n = jnp.stack(
+                [up(mvs[..., 0].astype(jnp.int16), n),
+                 up(mvs[..., 1].astype(jnp.int16), n),
+                 jnp.zeros((gh, gw), jnp.int16),
+                 jnp.zeros((gh, gw), jnp.int16)], axis=-1)
+        mode_n = jnp.where(dir_n > 0, jnp.int16(-1), mode_n)
+        return mode_n, dir_n, mv_n
+
+    depth = jnp.zeros((gh, gw), jnp.int16)
+    mode, dir_m, mv = level_maps(sizes[0])
+    for d, n in enumerate(sizes[:-1]):
+        child = sizes[d + 1]
+        if depth_override is None:
+            split = up(dec[f"split{n}"].reshape(padded_h // n,
+                                                padded_w // n), n)
+        else:
+            g = n >> 3
+            rm = (depth_override.reshape(padded_h // n, g,
+                                         padded_w // n, g)
+                  .max(axis=(1, 3)))
+            split = up(rm > d, n)
+        active = (depth == d) & (split | forced(n))
+        cmode, cdir, cmv = level_maps(child)
+        depth = jnp.where(active, jnp.int16(d + 1), depth)
+        mode = jnp.where(active, cmode, mode)
+        dir_m = jnp.where(active, cdir, dir_m)
+        mv = jnp.where(active[..., None], cmv, mv)
+    return jnp.concatenate(
+        [depth[..., None], mode[..., None], dir_m[..., None], mv], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
+                                   "coded_h", "use_cnn"))
+def search_intra_maps(y_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
+                      log2_ctu: int, log2_min_cu: int,
+                      coded_w: int, coded_h: int,
+                      cnn_params=None, qp: int = 0, use_cnn: bool = False):
+    """Intra search + decision packing in one dispatch; y_u8 is the padded
+    luma plane as uint8 (4x less tunnel upload than int32)."""
+    y = y_u8.astype(jnp.int32)
+    dec = search_intra_frame(y, lambda_sqrt, log2_ctu, log2_min_cu)
+    override = None
+    if use_cnn:
+        from ..models.partition_cnn import predict_depth_maps_device
+        override = predict_depth_maps_device(cnn_params, y, qp, log2_ctu)
+    return _pack_maps_device(dec, y.shape[1], y.shape[0], coded_w, coded_h,
+                             log2_ctu, log2_min_cu, override)
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
+                                   "coded_h", "search_range", "use_cnn"))
+def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
+                  lambda_sqrt: jnp.ndarray, log2_ctu: int, log2_min_cu: int,
+                  coded_w: int, coded_h: int, search_range: int,
+                  cnn_params=None, qp: int = 0, use_cnn: bool = False):
+    y = y_u8.astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
+    dec = search_p_frame(y, ref, lambda_sqrt, log2_ctu, log2_min_cu,
+                         search_range)
+    override = None
+    if use_cnn:
+        from ..models.partition_cnn import predict_depth_maps_device
+        override = predict_depth_maps_device(cnn_params, y, qp, log2_ctu)
+    return _pack_maps_device(dec, y.shape[1], y.shape[0], coded_w, coded_h,
+                             log2_ctu, log2_min_cu, override)
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
+                                   "coded_h", "search_range", "use_cnn"))
+def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
+                  ref1_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
+                  log2_ctu: int, log2_min_cu: int,
+                  coded_w: int, coded_h: int, search_range: int,
+                  cnn_params=None, qp: int = 0, use_cnn: bool = False):
+    y = y_u8.astype(jnp.int32)
+    r0 = ref0_u8.astype(jnp.int32)
+    r1 = ref1_u8.astype(jnp.int32)
+    dec = search_b_frame(y, r0, r1, lambda_sqrt, log2_ctu, log2_min_cu,
+                         search_range)
+    override = None
+    if use_cnn:
+        from ..models.partition_cnn import predict_depth_maps_device
+        override = predict_depth_maps_device(cnn_params, y, qp, log2_ctu)
+    return _pack_maps_device(dec, y.shape[1], y.shape[0], coded_w, coded_h,
+                             log2_ctu, log2_min_cu, override)
+
+
 def decisions_to_maps(dec: dict, padded_w: int, padded_h: int,
                       coded_w: int, coded_h: int,
                       log2_ctu: int, log2_min_cu: int):

@@ -79,6 +79,26 @@ def predict_depth_maps(params, y_plane: np.ndarray, qp: int,
     return depth.reshape(gy * g, gx * g)
 
 
+def predict_depth_maps_device(params, y_plane, qp, log2_ctu: int = 5):
+    """Device-side predict_depth_maps: y_plane is an int32 jnp array
+    (padded luma), returns int16 [H/8, W/8] depth map on device. Traced
+    inside the search jit (codec.search.search_*_maps) so fast-partition
+    inference is fused into the search dispatch (SURVEY.md E8 north star:
+    on-TPU inference fused into the search)."""
+    ctu = 1 << log2_ctu
+    h, w = y_plane.shape
+    gy, gx = h // ctu, w // ctu
+    ctus = (y_plane.reshape(gy, ctu, gx, ctu).transpose(0, 2, 1, 3)
+            .reshape(-1, ctu, ctu, 1).astype(jnp.float32) - 128.0) / 128.0
+    qps = jnp.broadcast_to(jnp.asarray(qp, jnp.float32), (ctus.shape[0],))
+    model = PartitionCNN(n_depths=log2_ctu - 2)
+    logits = model.apply(params, ctus, qps)
+    depth = jnp.argmax(logits, axis=-1).astype(jnp.int16)
+    g = ctu // 8
+    return (depth.reshape(gy, gx, g, g).transpose(0, 2, 1, 3)
+            .reshape(gy * g, gx * g))
+
+
 def init_params(key, log2_ctu: int = 5):
     ctu = 1 << log2_ctu
     model = PartitionCNN(n_depths=log2_ctu - 2)
