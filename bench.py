@@ -39,8 +39,12 @@ def bench_encode(width: int, height: int, frames: int, qp: int = 32):
     from fasthevc_tpu.config import EncoderConfig
     from fasthevc_tpu.utils import psnr, synthesize_yuv, yuv_from_planes
 
+    from fasthevc_tpu.config.config import auto_tile_grid
+
     clip = synthesize_yuv(width, height, frames, seed=1)
-    cfg = EncoderConfig(width=width, height=height, qp=qp, frames=frames)
+    tc, tr = auto_tile_grid(width, height)
+    cfg = EncoderConfig(width=width, height=height, qp=qp, frames=frames,
+                        tile_cols=tc, tile_rows=tr)
     enc = TpuEncoder(cfg)
     enc.encode(clip[:1])  # warm-up: jit compile + C++ build
     t0 = time.time()

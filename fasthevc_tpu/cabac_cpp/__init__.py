@@ -78,6 +78,13 @@ def _load():
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.hevc_deblock_picture.restype = None
+    lib.hevc_deblock_picture.argtypes = [
+        i32p, i32p, i32p,                    # rec planes (in place)
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,tu
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # bd, qps
+        i8p,                                 # depth_map
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # mf (nullable)
     lib.hevc_encode_slice_tiled.restype = ctypes.c_int
     lib.hevc_encode_slice_tiled.argtypes = [
         u8p, u8p, u8p,                       # src planes
@@ -187,6 +194,32 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     assert off == total
     return (subs, rec_y, rec_cb, rec_cr,
             (mf_mv, mf_ref, mf_cbf, mf_inter))
+
+
+def deblock_picture_native(planes, sp, depth_map, slice_qp, qp_cb, qp_cr,
+                           motion=None) -> None:
+    """C++ deblocking filter (spec 8.7.2), in place on planes.y/cb/cr.
+
+    Drop-in for spec.deblock.deblock_picture on the native path; motion is
+    the (mf_mv, mf_ref, mf_cbf, mf_inter) tuple exported by
+    encode_slice_native (None => all-intra, BS=2 everywhere)."""
+    lib = _load()
+    dm = np.ascontiguousarray(depth_map, dtype=np.int8)
+    for p in (planes.y, planes.cb, planes.cr):
+        assert p.dtype == np.int32 and p.flags["C_CONTIGUOUS"]
+    if motion is None:
+        mv_p = ref_p = cbf_p = None
+    else:
+        mf_mv = np.ascontiguousarray(motion[0], dtype=np.int32)
+        mf_ref = np.ascontiguousarray(motion[1], dtype=np.int32)
+        mf_cbf = np.ascontiguousarray(motion[2], dtype=np.uint8)
+        mv_p = mf_mv.ctypes.data_as(ctypes.c_void_p)
+        ref_p = mf_ref.ctypes.data_as(ctypes.c_void_p)
+        cbf_p = mf_cbf.ctypes.data_as(ctypes.c_void_p)
+    lib.hevc_deblock_picture(
+        planes.y, planes.cb, planes.cr, sp.coded_width, sp.coded_height,
+        sp.log2_ctu, sp.log2_max_tu, sp.bit_depth, slice_qp, qp_cb, qp_cr,
+        dm, mv_p, ref_p, cbf_p)
 
 
 def available() -> bool:

@@ -15,8 +15,11 @@
 //   mode_map:  luma intra mode of the covering CU
 // Forced boundary splits are re-derived from the coded dims (spec rule).
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <vector>
 #include <thread>
 
@@ -1109,9 +1112,257 @@ void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
   encode_cu(s, x, y, lg, depth);
 }
 
+// ---- deblocking filter (spec 8.7.2) ---------------------------------------
+// Mirror of spec/deblock.py (the Python oracle), byte-exact — enforced by
+// tests/test_deblock.py::test_cpp_deblock_matches_oracle. Sequential
+// in-place filtering is equivalent to the oracle's vectorized pass because
+// same-direction segments never overlap (8-pel edge spacing, <=4-pel reach).
+
+const int32_t kBetaTab[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64};
+const int32_t kTcTab[54] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+    13, 14, 16, 18, 20, 22, 24};
+
+struct DeblockCtx {
+  int w, h, gw, gh;        // luma dims + 8x8 granule grid
+  int gw4, gh4;            // 4x4 granule grid (motion field)
+  int bit_depth, maxv;
+  const int8_t *depth;     // [gh][gw]
+  int log2_ctu, log2_max_tu;
+  bool has_motion;
+  const int32_t *mf_mv;    // [gh4][gw4][2][2]
+  const int32_t *mf_ref;   // [gh4][gw4][2]
+  const uint8_t *mf_cbf;   // [gh4][gw4]
+};
+
+// boundary strength of one 4-sample segment (spec 8.7.2.4); y4 = along-edge
+// 4x4 index, g8 = across-edge 8-grid index (edge at luma coord g8*8)
+int seg_bs(const DeblockCtx &c, bool vert, int y4, int g8) {
+  if (!c.has_motion) return 2;
+  int py, px, qy, qx;
+  if (vert) { py = y4; px = g8 * 2 - 1; qy = y4; qx = g8 * 2; }
+  else      { py = g8 * 2 - 1; px = y4; qy = g8 * 2; qx = y4; }
+  int p = py * c.gw4 + px, q = qy * c.gw4 + qx;
+  bool intra_p = c.mf_ref[p * 2] < 0 && c.mf_ref[p * 2 + 1] < 0;
+  bool intra_q = c.mf_ref[q * 2] < 0 && c.mf_ref[q * 2 + 1] < 0;
+  if (intra_p || intra_q) return 2;
+  bool cbf = c.mf_cbf[p] || c.mf_cbf[q];
+  bool dref = c.mf_ref[p * 2] != c.mf_ref[q * 2] ||
+              c.mf_ref[p * 2 + 1] != c.mf_ref[q * 2 + 1];
+  bool dmv = false;
+  for (int k = 0; k < 4; k++) {
+    int dv = c.mf_mv[p * 4 + k] - c.mf_mv[q * 4 + k];
+    if (dv >= 4 || dv <= -4) dmv = true;
+  }
+  return (cbf || dref || dmv) ? 1 : 0;
+}
+
+// does the 8x8 granule (gy,gx) start a deblockable edge in direction dir?
+bool has_edge(const DeblockCtx &c, bool vert, int gy, int gx) {
+  if (vert ? gx == 0 : gy == 0) return false;
+  int size = (1 << c.log2_ctu) >> c.depth[gy * c.gw + gx];
+  int coord = (vert ? gx : gy) * 8;
+  if (coord % size == 0) return true;
+  int max_tu = 1 << c.log2_max_tu;
+  int tu = size < max_tu ? size : max_tu;
+  return (size > max_tu) && (coord % tu == 0);
+}
+
+// filter one 4-line luma segment; vert: lines = rows sy..sy+3, edge col sx
+void luma_seg(int32_t *pl, int stride, bool vert, int sy, int sx, int beta,
+              int tc, int maxv) {
+  int32_t P[4][8];  // [line][p3 p2 p1 p0 q0 q1 q2 q3]
+  for (int i = 0; i < 4; i++)
+    for (int k = 0; k < 8; k++)
+      P[i][k] = vert ? pl[(sy + i) * stride + sx - 4 + k]
+                     : pl[(sy - 4 + k) * stride + sx + i];
+  int dp[4], dq[4];
+  for (int i = 0; i < 4; i++) {
+    dp[i] = std::abs(P[i][1] - 2 * P[i][2] + P[i][3]);
+    dq[i] = std::abs(P[i][6] - 2 * P[i][5] + P[i][4]);
+  }
+  int d = dp[0] + dq[0] + dp[3] + dq[3];
+  if (d >= beta) return;
+  auto strong_line = [&](int i) {
+    return 2 * (dp[i] + dq[i]) < (beta >> 2) &&
+           std::abs(P[i][0] - P[i][3]) + std::abs(P[i][4] - P[i][7]) <
+               (beta >> 3) &&
+           std::abs(P[i][3] - P[i][4]) < ((5 * tc + 1) >> 1);
+  };
+  bool strong = strong_line(0) && strong_line(3);
+  int32_t O[4][8];
+  std::memcpy(O, P, sizeof(P));
+  auto clip3 = [](int v, int lo, int hi) {
+    return v < lo ? lo : v > hi ? hi : v;
+  };
+  if (strong) {
+    for (int i = 0; i < 4; i++) {
+      int p3 = P[i][0], p2 = P[i][1], p1 = P[i][2], p0 = P[i][3];
+      int q0 = P[i][4], q1 = P[i][5], q2 = P[i][6], q3 = P[i][7];
+      O[i][1] = clip3(clip3((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                            p2 - 2 * tc, p2 + 2 * tc), 0, maxv);
+      O[i][2] = clip3(clip3((p2 + p1 + p0 + q0 + 2) >> 2,
+                            p1 - 2 * tc, p1 + 2 * tc), 0, maxv);
+      O[i][3] = clip3(clip3((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                            p0 - 2 * tc, p0 + 2 * tc), 0, maxv);
+      O[i][4] = clip3(clip3((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                            q0 - 2 * tc, q0 + 2 * tc), 0, maxv);
+      O[i][5] = clip3(clip3((q2 + q1 + q0 + p0 + 2) >> 2,
+                            q1 - 2 * tc, q1 + 2 * tc), 0, maxv);
+      O[i][6] = clip3(clip3((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                            q2 - 2 * tc, q2 + 2 * tc), 0, maxv);
+    }
+  } else {
+    int side_thresh = (beta + (beta >> 1)) >> 3;
+    bool dEp = (dp[0] + dp[3]) < side_thresh;
+    bool dEq = (dq[0] + dq[3]) < side_thresh;
+    int tc2 = tc >> 1;
+    for (int i = 0; i < 4; i++) {
+      int p2 = P[i][1], p1 = P[i][2], p0 = P[i][3];
+      int q0 = P[i][4], q1 = P[i][5], q2 = P[i][6];
+      int delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4;
+      if (std::abs(delta) >= 10 * tc) continue;
+      int dlt = clip3(delta, -tc, tc);
+      O[i][3] = clip3(p0 + dlt, 0, maxv);
+      O[i][4] = clip3(q0 - dlt, 0, maxv);
+      if (dEp) {
+        int dp1 = clip3((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2);
+        O[i][2] = clip3(p1 + dp1, 0, maxv);
+      }
+      if (dEq) {
+        int dq1 = clip3((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2);
+        O[i][5] = clip3(q1 + dq1, 0, maxv);
+      }
+    }
+  }
+  for (int i = 0; i < 4; i++)
+    for (int k = 0; k < 8; k++) {
+      if (vert) pl[(sy + i) * stride + sx - 4 + k] = O[i][k];
+      else pl[(sy - 4 + k) * stride + sx + i] = O[i][k];
+    }
+}
+
+// filter one 4-line chroma segment at (sy, sx) in chroma coords
+void chroma_seg(int32_t *pl, int stride, bool vert, int sy, int sx, int tc,
+                int maxv) {
+  auto clip3 = [](int v, int lo, int hi) {
+    return v < lo ? lo : v > hi ? hi : v;
+  };
+  for (int i = 0; i < 4; i++) {
+    int32_t *p1, *p0, *q0, *q1;
+    if (vert) {
+      int32_t *row = pl + (sy + i) * stride;
+      p1 = row + sx - 2; p0 = row + sx - 1; q0 = row + sx; q1 = row + sx + 1;
+    } else {
+      p1 = pl + (sy - 2) * stride + sx + i;
+      p0 = pl + (sy - 1) * stride + sx + i;
+      q0 = pl + sy * stride + sx + i;
+      q1 = pl + (sy + 1) * stride + sx + i;
+    }
+    int delta = clip3((((*q0 - *p0) << 2) + *p1 - *q1 + 4) >> 3, -tc, tc);
+    *p0 = clip3(*p0 + delta, 0, maxv);
+    *q0 = clip3(*q0 - delta, 0, maxv);
+  }
+}
+
+// one direction of the luma pass over a row range (threading granularity:
+// segments of different granule rows never touch the same samples)
+void luma_pass(const DeblockCtx &c, int32_t *y_pl, bool vert, int beta,
+               int tc_base, int g_lo, int g_hi) {
+  for (int gy = g_lo; gy < g_hi; gy++)
+    for (int gx = 0; gx < c.gw; gx++) {
+      if (!has_edge(c, vert, gy, gx)) continue;
+      // two 4-line segments per 8x8 granule edge
+      for (int half = 0; half < 2; half++) {
+        int a4 = (vert ? gy : gx) * 2 + half;
+        int g8 = vert ? gx : gy;
+        int bs = seg_bs(c, vert, a4, g8);
+        if (bs == 0) continue;
+        int qi = tc_base + 2 * (bs - 1);
+        int tc = kTcTab[qi < 0 ? 0 : qi > 53 ? 53 : qi];
+        if (vert) luma_seg(y_pl, c.w, true, a4 * 4, g8 * 8, beta, tc, c.maxv);
+        else luma_seg(y_pl, c.w, false, g8 * 8, a4 * 4, beta, tc, c.maxv);
+      }
+    }
+}
+
+void chroma_pass(const DeblockCtx &c, int32_t *pl, bool vert, int tc,
+                 int g_lo, int g_hi) {
+  for (int gy = g_lo; gy < g_hi; gy++)
+    for (int gx = 0; gx < c.gw; gx++) {
+      // chroma filters edges on the 16-luma grid only, BS==2 segments
+      if ((vert ? gx : gy) % 2 != 0) continue;
+      if (!has_edge(c, vert, gy, gx)) continue;
+      int a4 = (vert ? gy : gx) * 2;  // first luma 4x4 unit of the segment
+      int g8 = vert ? gx : gy;
+      if (seg_bs(c, vert, a4, g8) != 2) continue;
+      if (vert) chroma_seg(pl, c.w / 2, true, gy * 4, gx * 4, tc, c.maxv);
+      else chroma_seg(pl, c.w / 2, false, gy * 4, gx * 4, tc, c.maxv);
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Deblock a reconstructed picture in place (luma+chroma, both directions).
+// depth_map: int8 [coded_h/8][coded_w/8]; motion field arrays may be null
+// (all-intra picture => BS=2 everywhere). Mirrors spec/deblock.py exactly.
+void hevc_deblock_picture(int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr,
+                          int coded_w, int coded_h, int log2_ctu,
+                          int log2_max_tu, int bit_depth, int slice_qp,
+                          int qp_cb, int qp_cr, const int8_t *depth_map,
+                          const int32_t *mf_mv, const int32_t *mf_ref,
+                          const uint8_t *mf_cbf) {
+  DeblockCtx c;
+  c.w = coded_w; c.h = coded_h;
+  c.gw = coded_w >> 3; c.gh = coded_h >> 3;
+  c.gw4 = coded_w >> 2; c.gh4 = coded_h >> 2;
+  c.bit_depth = bit_depth;
+  c.maxv = (1 << bit_depth) - 1;
+  c.depth = depth_map;
+  c.log2_ctu = log2_ctu;
+  c.log2_max_tu = log2_max_tu;
+  c.has_motion = mf_ref != nullptr;
+  c.mf_mv = mf_mv; c.mf_ref = mf_ref; c.mf_cbf = mf_cbf;
+  int qpc = slice_qp < 0 ? 0 : slice_qp > 51 ? 51 : slice_qp;
+  int beta = kBetaTab[qpc];
+  // vertical then horizontal (spec order); each direction is conflict-free
+  // across granule rows, so thread by row chunks for large pictures
+  int n_thr = c.gh >= 64 ? 4 : 1;
+  auto run_dir = [&](bool vert) {
+    if (beta == 0) return;
+    if (n_thr == 1) {
+      luma_pass(c, rec_y, vert, beta, slice_qp, 0, c.gh);
+      return;
+    }
+    std::vector<std::thread> ts;
+    int chunk = (c.gh + n_thr - 1) / n_thr;
+    for (int t = 0; t < n_thr; t++) {
+      int lo = t * chunk, hi = std::min(c.gh, lo + chunk);
+      if (lo < hi)
+        ts.emplace_back([&, lo, hi, vert] {
+          luma_pass(c, rec_y, vert, beta, slice_qp, lo, hi);
+        });
+    }
+    for (auto &t : ts) t.join();
+  };
+  run_dir(true);
+  run_dir(false);
+  for (int pi = 0; pi < 2; pi++) {
+    int32_t *pl = pi == 0 ? rec_cb : rec_cr;
+    int qpcc = pi == 0 ? qp_cb : qp_cr;
+    int qi = qpcc + 2;
+    int tc = kTcTab[qi < 0 ? 0 : qi > 53 ? 53 : qi];
+    if (tc == 0) continue;
+    chroma_pass(c, pl, true, tc, 0, c.gh);
+    chroma_pass(c, pl, false, tc, 0, c.gh);
+  }
+}
 
 // Encode a full decided slice (I, intra tools): commit + entropy, with
 // optional tiles. Tiles are independent after decisions (per-tile CABAC
@@ -1140,8 +1391,10 @@ int hevc_encode_slice_tiled(
     int32_t *mf_mv, int32_t *mf_ref, uint8_t *mf_cbf, uint8_t *mf_inter,
     int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr, uint8_t *payload,
     int32_t *tile_sizes) {
-  init_transforms();
-  init_scans();
+  // concurrent frame commits (the encoder pipelines frames onto a thread
+  // pool) must not race the one-time table builds
+  static std::once_flag init_once;
+  std::call_once(init_once, [] { init_transforms(); init_scans(); });
   Frame f;
   f.coded_w = coded_w;
   f.coded_h = coded_h;

@@ -113,6 +113,12 @@ class TpuEncoder:
         recons: dict = {}
         dpb: dict = {}
         order = coding_order(cfg, len(frames), start_poc)
+        if (len(order) > 1 and _native_engine() is not None
+                and all(st == SLICE_I for _, st, _ in order)):
+            # all-intra: frames are independent -> pipeline TPU search
+            # against thread-pooled C++ commits (SURVEY.md P4/P5)
+            return self._encode_all_intra_pipelined(frames, start_poc, out,
+                                                    on_frame)
         last_idr = start_poc
         for poc, slice_type, ref_deltas in order:
             is_idr = slice_type == SLICE_I
@@ -136,11 +142,69 @@ class TpuEncoder:
 
     # ------------------------------------------------------------------
 
-    def _search_packed_native(self, y_pad, refs, slice_type, is_idr, pw,
-                              ph):
-        """Dispatch the jitted search+pack and fetch the ONE packed int16
-        decision tensor (the axon tunnel makes multi-array fetches slow —
-        see _pack_maps_device)."""
+    def _encode_all_intra_pipelined(self, frames, start_poc, out, on_frame):
+        """All-intra fast path: dispatch every frame's search to the TPU
+        up front (async), then commit frames on a small thread pool — the
+        C++ slice engine and deblock release the GIL, so host commits of
+        successive frames overlap each other AND the device search."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        sp = self.sp
+        native = _native_engine()
+        ctu_size = 1 << sp.log2_ctu
+        pw = -(-sp.coded_width // ctu_size) * ctu_size
+        ph = -(-sp.coded_height // ctu_size) * ctu_size
+        srcs = []
+        for frame in frames:
+            y, cb, cr = frame
+            src = Planes(sp)
+            src.y[:] = pad_plane(np.asarray(y, np.int32), sp.coded_height,
+                                 sp.coded_width)
+            src.cb[:] = pad_plane(np.asarray(cb, np.int32),
+                                  sp.coded_height // 2, sp.coded_width // 2)
+            src.cr[:] = pad_plane(np.asarray(cr, np.int32),
+                                  sp.coded_height // 2, sp.coded_width // 2)
+            srcs.append(src)
+        n = len(frames)
+        results: list = [None] * n
+        window = 8  # bounds device-resident frames while staying ahead
+        packed_dev = [None] * n
+
+        def dispatch(i):
+            y_pad = pad_plane(srcs[i].y, ph, pw)
+            packed_dev[i] = self._search_dispatch(y_pad, ((), ()), SLICE_I,
+                                                  True, pw, ph)
+
+        import os
+        workers = max(2, min(4, (os.cpu_count() or 2)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = []
+            for i in range(min(window, n)):
+                dispatch(i)
+            for i in range(n):
+                packed = np.asarray(packed_dev[i])  # device fetch, in order
+                packed_dev[i] = None
+                if i + window < n:
+                    dispatch(i + window)
+                # every all-intra frame is an IDR: CVS-local POC is 0
+                futs.append(ex.submit(self._encode_frame_native, native,
+                                      srcs[i], packed, pw, ph, poc=0,
+                                      slice_type=SLICE_I))
+            for i, fut in enumerate(futs):
+                results[i] = fut.result()
+        recons = []
+        for i, (nal_bytes, planes) in enumerate(results):
+            out += nal_bytes
+            recons.append(planes)
+            if on_frame is not None:
+                on_frame(start_poc + i, True, bytes(nal_bytes))
+        return bytes(out), recons
+
+    def _search_dispatch(self, y_pad, refs, slice_type, is_idr, pw, ph):
+        """Dispatch the jitted search+pack; returns the (async) device
+        array holding the ONE packed int16 decision tensor (the axon tunnel
+        makes multi-array fetches slow — see _pack_maps_device). Callers
+        fetch with np.asarray when they need the values."""
         import jax.numpy as jnp
 
         sp = self.sp
@@ -171,7 +235,7 @@ class TpuEncoder:
                                    sp.log2_ctu, sp.log2_min_cu,
                                    sp.coded_width, sp.coded_height,
                                    min(cfg.search_range, 8), **kw)
-        return np.asarray(packed)  # single tunnel fetch
+        return packed
 
     def _encode_frame_native(self, native, src, packed, pw, ph, poc=0,
                              slice_type=SLICE_I, refs=((), ()),
@@ -216,18 +280,9 @@ class TpuEncoder:
         planes.cr[:] = rcr
         nal = bs.write_nal(nal_type, w.get_bytes())
         if not sp.deblocking_disabled:
-            from ..spec.deblock import deblock_picture
-            maps_arg = None
-            if not is_idr:
-                # wrap the exported motion field for BS derivation
-                maps_arg = FrameMaps(sp)
-                mf_mv, mf_ref, mf_cbf, mf_inter = motion
-                maps_arg.motion.mv[:] = mf_mv
-                maps_arg.motion.ref_idx[:] = mf_ref
-                maps_arg.motion.cbf_y[:] = mf_cbf.astype(bool)
-                maps_arg.motion.inter[:] = mf_inter.astype(bool)
-            deblock_picture(planes, sp, depth_map.astype(np.int32), cfg.qp,
-                            qp_cb, qp_cr, maps=maps_arg)
+            native.deblock_picture_native(
+                planes, sp, depth_map, cfg.qp, qp_cb, qp_cr,
+                motion=None if is_idr else motion)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes
@@ -260,8 +315,8 @@ class TpuEncoder:
         # ---- 2+3. native slice engine (C++ commit + entropy) ---------
         native = _native_engine()
         if native is not None:
-            packed = self._search_packed_native(y_pad, refs, slice_type,
-                                                is_idr, pw, ph)
+            packed = np.asarray(self._search_dispatch(
+                y_pad, refs, slice_type, is_idr, pw, ph))
             return self._encode_frame_native(native, src, packed, pw, ph,
                                              poc=poc,
                                              slice_type=slice_type,

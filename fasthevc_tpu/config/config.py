@@ -81,6 +81,30 @@ class EncoderConfig:
         return dataclasses.replace(self, **kw)
 
 
+def auto_tile_grid(width: int, height: int,
+                   n_threads: int | None = None) -> tuple:
+    """Speed-oriented tile grid (cols, rows) for the native slice engine.
+
+    Tiles are this framework's intra-frame host parallelism unit (SURVEY.md
+    P1); the grid tracks the machine's core count so tile threads neither
+    starve nor oversubscribe, while keeping every tile CTU-aligned and large
+    enough (>=256x128 luma) that the per-tile CABAC reset cost stays small.
+    """
+    if n_threads is None:
+        import os
+        n_threads = os.cpu_count() or 1
+    cols, rows = 1, 1
+    while cols * rows < n_threads:
+        if width // (cols + 1) >= 256 and (cols + 1) * rows <= n_threads:
+            cols += 1
+            continue
+        if height // (rows + 1) >= 128 and cols * (rows + 1) <= n_threads:
+            rows += 1
+            continue
+        break
+    return cols, rows
+
+
 def all_intra(width=416, height=240, qp=32, frames=32, **kw) -> EncoderConfig:
     """BASELINE config #1 class: All-Intra."""
     return EncoderConfig(width=width, height=height, qp=qp, frames=frames,

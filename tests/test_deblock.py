@@ -104,3 +104,67 @@ def test_deblocking_helps_at_high_qp():
     # smooths grid-aligned true edges); bound the loss. On natural video
     # it is ~neutral-to-positive — revisit when real clips are available.
     assert psnrs[True] > psnrs[False] - 1.0, psnrs
+
+
+@pytest.mark.parametrize("with_motion", [False, True])
+def test_cpp_deblock_matches_oracle(with_motion):
+    """The native C++ deblock (cabac_cpp.deblock_picture_native) must be
+    byte-exact with the Python oracle on random content, depth maps, and
+    motion fields — intra (BS=2) and inter (derived BS) alike."""
+    from fasthevc_tpu import cabac_cpp
+    from fasthevc_tpu.spec.ctu import FrameMaps
+    from fasthevc_tpu.spec.syntax import SequenceParams
+
+    if not cabac_cpp.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7 + with_motion)
+    w, h = 128, 96
+    sp = SequenceParams(width=w, height=h)
+    qp, qp_cb, qp_cr = 37, 35, 35  # high qp => strong+weak paths exercised
+
+    class _Pl:
+        pass
+
+    def rand_planes():
+        p = _Pl()
+        # blocky content so edges actually trigger
+        base = rng.integers(0, 256, (h // 8, w // 8))
+        p.y = np.kron(base, np.ones((8, 8), int)).astype(np.int32)
+        p.y += rng.integers(-3, 4, (h, w))
+        p.y = np.clip(p.y, 0, 255).astype(np.int32)
+        p.cb = np.ascontiguousarray(
+            np.clip(np.kron(base, np.ones((4, 4), int))[:h // 2, :w // 2]
+                    + rng.integers(-2, 3, (h // 2, w // 2)), 0,
+                    255)).astype(np.int32)
+        p.cr = np.ascontiguousarray(p.cb[::-1].copy())
+        return p
+
+    depth = rng.integers(0, 3, (h // 8, w // 8)).astype(np.int8)
+    maps = None
+    motion = None
+    if with_motion:
+        maps = FrameMaps(sp)
+        gh4, gw4 = h // 4, w // 4
+        inter = rng.random((gh4, gw4)) < 0.7
+        maps.motion.inter[:] = inter
+        maps.motion.ref_idx[..., 0] = np.where(inter, 0, -1)
+        maps.motion.ref_idx[..., 1] = -1
+        maps.motion.mv[..., 0, :] = rng.integers(-16, 17, (gh4, gw4, 2)) * \
+            np.where(inter, 1, 0)[..., None]
+        maps.motion.cbf_y[:] = rng.random((gh4, gw4)) < 0.3
+        motion = (maps.motion.mv, maps.motion.ref_idx,
+                  maps.motion.cbf_y.astype(np.uint8),
+                  maps.motion.inter.astype(np.uint8))
+
+    p_ref = rand_planes()
+    p_cpp = _Pl()
+    p_cpp.y = p_ref.y.copy()
+    p_cpp.cb = p_ref.cb.copy()
+    p_cpp.cr = p_ref.cr.copy()
+    deblock.deblock_picture(p_ref, sp, depth.astype(np.int32), qp, qp_cb,
+                            qp_cr, maps=maps)
+    cabac_cpp.deblock_picture_native(p_cpp, sp, depth, qp, qp_cb, qp_cr,
+                                     motion=motion)
+    np.testing.assert_array_equal(p_cpp.y, p_ref.y)
+    np.testing.assert_array_equal(p_cpp.cb, p_ref.cb)
+    np.testing.assert_array_equal(p_cpp.cr, p_ref.cr)
