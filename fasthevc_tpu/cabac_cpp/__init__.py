@@ -42,8 +42,8 @@ def build(force: bool = False) -> str:
              or os.path.getmtime(_SO) < os.path.getmtime(_SRC_DEP))
     if force or stale:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             f"-I{_DIR}", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+             "-shared", "-fPIC", "-pthread", f"-I{_DIR}", "-o", _SO, _SRC],
             check=True, capture_output=True)
     return _SO
 
@@ -147,7 +147,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_cb = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_cr = np.zeros((h // 2, w // 2), dtype=np.int32)
-    payload = np.zeros(w * h * 3 + 4096, dtype=np.uint8)
+    payload = np.empty(w * h * 3 + 4096, dtype=np.uint8)
     dm = np.ascontiguousarray(depth_map, dtype=np.int8)
     mm = np.ascontiguousarray(mode_map, dtype=np.int8)
     n_tiles = sp.tile_cols * sp.tile_rows

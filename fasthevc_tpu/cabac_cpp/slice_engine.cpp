@@ -76,7 +76,7 @@ const int32_t kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
 
 // tmp buffers sized for 32x32
 struct TrBuf {
-  int64_t t1[32 * 32];
+  int32_t t1[32 * 32];
   int32_t coeff[32 * 32];
   int32_t deq[32 * 32];
   int32_t res[32 * 32];
@@ -86,53 +86,67 @@ const int32_t *mat(int lg, bool dst) {
   return dst ? g_dst4 : g_dct[lg - 1];
 }
 
-// forward transform: res[n*n] -> coeff[n*n] (HM convention)
+// forward transform: res[n*n] -> coeff[n*n] (HM convention).
+// int32 accumulation is exact for 8-bit content (the engine's src is u8):
+// stage-1 sums <= 32*90*255 < 2^20, stage-2 <= 32*90*46k < 2^28 — and the
+// narrower type lets the compiler vectorize the inner products.
 void fwd_transform(const int32_t *res, int lg, bool dst, int bit_depth,
                    int32_t *coeff, TrBuf *b) {
   int n = 1 << lg;
   const int32_t *t = mat(lg, dst);
   int s1 = lg + bit_depth - 9, s2 = lg + 6;
-  int64_t add1 = s1 > 0 ? (1ll << (s1 - 1)) : 0;
-  int64_t add2 = 1ll << (s2 - 1);
-  // stage1: tmp = (T @ X) >> s1
-  for (int k = 0; k < n; k++)
-    for (int m = 0; m < n; m++) {
-      int64_t acc = 0;
-      for (int j = 0; j < n; j++) acc += (int64_t)t[k * n + j] * res[j * n + m];
-      b->t1[k * n + m] = (acc + add1) >> s1;
+  int32_t add1 = s1 > 0 ? (1 << (s1 - 1)) : 0;
+  int32_t add2 = 1 << (s2 - 1);
+  // stage1: tmp = (T @ X) >> s1  (accumulate over rows of X, row-contiguous)
+  for (int k = 0; k < n; k++) {
+    int32_t *dst_row = b->t1 + k * n;
+    for (int m = 0; m < n; m++) dst_row[m] = add1;
+    for (int j = 0; j < n; j++) {
+      int32_t tk = t[k * n + j];
+      const int32_t *src_row = res + j * n;
+      for (int m = 0; m < n; m++) dst_row[m] += tk * src_row[m];
     }
+    for (int m = 0; m < n; m++) dst_row[m] >>= s1;
+  }
   // stage2: out = (tmp @ T^T) >> s2
   for (int k = 0; k < n; k++)
     for (int l = 0; l < n; l++) {
-      int64_t acc = 0;
-      for (int m = 0; m < n; m++) acc += b->t1[k * n + m] * (int64_t)t[l * n + m];
-      coeff[k * n + l] = (int32_t)((acc + add2) >> s2);
+      int32_t acc = add2;
+      const int32_t *a = b->t1 + k * n;
+      const int32_t *tr = t + l * n;
+      for (int m = 0; m < n; m++) acc += a[m] * tr[m];
+      coeff[k * n + l] = acc >> s2;
     }
 }
 
-// normative inverse transform
+// normative inverse transform (same int32 bounds: inputs clipped to
+// +-32767, stage sums <= 32*90*32767 < 2^27)
 void inv_transform(const int32_t *coeff, int lg, bool dst, int bit_depth,
                    int32_t *res, TrBuf *b) {
   int n = 1 << lg;
   const int32_t *t = mat(lg, dst);
   int s1 = 7, s2 = 20 - bit_depth;
-  for (int k = 0; k < n; k++)
-    for (int m = 0; m < n; m++) {
-      int64_t acc = 0;
-      for (int j = 0; j < n; j++) acc += (int64_t)t[j * n + k] * coeff[j * n + m];
-      int64_t v = (acc + 64) >> s1;
-      if (v < -32768) v = -32768;
-      if (v > 32767) v = 32767;
-      b->t1[k * n + m] = v;
+  for (int k = 0; k < n; k++) {
+    int32_t *dst_row = b->t1 + k * n;
+    for (int m = 0; m < n; m++) dst_row[m] = 64;
+    for (int j = 0; j < n; j++) {
+      int32_t tk = t[j * n + k];
+      const int32_t *src_row = coeff + j * n;
+      for (int m = 0; m < n; m++) dst_row[m] += tk * src_row[m];
     }
+    for (int m = 0; m < n; m++) {
+      int32_t v = dst_row[m] >> s1;
+      dst_row[m] = v < -32768 ? -32768 : v > 32767 ? 32767 : v;
+    }
+  }
+  int32_t add2 = 1 << (s2 - 1);
   for (int k = 0; k < n; k++)
     for (int l = 0; l < n; l++) {
-      int64_t acc = 0;
-      for (int m = 0; m < n; m++) acc += b->t1[k * n + m] * (int64_t)t[m * n + l];
-      int64_t v = (acc + (1ll << (s2 - 1))) >> s2;
-      if (v < -32768) v = -32768;
-      if (v > 32767) v = 32767;
-      res[k * n + l] = (int32_t)v;
+      int32_t acc = add2;
+      const int32_t *a = b->t1 + k * n;
+      for (int m = 0; m < n; m++) acc += a[m] * t[m * n + l];
+      int32_t v = acc >> s2;
+      res[k * n + l] = v < -32768 ? -32768 : v > 32767 ? 32767 : v;
     }
 }
 
@@ -193,7 +207,9 @@ struct Frame {
   int coded_w, coded_h;   // luma coded dims
   int log2_ctu;
   int bit_depth;
-  std::vector<int32_t> y, cb, cr;   // recon planes
+  // recon planes: external (caller-owned, zero-initialized) buffers so the
+  // recon is produced in place with no final copy
+  int32_t *y = nullptr, *cb = nullptr, *cr = nullptr;
   // 4x4 granule maps
   int gw, gh;
   std::vector<int8_t> gdepth, gmode;
@@ -201,8 +217,7 @@ struct Frame {
   std::vector<int32_t> gmv;   // [g][4]: l0x,l0y,l1x,l1y
   std::vector<int32_t> gref;  // [g][2]: ref idx per list (-1 unused)
 
-  int32_t *plane(int c) { return c == 0 ? y.data() : c == 1 ? cb.data()
-                                                            : cr.data(); }
+  int32_t *plane(int c) { return c == 0 ? y : c == 1 ? cb : cr; }
   int pw(int c) const { return c == 0 ? coded_w : coded_w / 2; }
   int ph(int c) const { return c == 0 ? coded_h : coded_h / 2; }
 
@@ -1400,9 +1415,9 @@ int hevc_encode_slice_tiled(
   f.coded_h = coded_h;
   f.log2_ctu = log2_ctu;
   f.bit_depth = bit_depth;
-  f.y.assign(coded_w * coded_h, 0);
-  f.cb.assign(coded_w * coded_h / 4, 0);
-  f.cr.assign(coded_w * coded_h / 4, 0);
+  f.y = rec_y;
+  f.cb = rec_cb;
+  f.cr = rec_cr;
   f.gw = coded_w >> 2;
   f.gh = coded_h >> 2;
   f.gdepth.assign(f.gw * f.gh, -1);
@@ -1506,9 +1521,6 @@ int hevc_encode_slice_tiled(
     tile_sizes[t] = (int32_t)encs[t].out.size();
     off += encs[t].out.size();
   }
-  std::memcpy(rec_y, f.y.data(), sizeof(int32_t) * coded_w * coded_h);
-  std::memcpy(rec_cb, f.cb.data(), sizeof(int32_t) * coded_w * coded_h / 4);
-  std::memcpy(rec_cr, f.cr.data(), sizeof(int32_t) * coded_w * coded_h / 4);
   if (mf_mv) std::memcpy(mf_mv, f.gmv.data(),
                          sizeof(int32_t) * f.gw * f.gh * 4);
   if (mf_ref) std::memcpy(mf_ref, f.gref.data(),

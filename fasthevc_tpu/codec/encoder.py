@@ -167,29 +167,48 @@ class TpuEncoder:
             srcs.append(src)
         n = len(frames)
         results: list = [None] * n
-        window = 8  # bounds device-resident frames while staying ahead
-        packed_dev = [None] * n
+        # frames per device dispatch: the axon tunnel costs ~30-60 ms
+        # latency per round-trip regardless of payload, so grouping frames
+        # amortizes it (search compute is <1 ms/frame)
+        group = min(4, n)
+        import jax.numpy as jnp
 
-        def dispatch(i):
-            y_pad = pad_plane(srcs[i].y, ph, pw)
-            packed_dev[i] = self._search_dispatch(y_pad, ((), ()), SLICE_I,
-                                                  True, pw, ph)
+        from .search import search_intra_maps_batch
+
+        sp_ = self.sp
+        up_dtype = np.uint8 if sp_.bit_depth == 8 else np.int32
+        use_cnn = bool(self.cfg.fast_partition
+                       and self.partition_params is not None)
+        lam = jnp.float32(self.lambda_sqrt)
+        starts = list(range(0, n, group))
+        chunk_dev: dict = {}
+
+        def dispatch_chunk(ci):
+            s = starts[ci]
+            ys = np.stack([pad_plane(srcs[i].y, ph, pw).astype(up_dtype)
+                           for i in range(s, min(s + group, n))])
+            chunk_dev[ci] = search_intra_maps_batch(
+                jnp.asarray(ys), lam, sp_.log2_ctu, sp_.log2_min_cu,
+                sp_.coded_width, sp_.coded_height,
+                cnn_params=self.partition_params, qp=self.cfg.qp,
+                use_cnn=use_cnn)
 
         import os
         workers = max(2, min(4, (os.cpu_count() or 2)))
         with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = []
-            for i in range(min(window, n)):
-                dispatch(i)
-            for i in range(n):
-                packed = np.asarray(packed_dev[i])  # device fetch, in order
-                packed_dev[i] = None
-                if i + window < n:
-                    dispatch(i + window)
-                # every all-intra frame is an IDR: CVS-local POC is 0
-                futs.append(ex.submit(self._encode_frame_native, native,
-                                      srcs[i], packed, pw, ph, poc=0,
-                                      slice_type=SLICE_I))
+            for ci in range(min(2, len(starts))):  # stay 2 chunks ahead
+                dispatch_chunk(ci)
+            for ci, s in enumerate(starts):
+                packed_all = np.asarray(chunk_dev.pop(ci))  # ONE fetch
+                if ci + 2 < len(starts):
+                    dispatch_chunk(ci + 2)
+                for j in range(packed_all.shape[0]):
+                    # every all-intra frame is an IDR: CVS-local POC is 0
+                    futs.append(ex.submit(self._encode_frame_native,
+                                          native, srcs[s + j],
+                                          packed_all[j], pw, ph, poc=0,
+                                          slice_type=SLICE_I))
             for i, fut in enumerate(futs):
                 results[i] = fut.result()
         recons = []
@@ -274,10 +293,9 @@ class TpuEncoder:
         w = write_slice_header(sh, sp, nal_type)
         for s_bytes in substreams:
             w.append_bytes(s_bytes)
-        planes = Planes(sp)
-        planes.y[:] = ry
-        planes.cb[:] = rcb
-        planes.cr[:] = rcr
+        # adopt the engine's recon buffers directly (no 12 MB re-copy)
+        planes = Planes.__new__(Planes)
+        planes.y, planes.cb, planes.cr = ry, rcb, rcr
         nal = bs.write_nal(nal_type, w.get_bytes())
         if not sp.deblocking_disabled:
             native.deblock_picture_native(

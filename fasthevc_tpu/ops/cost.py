@@ -31,24 +31,29 @@ def satd(res: jnp.ndarray, block: int = 8) -> jnp.ndarray:
     """
     n = res.shape[-1]
     hb = min(block, n)
-    h = jnp.asarray(_hadamard(hb), jnp.int32)
-    x = res.astype(jnp.int32)
+    # f32 on the MXU: TPU has no native s32 matmul (the integer path is
+    # emulated and ~100x slower). Exact for this domain: inputs are 9-bit
+    # residuals, Hadamard entries +-1, every accumulation < 2^24.
+    h = jnp.asarray(_hadamard(hb), jnp.float32)
+    x = res.astype(jnp.float32)
     nb = n // hb
     # reshape to [..., nb, hb, nb, hb] -> [..., nb, nb, hb, hb]
     lead = x.shape[:-2]
     x = x.reshape(lead + (nb, hb, nb, hb))
     x = jnp.moveaxis(x, -3, -2)
     t = jnp.einsum("ij,...jk,lk->...il", h, x, h,
-                   preferred_element_type=jnp.int32)
+                   preferred_element_type=jnp.float32)
     # per-sub-block abs-sum, divided per block (matches HM rounding), then
     # summed over the sub-block grid
-    per_block = jnp.sum(jnp.abs(t), axis=(-2, -1)) // hb
-    return jnp.sum(per_block, axis=(-2, -1))
+    per_block = jnp.floor(jnp.sum(jnp.abs(t), axis=(-2, -1)) / hb)
+    return jnp.sum(per_block, axis=(-2, -1)).astype(jnp.int32)
 
 
 @jax.jit
 def sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    d = (a.astype(jnp.int64) - b.astype(jnp.int64)) ** 2
+    # f32: s64 reductions are emulated on TPU; the ~2^-24 relative rounding
+    # on large sums is far below any RD decision margin (search-only use)
+    d = (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2
     return jnp.sum(d, axis=(-2, -1))
 
 

@@ -105,6 +105,41 @@ class _Tables:
         # which modes use filtered references (luma; size-dependent)
         self.use_filt_luma = np.array(
             [should_filter(m, n, True) for m in range(35)], dtype=bool)
+        # MXU form (see predict_all_modes): prediction is a linear map of
+        # the reference vector. mat_[ul][L, 34*n*n] maps [unfiltered |
+        # filtered] refcat halves to planar+angular outputs (mode order:
+        # planar, then 2..34); DC (nonlinear edge cases) stays separate.
+        ln = 2 * (2 * n + 1)
+        self.mat_u = {}
+        self.mat_v = {}
+        for luma in (True, False):
+            m_u = np.zeros((ln, 34, n, n), dtype=np.float32)
+            m_f = np.zeros((ln, 34, n, n), dtype=np.float32)
+            lg = n.bit_length() - 1
+            # planar (output slot 0): weights / 2^(lg+1); filtered refs for
+            # luma n>4 (matching the oracle's tp/lp selection)
+            # refcat layout: top[k] at index k, left[k] at (2n+1)+k
+            pf = m_f if (luma and n > 4) else m_u
+            sc = 1.0 / (1 << (lg + 1))
+            for y in range(n):
+                for x in range(n):
+                    pf[(2 * n + 1) + 1 + y, 0, y, x] += (n - 1 - x) * sc
+                    pf[n + 1, 0, y, x] += (x + 1) * sc              # top-right
+                    pf[1 + x, 0, y, x] += (n - 1 - y) * sc
+                    pf[(2 * n + 1) + n + 1, 0, y, x] += (y + 1) * sc  # bot-left
+            # angular modes 2..34 (output slots 1..33)
+            for mi, mode in enumerate(range(2, 35)):
+                use_f = luma and n > 4 and should_filter(mode, n, True)
+                dst = m_f if use_f else m_u
+                for y in range(n):
+                    for x in range(n):
+                        dst[self.idx_a[mi, y, x], 1 + mi, y, x] += \
+                            wa2[mi, y, x] / 32.0
+                        dst[self.idx_b[mi, y, x], 1 + mi, y, x] += \
+                            wb2[mi, y, x] / 32.0
+            key = luma
+            self.mat_u[key] = m_u.reshape(ln, 34 * n * n)
+            self.mat_v[key] = m_f.reshape(ln, 34 * n * n)
 
 
 _TABLES: dict[int, _Tables] = {}
@@ -153,46 +188,39 @@ def predict_all_modes(top: jnp.ndarray, left: jnp.ndarray, log2_size: int,
     else:
         top_f, left_f = top, left
 
-    refcat_u = jnp.concatenate([top, left], axis=1)      # [B, 2*(2N+1)]
-    refcat_f = jnp.concatenate([top_f, left_f], axis=1)
+    # ---- planar + all angular modes as ONE MXU matmul --------------------
+    # Intra prediction is a linear map of the reference vector; the gather
+    # formulation is VPU-bound (~70 ms/frame at 1080p) while this dense
+    # [B, 2L] @ [2L, 34*n*n] f32 product runs on the MXU in ~1 ms. Exact:
+    # weights are dyadic (k/2^s, s<=6), samples are <=10 bits, every
+    # accumulation fits f32's 24-bit significand; floor(x+.5) reproduces
+    # the spec's (acc + half) >> shift including planar's (lg+1) shift.
+    refcat2 = jnp.concatenate([top, left, top_f, left_f],
+                              axis=1).astype(jnp.float32)  # [B, 2L]
+    m2 = np.concatenate([t.mat_u[is_luma], t.mat_v[is_luma]], axis=0)
+    lin = jnp.einsum("bl,lo->bo", refcat2, m2,
+                     preferred_element_type=jnp.float32)
+    lin = jnp.floor(lin + 0.5).astype(jnp.int32).reshape(b, 34, n, n)
+    planar, ang = lin[:, :1], lin[:, 1:]
 
-    # ---- angular modes 2..34 via static gathers --------------------------
-    def gather_modes(refcat):
-        ra = refcat[:, t.idx_a.reshape(-1)].reshape(b, 33, n, n)
-        rb = refcat[:, t.idx_b.reshape(-1)].reshape(b, 33, n, n)
-        return (t.w_a[None] * ra + t.w_b[None] * rb + 16) >> 5
-
-    ang_u = gather_modes(refcat_u)
-    if is_luma and n > 4:
-        ang_f = gather_modes(refcat_f)
-        ang = jnp.where(t.use_filt_luma[2:][None, :, None, None], ang_f,
-                        ang_u)
-    else:
-        ang = ang_u
-
+    # masked selects instead of .at[...].set scatters (scatters serialize
+    # on TPU; a where over the full tensor vectorizes)
+    col0 = (jnp.arange(n) == 0)
     # ---- edge filters for pure horizontal (10) / vertical (26), luma <32 -
     if is_luma and n < 32:
         v_col = jnp.clip(top[:, 1:2] + ((left[:, 1:n + 1] - left[:, :1]) >> 1),
                          0, max_val)  # [B, N] down first column
-        ang = ang.at[:, 26 - 2, :, 0].set(v_col)
+        m_idx = jnp.arange(33)
+        is26 = (m_idx == 26 - 2)[None, :, None, None]
+        is10 = (m_idx == 10 - 2)[None, :, None, None]
+        ang = jnp.where(is26 & col0[None, None, None, :],
+                        v_col[:, None, :, None], ang)
         h_row = jnp.clip(left[:, 1:2] + ((top[:, 1:n + 1] - top[:, :1]) >> 1),
                          0, max_val)
-        ang = ang.at[:, 10 - 2, 0, :].set(h_row)
+        ang = jnp.where(is10 & col0[None, None, :, None],
+                        h_row[:, None, None, :], ang)
 
-    # ---- planar ----------------------------------------------------------
-    tp, lp = (top_f, left_f) if (is_luma and n > 4) else (top, left)
-    tt = tp[:, 1:n + 1]          # [B, N]
-    ll = lp[:, 1:n + 1]
-    tr = tp[:, n + 1:n + 2]      # [B, 1]
-    bl = lp[:, n + 1:n + 2]
-    xs = jnp.arange(n, dtype=jnp.int32)
-    planar = (((n - 1 - xs)[None, None, :] * ll[:, :, None])
-              + ((xs + 1)[None, None, :] * tr[:, :, None])
-              + ((n - 1 - xs)[None, :, None] * tt[:, None, :])
-              + ((xs + 1)[None, :, None] * bl[:, :, None])
-              + n) >> (log2_size + 1)
-
-    # ---- DC (always unfiltered refs) -------------------------------------
+    # ---- DC (always unfiltered refs; nonlinear edge smoothing) -----------
     dc = (jnp.sum(top[:, 1:n + 1], axis=1) + jnp.sum(left[:, 1:n + 1], axis=1)
           + n) >> (log2_size + 1)  # [B]
     dcp = jnp.broadcast_to(dc[:, None, None], (b, n, n))
@@ -200,11 +228,11 @@ def predict_all_modes(top: jnp.ndarray, left: jnp.ndarray, log2_size: int,
         first_row = (top[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
         first_col = (left[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
         corner = (left[:, 1] + 2 * dc + top[:, 1] + 2) >> 2
-        dcp = dcp.at[:, 0, :].set(first_row)
-        dcp = dcp.at[:, :, 0].set(first_col)
-        dcp = dcp.at[:, 0, 0].set(corner)
-
-    return jnp.concatenate([planar[:, None], dcp[:, None], ang], axis=1)
+        dcp = jnp.where(col0[None, :, None], first_row[:, None, :], dcp)
+        dcp = jnp.where(col0[None, None, :], first_col[:, :, None], dcp)
+        dcp = jnp.where(col0[None, :, None] & col0[None, None, :],
+                        corner[:, None, None], dcp)
+    return jnp.concatenate([planar, dcp[:, None], ang], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -221,18 +249,21 @@ def grid_refs(plane: jnp.ndarray, n: int, fill: int = 128):
     """
     h, w = plane.shape
     gy, gx = h // n, w // n
-    # pad: one row above, one col left, 2N to the right/bottom edges handled
-    # by edge replication (clamped gather)
-    padded = jnp.pad(plane, ((1, n), (1, n)), mode="edge")
-    # top-left corners of blocks in padded coords
-    ys = jnp.arange(gy) * n      # +1 -1
-    xs = jnp.arange(gx) * n
-    # top row for block (by, bx): padded[by*n, bx*n : bx*n + 2n+1]
-    off = jnp.arange(2 * n + 1)
-    top = padded[ys[:, None, None], (xs[None, :, None] + off[None, None, :])]
-    left = padded[(ys[:, None, None] + off[None, None, :]),
-                  xs[None, :, None]]
+    # Strided-slice construction (NO per-element gathers — those dominate
+    # the whole search at ~50 ms/frame on TPU): the (2n+1)-wide reference
+    # windows of all blocks are three n-aligned reshapes of the row/column
+    # extracts, concatenated and cropped.
+    padded = jnp.pad(plane, ((1, 3 * n), (1, 3 * n)), mode="edge")
+    rows = padded[0:h:n, :]                    # [gy, w + 3n + 1]
+    parts = [rows[:, k * n:k * n + gx * n].reshape(gy, gx, n)
+             for k in range(3)]
+    top = jnp.concatenate(parts, axis=-1)[:, :, :2 * n + 1]
+    cols_t = padded[:, 0:w:n].T                # [gx, h + 3n + 1]
+    parts_l = [cols_t[:, k * n:k * n + gy * n].reshape(gx, gy, n)
+               for k in range(3)]
+    left = (jnp.concatenate(parts_l, axis=-1)[:, :, :2 * n + 1]
+            .transpose(1, 0, 2))
     # frame boundary: top row of first block row / left col of first block
-    # col replicate the edge (already via pad edge) — acceptable for search.
+    # col replicate the edge (via pad edge) — acceptable for search.
     return (top.reshape(gy * gx, 2 * n + 1).astype(jnp.int32),
             left.reshape(gy * gx, 2 * n + 1).astype(jnp.int32))

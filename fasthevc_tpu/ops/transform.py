@@ -124,3 +124,51 @@ def tq_roundtrip(res: jnp.ndarray, qp, log2_size: int, bit_depth: int = 8,
     deq = dequantize(levels, qp, log2_size, bit_depth)
     recon = inv_transform(deq, log2_size, bit_depth, use_dst)
     return levels, recon
+
+
+@partial(jax.jit, static_argnames=("log2_size", "bit_depth", "use_dst",
+                                   "is_intra"))
+def tq_roundtrip_fast(res: jnp.ndarray, qp, log2_size: int,
+                      bit_depth: int = 8, use_dst: bool = False,
+                      is_intra: bool = True):
+    """Search-grade float T/Q/IQ/IT (MXU path). NOT bit-exact: TPU has no
+    native s32 matmul/s64 scalar path, so the exact integer pipeline runs
+    ~100x slower than f32 on the MXU. The search only needs cost-accurate
+    levels/recon (the commit stage re-derives everything exactly), and f32
+    keeps >=24-bit precision through every stage here (stage sums < 2^27
+    with <= 3 ulp rounding on the largest, far below quantizer step size)."""
+    t = _mat(log2_size, use_dst).astype(jnp.float32)
+    qp = jnp.asarray(qp, jnp.int32)
+    shift1 = log2_size + bit_depth - 9
+    shift2 = log2_size + 6
+    x = res.astype(jnp.float32)
+    tmp = jnp.einsum("kn,...nm->...km", t, x,
+                     preferred_element_type=jnp.float32)
+    tmp = jnp.floor(tmp * (2.0 ** -shift1) + 0.5)
+    coeffs = jnp.einsum("...km,lm->...kl", tmp, t,
+                        preferred_element_type=jnp.float32)
+    coeffs = jnp.floor(coeffs * (2.0 ** -shift2) + 0.5)
+    # quantize (float form of the integer dead-zone quantizer)
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + qp // 6 + transform_shift
+    scale = jnp.asarray(QUANT_SCALES, jnp.float32)[qp % 6]
+    f = (171.0 if is_intra else 85.0) / 512.0
+    qstep = jnp.exp2(qbits.astype(jnp.float32))
+    level = jnp.floor(jnp.abs(coeffs) * scale / qstep + f)
+    level = jnp.clip(level, 0.0, 32767.0)
+    levels = jnp.sign(coeffs) * level
+    # dequantize
+    bd_shift = bit_depth + log2_size - 5
+    iscale = jnp.asarray(INV_QUANT_SCALES, jnp.float32)[qp % 6] * 16.0
+    deq = jnp.floor(levels * iscale * jnp.exp2((qp // 6).astype(jnp.float32))
+                    * (2.0 ** -bd_shift) + 0.5)
+    deq = jnp.clip(deq, -32768.0, 32767.0)
+    # inverse transform
+    e = jnp.einsum("nk,...nm->...km", t, deq,
+                   preferred_element_type=jnp.float32)
+    e = jnp.clip(jnp.floor(e * (2.0 ** -7) + 0.5), -32768, 32767)
+    r = jnp.einsum("...km,ml->...kl", e, t,
+                   preferred_element_type=jnp.float32)
+    r = jnp.clip(jnp.floor(r * (2.0 ** -(20 - bit_depth)) + 0.5),
+                 -32768, 32767)
+    return levels, r
