@@ -93,8 +93,9 @@ def _load():
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [20]
+        i32p,                                # ctx offsets [22]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
+        ctypes.c_int, ctypes.c_int,          # deblock_enabled, sao_enabled
         ctypes.c_int, i8p, i16p,             # slice_type, dir_map, mv_map
         i32p, i32p, i32p, i32p, i32p, i32p,  # ref planes l0 + l1
         i32p, i32p, u8p, u8p,                # motion field export
@@ -112,15 +113,20 @@ _OFFSET_ORDER = [
     "prev_intra_luma_pred_flag", "intra_chroma_pred_mode", "cbf_luma",
     "cbf_chroma", "cu_skip_flag", "pred_mode_flag", "merge_flag",
     "merge_idx", "inter_pred_idc", "mvd_flag", "mvp_flag", "rqt_root_cbf",
+    "sao_merge_flag", "sao_type_idx",
 ]
 
 
 def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         mode_map, ctx: ContextSet, lossless: bool,
                         slice_type: int = 2, dir_map=None, mv_map=None,
-                        refs=((), ())):
-    """Run the C++ slice engine: commit + entropy for one decided slice
-    (I/P/B), with tiles executed on parallel threads.
+                        refs=((), ()), deblock: bool = False,
+                        sao: bool = False):
+    """Run the two-phase C++ slice engine: commit, then in-loop filters
+    (deblock + SAO when enabled), then entropy — for one decided slice
+    (I/P/B), with tiles executed on parallel threads. The returned recon
+    is post-filter; SAO parameters are estimated, applied, and coded
+    internally (spec 7.3.8.3 CTU syntax).
 
     src_planes: (y, cb, cr) int arrays in coded dims.
     depth_map/mode_map: int8 [coded_h/8, coded_w/8] decision maps.
@@ -183,6 +189,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
         dm.shape[1], states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b,
+        int(deblock), int(sao),
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes)

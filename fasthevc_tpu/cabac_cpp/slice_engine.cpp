@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <mutex>
 #include <vector>
 #include <thread>
@@ -486,9 +487,59 @@ struct MotionCu {
   }
 };
 
+// Per-frame decision store filled by the commit pass (phase 1) and read by
+// the entropy pass (phase 2). Levels live at their plane positions; cbf and
+// per-CU syntax decisions live on the 8x8 granule grid (CU/TU origin).
+struct Stored {
+  int w = 0, h = 0, gw8 = 0, gh8 = 0;
+  std::vector<int32_t> lv_y, lv_cb, lv_cr;
+  std::vector<uint8_t> cbf_y, cbf_cb, cbf_cr;
+  std::vector<uint8_t> skip, merge_flag, rqt_root;
+  std::vector<int8_t> merge_idx, mvp0, mvp1;
+  std::vector<int16_t> mvd0x, mvd0y, mvd1x, mvd1y;
+  void init(int w_, int h_) {
+    w = w_; h = h_; gw8 = w_ >> 3; gh8 = h_ >> 3;
+    lv_y.assign(w * h, 0);
+    lv_cb.assign(w * h / 4, 0);
+    lv_cr.assign(w * h / 4, 0);
+    int g = gw8 * gh8;
+    cbf_y.assign(g, 0); cbf_cb.assign(g, 0); cbf_cr.assign(g, 0);
+    skip.assign(g, 0); merge_flag.assign(g, 0); rqt_root.assign(g, 0);
+    merge_idx.assign(g, 0); mvp0.assign(g, 0); mvp1.assign(g, 0);
+    mvd0x.assign(g, 0); mvd0y.assign(g, 0);
+    mvd1x.assign(g, 0); mvd1y.assign(g, 0);
+  }
+  void store_block(std::vector<int32_t> &store, int stride, int x, int y,
+                   int n, const int32_t *lv) {
+    for (int yy = 0; yy < n; yy++)
+      std::memcpy(store.data() + (y + yy) * stride + x, lv + yy * n,
+                  sizeof(int32_t) * n);
+  }
+  void load_block(const std::vector<int32_t> &store, int stride, int x,
+                  int y, int n, int32_t *lv) const {
+    for (int yy = 0; yy < n; yy++)
+      std::memcpy(lv + yy * n, store.data() + (y + yy) * stride + x,
+                  sizeof(int32_t) * n);
+  }
+  void set_cbf(std::vector<uint8_t> &c, int lx, int ly, int ln, bool v) {
+    for (int gy = ly >> 3; gy < (ly + ln) >> 3; gy++)
+      for (int gx = lx >> 3; gx < (lx + ln) >> 3; gx++)
+        c[gy * gw8 + gx] = v;
+  }
+};
+
+// Per-CTB SAO parameters (spec 7.3.8.3), one per component
+struct SaoP {
+  int type = 0;       // 0 off, 1 band, 2 edge
+  int eo_class = 0;
+  int band_pos = 0;
+  int off[4] = {0, 0, 0, 0};
+};
+
 struct SliceEnc {
   Frame *f;
   Encoder *e;
+  Stored *st = nullptr;
   int tx0 = 0, ty0 = 0, tx1 = 1 << 20, ty1 = 1 << 20;  // tile rect (luma)
   int qp_y, qp_cb, qp_cr;
   bool lossless, bypass_enabled;
@@ -507,17 +558,27 @@ struct SliceEnc {
   // extra ctx family offsets
   int off_split, off_bypassflag, off_part, off_prev_intra, off_chroma_mode,
       off_cbf_luma, off_cbf_chroma;
+  int off_sao_merge = -1, off_sao_type = -1;
+  // SAO emission state (phase 2)
+  bool sao_on = false;
+  const SaoP *sao_y = nullptr, *sao_cb = nullptr, *sao_cr = nullptr;
+  int sao_nx = 0;
   TrBuf trbuf;
 };
 
+// Context/MPM neighbor checks use coding-order availability (f.avail) so
+// they are valid BOTH during the single-pass flow and in the two-phase
+// emit pass, where every granule map is already fully populated: avail()
+// is exactly "this neighbor was coded before the current CU" — the same
+// predicate the gcoded bitmap used to encode incrementally.
 int split_ctx(SliceEnc *s, int x, int y, int depth) {
   int ctx = 0;
   Frame &f = *s->f;
-  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
-      f.gdepth[(y >> 2) * f.gw + ((x - 1) >> 2)] > depth)
+  if (x > s->tx0 && f.avail(x - 1, y, x, y, s->tx0, s->ty0, s->tx1, s->ty1)
+      && f.gdepth[(y >> 2) * f.gw + ((x - 1) >> 2)] > depth)
     ctx++;
-  if (y > s->ty0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
-      f.gdepth[((y - 1) >> 2) * f.gw + (x >> 2)] > depth)
+  if (y > s->ty0 && f.avail(x, y - 1, x, y, s->tx0, s->ty0, s->tx1, s->ty1)
+      && f.gdepth[((y - 1) >> 2) * f.gw + (x >> 2)] > depth)
     ctx++;
   return ctx;
 }
@@ -525,13 +586,14 @@ int split_ctx(SliceEnc *s, int x, int y, int depth) {
 void mpm_candidates(SliceEnc *s, int x, int y, int cands[3]) {
   Frame &f = *s->f;
   int a = 1, b = 1;  // DC default
-  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)]) {
+  if (x > s->tx0 &&
+      f.avail(x - 1, y, x, y, s->tx0, s->ty0, s->tx1, s->ty1)) {
     int m = f.gmode[(y >> 2) * f.gw + ((x - 1) >> 2)];
     if (m >= 0) a = m;
   }
   bool above_in_ctu = (y & ((1 << f.log2_ctu) - 1)) != 0;
   if (y > s->ty0 && above_in_ctu &&
-      f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)]) {
+      f.avail(x, y - 1, x, y, s->tx0, s->ty0, s->tx1, s->ty1)) {
     int m = f.gmode[((y - 1) >> 2) * f.gw + (x >> 2)];
     if (m >= 0) b = m;
   }
@@ -774,20 +836,20 @@ int scan_for(int lg, int c_idx, int mode) {
 int skip_ctx(SliceEnc *s, int x, int y) {
   Frame &f = *s->f;
   int ctx = 0;
-  if (x > s->tx0 && f.gcoded[(y >> 2) * f.gw + ((x - 1) >> 2)] &&
-      f.gskip[(y >> 2) * f.gw + ((x - 1) >> 2)])
+  if (x > s->tx0 && f.avail(x - 1, y, x, y, s->tx0, s->ty0, s->tx1, s->ty1)
+      && f.gskip[(y >> 2) * f.gw + ((x - 1) >> 2)])
     ctx++;
-  if (y > s->ty0 && f.gcoded[((y - 1) >> 2) * f.gw + (x >> 2)] &&
-      f.gskip[((y - 1) >> 2) * f.gw + (x >> 2)])
+  if (y > s->ty0 && f.avail(x, y - 1, x, y, s->tx0, s->ty0, s->tx1, s->ty1)
+      && f.gskip[((y - 1) >> 2) * f.gw + (x >> 2)])
     ctx++;
   return ctx;
 }
 
-// Commit + serialize one inter CU (P/B, 2Nx2N, one ref per list).
-void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
+// Commit one inter CU (P/B, 2Nx2N, one ref per list): MC + TQ + recon +
+// merge/AMVP decisions into the store; no bits are emitted (phase 1).
+void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
                      const MotionCu &m) {
   Frame &f = *s->f;
-  Encoder *e = s->e;
   int n = 1 << lg;
   int cn = n >> 1;
 
@@ -913,6 +975,22 @@ void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
     cbf_y_any |= cbf_y[ti];
   }
 
+  // ---- store levels + cbf at TU origins --------------------------------
+  Stored &st = *s->st;
+  for (int ti = 0; ti < n_tus; ti++) {
+    int tx = n_tus == 1 ? x : x + (ti & 1) * half;
+    int ty = n_tus == 1 ? y : y + (ti >> 1) * half;
+    st.store_block(st.lv_y, f.coded_w, tx, ty, tn,
+                   lv_y.data() + ti * tn * tn);
+    st.store_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                   lv_cb.data() + ti * (tn / 2) * (tn / 2));
+    st.store_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                   lv_cr.data() + ti * (tn / 2) * (tn / 2));
+    st.set_cbf(st.cbf_y, tx, ty, tn, cbf_y[ti]);
+    st.set_cbf(st.cbf_cb, tx, ty, tn, cbf_cb[ti]);
+    st.set_cbf(st.cbf_cr, tx, ty, tn, cbf_cr[ti]);
+  }
+
   // ---- merge/AMVP decision (mirror of the Python commit) ---------------
   MotionCu cands[5];
   merge_list(s, x, y, n, cands);
@@ -921,11 +999,34 @@ void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
     if (cands[i] == m) merge_idx = i;
   bool merge = merge_idx >= 0;
   bool skip = merge && !cbf_any;
-
-  // ---- syntax -----------------------------------------------------------
-  e->encode_bin(s->off_skip + skip_ctx(s, x, y), skip);
+  int g8 = (y >> 3) * st.gw8 + (x >> 3);
+  st.skip[g8] = skip;
+  st.merge_flag[g8] = merge;
+  st.merge_idx[g8] = (int8_t)(merge ? merge_idx : 0);
+  st.rqt_root[g8] = cbf_any;
+  if (!merge) {
+    if (m.dir & 1) {
+      int amvp[2][2];
+      amvp_list(s, x, y, n, 0, amvp);
+      int c0 = std::abs(m.mv0x - amvp[0][0]) + std::abs(m.mv0y - amvp[0][1]);
+      int c1 = std::abs(m.mv0x - amvp[1][0]) + std::abs(m.mv0y - amvp[1][1]);
+      int mvp = c0 <= c1 ? 0 : 1;
+      st.mvp0[g8] = (int8_t)mvp;
+      st.mvd0x[g8] = (int16_t)(m.mv0x - amvp[mvp][0]);
+      st.mvd0y[g8] = (int16_t)(m.mv0y - amvp[mvp][1]);
+    }
+    if (m.dir & 2) {
+      int amvp[2][2];
+      amvp_list(s, x, y, n, 1, amvp);
+      int c0 = std::abs(m.mv1x - amvp[0][0]) + std::abs(m.mv1y - amvp[0][1]);
+      int c1 = std::abs(m.mv1x - amvp[1][0]) + std::abs(m.mv1y - amvp[1][1]);
+      int mvp = c0 <= c1 ? 0 : 1;
+      st.mvp1[g8] = (int8_t)mvp;
+      st.mvd1x[g8] = (int16_t)(m.mv1x - amvp[mvp][0]);
+      st.mvd1y[g8] = (int16_t)(m.mv1y - amvp[mvp][1]);
+    }
+  }
   if (skip) {
-    encode_merge_idx_cpp(s, merge_idx);
     for (int gy = y >> 2; gy < (y + n) >> 2; gy++)
       for (int gx = x >> 2; gx < (x + n) >> 2; gx++) {
         f.gdepth[gy * f.gw + gx] = (int8_t)depth;
@@ -934,80 +1035,6 @@ void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       }
     set_motion_cu(s, x, y, n, m, true, false);
     return;
-  }
-  if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
-  e->encode_bin(s->off_pred_mode, 0);  // inter
-  e->encode_bin(s->off_part, 1);       // 2Nx2N
-  e->encode_bin(s->off_merge_flag, merge);
-  if (merge) {
-    encode_merge_idx_cpp(s, merge_idx);
-  } else {
-    if (s->slice_type == 0) {
-      e->encode_bin(s->off_inter_idc + (m.dir == 3 ? depth : depth),
-                    m.dir == 3 ? 1 : 0);
-      if (m.dir != 3)
-        e->encode_bin(s->off_inter_idc + 4, m.dir == 2 ? 1 : 0);
-    }
-    if (m.dir & 1) {
-      int amvp[2][2];
-      amvp_list(s, x, y, n, 0, amvp);
-      int c0 = (m.mv0x > amvp[0][0] ? m.mv0x - amvp[0][0]
-                                    : amvp[0][0] - m.mv0x) +
-               (m.mv0y > amvp[0][1] ? m.mv0y - amvp[0][1]
-                                    : amvp[0][1] - m.mv0y);
-      int c1 = (m.mv0x > amvp[1][0] ? m.mv0x - amvp[1][0]
-                                    : amvp[1][0] - m.mv0x) +
-               (m.mv0y > amvp[1][1] ? m.mv0y - amvp[1][1]
-                                    : amvp[1][1] - m.mv0y);
-      int mvp = c0 <= c1 ? 0 : 1;
-      encode_mvd_cpp(s, m.mv0x - amvp[mvp][0], m.mv0y - amvp[mvp][1]);
-      e->encode_bin(s->off_mvp, mvp);
-    }
-    if (m.dir & 2) {
-      int amvp[2][2];
-      amvp_list(s, x, y, n, 1, amvp);
-      int c0 = (m.mv1x > amvp[0][0] ? m.mv1x - amvp[0][0]
-                                    : amvp[0][0] - m.mv1x) +
-               (m.mv1y > amvp[0][1] ? m.mv1y - amvp[0][1]
-                                    : amvp[0][1] - m.mv1y);
-      int c1 = (m.mv1x > amvp[1][0] ? m.mv1x - amvp[1][0]
-                                    : amvp[1][0] - m.mv1x) +
-               (m.mv1y > amvp[1][1] ? m.mv1y - amvp[1][1]
-                                    : amvp[1][1] - m.mv1y);
-      int mvp = c0 <= c1 ? 0 : 1;
-      encode_mvd_cpp(s, m.mv1x - amvp[mvp][0], m.mv1y - amvp[mvp][1]);
-      e->encode_bin(s->off_mvp, mvp);
-    }
-  }
-  if (!merge) e->encode_bin(s->off_rqt_root, cbf_any);
-  if (cbf_any || merge) {
-    // transform tree: depth-0 chroma cbfs, then TUs
-    bool cb0 = false, cr0 = false;
-    for (int ti = 0; ti < n_tus; ti++) {
-      cb0 |= cbf_cb[ti];
-      cr0 |= cbf_cr[ti];
-    }
-    e->encode_bin(s->off_cbf_chroma + 0, cb0);
-    e->encode_bin(s->off_cbf_chroma + 0, cr0);
-    for (int ti = 0; ti < n_tus; ti++) {
-      int trafo_depth = n_tus == 1 ? 0 : 1;
-      if (n_tus > 1) {
-        if (cb0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cb[ti]);
-        if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[ti]);
-      }
-      bool present = trafo_depth != 0 || cbf_cb[ti] || cbf_cr[ti];
-      if (present)
-        e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0),
-                      cbf_y[ti]);
-      if (cbf_y[ti])
-        encode_residual(e, lv_y.data() + ti * tn * tn, tlg, 0, 0);
-      if (cbf_cb[ti])
-        encode_residual(e, lv_cb.data() + ti * (tn / 2) * (tn / 2),
-                        tlg - 1, 1, 0);
-      if (cbf_cr[ti])
-        encode_residual(e, lv_cr.data() + ti * (tn / 2) * (tn / 2),
-                        tlg - 1, 2, 0);
-    }
   }
   for (int gy = y >> 2; gy < (y + n) >> 2; gy++)
     for (int gx = x >> 2; gx < (x + n) >> 2; gx++) {
@@ -1018,27 +1045,130 @@ void encode_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
   set_motion_cu(s, x, y, n, m, false, cbf_y_any);
 }
 
-void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
+// Emit the syntax of one committed inter CU (phase 2)
+void emit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
+                   const MotionCu &m) {
   Frame &f = *s->f;
   Encoder *e = s->e;
-  // the decided mode is in the map at the CU origin
-  int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
-  if (s->slice_type != 2) {
-    int g8 = (y >> 3) * s->dm_w + (x >> 3);
-    int dir = s->dir_map ? s->dir_map[g8] : 0;
-    if (dir > 0) {
-      MotionCu m;
-      m.dir = dir;
-      m.mv0x = s->mv_map[g8 * 4 + 0];
-      m.mv0y = s->mv_map[g8 * 4 + 1];
-      m.mv1x = s->mv_map[g8 * 4 + 2];
-      m.mv1y = s->mv_map[g8 * 4 + 3];
-      m.normalize();
-      encode_inter_cu(s, x, y, lg, depth, m);
-      return;
-    }
-    e->encode_bin(s->off_skip + skip_ctx(s, x, y), 0);
+  Stored &st = *s->st;
+  int n = 1 << lg;
+  int g8 = (y >> 3) * st.gw8 + (x >> 3);
+  bool skip = st.skip[g8];
+  bool merge = st.merge_flag[g8];
+  e->encode_bin(s->off_skip + skip_ctx(s, x, y), skip);
+  if (skip) {
+    encode_merge_idx_cpp(s, st.merge_idx[g8]);
+    return;
   }
+  if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
+  e->encode_bin(s->off_pred_mode, 0);  // inter
+  e->encode_bin(s->off_part, 1);       // 2Nx2N
+  e->encode_bin(s->off_merge_flag, merge);
+  if (merge) {
+    encode_merge_idx_cpp(s, st.merge_idx[g8]);
+  } else {
+    if (s->slice_type == 0) {
+      e->encode_bin(s->off_inter_idc + depth, m.dir == 3 ? 1 : 0);
+      if (m.dir != 3)
+        e->encode_bin(s->off_inter_idc + 4, m.dir == 2 ? 1 : 0);
+    }
+    if (m.dir & 1) {
+      encode_mvd_cpp(s, st.mvd0x[g8], st.mvd0y[g8]);
+      e->encode_bin(s->off_mvp, st.mvp0[g8]);
+    }
+    if (m.dir & 2) {
+      encode_mvd_cpp(s, st.mvd1x[g8], st.mvd1y[g8]);
+      e->encode_bin(s->off_mvp, st.mvp1[g8]);
+    }
+  }
+  bool cbf_any = st.rqt_root[g8];
+  if (!merge) e->encode_bin(s->off_rqt_root, cbf_any);
+  if (cbf_any || merge) {
+    int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
+    int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+    int tn = 1 << tlg;
+    int half = n >> 1;
+    bool cbf_y[4], cbf_cb[4], cbf_cr[4];
+    for (int ti = 0; ti < n_tus; ti++) {
+      int tx = n_tus == 1 ? x : x + (ti & 1) * half;
+      int ty = n_tus == 1 ? y : y + (ti >> 1) * half;
+      int tg = (ty >> 3) * st.gw8 + (tx >> 3);
+      cbf_y[ti] = st.cbf_y[tg];
+      cbf_cb[ti] = st.cbf_cb[tg];
+      cbf_cr[ti] = st.cbf_cr[tg];
+    }
+    bool cb0 = false, cr0 = false;
+    for (int ti = 0; ti < n_tus; ti++) {
+      cb0 |= cbf_cb[ti];
+      cr0 |= cbf_cr[ti];
+    }
+    e->encode_bin(s->off_cbf_chroma + 0, cb0);
+    e->encode_bin(s->off_cbf_chroma + 0, cr0);
+    static thread_local std::vector<int32_t> lv;
+    lv.resize(32 * 32);
+    for (int ti = 0; ti < n_tus; ti++) {
+      int tx = n_tus == 1 ? x : x + (ti & 1) * half;
+      int ty = n_tus == 1 ? y : y + (ti >> 1) * half;
+      int trafo_depth = n_tus == 1 ? 0 : 1;
+      if (n_tus > 1) {
+        if (cb0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cb[ti]);
+        if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[ti]);
+      }
+      bool present = trafo_depth != 0 || cbf_cb[ti] || cbf_cr[ti];
+      if (present)
+        e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0),
+                      cbf_y[ti]);
+      if (cbf_y[ti]) {
+        st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
+        encode_residual(e, lv.data(), tlg, 0, 0);
+      }
+      if (cbf_cb[ti]) {
+        st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                      lv.data());
+        encode_residual(e, lv.data(), tlg - 1, 1, 0);
+      }
+      if (cbf_cr[ti]) {
+        st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                      lv.data());
+        encode_residual(e, lv.data(), tlg - 1, 2, 0);
+      }
+    }
+  }
+}
+
+// Commit one intra CU (phase 1): predict + TQ + recon into the store
+void commit_intra_cu(SliceEnc *s, int x, int y, int lg, int depth) {
+  Frame &f = *s->f;
+  Stored &st = *s->st;
+  int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
+  int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
+  int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+  int tn = 1 << tlg;
+  int32_t lv[32 * 32];
+  int half = 1 << (lg - 1);
+  for (int i = 0; i < n_tus; i++) {
+    int tx = n_tus == 1 ? x : x + (i & 1) * half;
+    int ty = n_tus == 1 ? y : y + (i >> 1) * half;
+    bool cy = commit_tb(s, 0, tx, ty, tlg, mode, lv);
+    st.store_block(st.lv_y, f.coded_w, tx, ty, tn, lv);
+    st.set_cbf(st.cbf_y, tx, ty, tn, cy);
+    bool ccb = commit_tb(s, 1, tx >> 1, ty >> 1, tlg - 1, mode, lv);
+    st.store_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2, lv);
+    st.set_cbf(st.cbf_cb, tx, ty, tn, ccb);
+    bool ccr = commit_tb(s, 2, tx >> 1, ty >> 1, tlg - 1, mode, lv);
+    st.store_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2, lv);
+    st.set_cbf(st.cbf_cr, tx, ty, tn, ccr);
+  }
+  set_cu(s, x, y, 1 << lg, depth, mode);
+  set_intra_motion(s, x, y, 1 << lg, false);
+}
+
+// Emit the syntax of one committed intra CU (phase 2)
+void emit_intra_cu(SliceEnc *s, int x, int y, int lg, int depth) {
+  Frame &f = *s->f;
+  Encoder *e = s->e;
+  Stored &st = *s->st;
+  int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
   if (s->bypass_enabled) e->encode_bin(s->off_bypassflag, s->lossless);
   if (s->slice_type != 2) e->encode_bin(s->off_pred_mode, 1);  // intra
   if (lg == s->log2_min_cu) e->encode_bin(s->off_part, 1);  // 2Nx2N
@@ -1061,19 +1191,18 @@ void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
   }
   e->encode_bin(s->off_chroma_mode, 0);  // DM
 
-  // ---- transform tree (TU == CU; forced split for 64) ------------------
   int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
   int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
-  int32_t lv_y[4][32 * 32];
-  int32_t lv_cb[4][16 * 16], lv_cr[4][16 * 16];
-  bool cbf_y[4], cbf_cb[4], cbf_cr[4];
+  int tn = 1 << tlg;
   int half = 1 << (lg - 1);
+  bool cbf_y[4], cbf_cb[4], cbf_cr[4];
   for (int i = 0; i < n_tus; i++) {
     int tx = n_tus == 1 ? x : x + (i & 1) * half;
     int ty = n_tus == 1 ? y : y + (i >> 1) * half;
-    cbf_y[i] = commit_tb(s, 0, tx, ty, tlg, mode, lv_y[i]);
-    cbf_cb[i] = commit_tb(s, 1, tx >> 1, ty >> 1, tlg - 1, mode, lv_cb[i]);
-    cbf_cr[i] = commit_tb(s, 2, tx >> 1, ty >> 1, tlg - 1, mode, lv_cr[i]);
+    int tg = (ty >> 3) * st.gw8 + (tx >> 3);
+    cbf_y[i] = st.cbf_y[tg];
+    cbf_cb[i] = st.cbf_cb[tg];
+    cbf_cr[i] = st.cbf_cr[tg];
   }
   bool cb0 = false, cr0 = false;
   for (int i = 0; i < n_tus; i++) {
@@ -1082,36 +1211,89 @@ void encode_cu(SliceEnc *s, int x, int y, int lg, int depth) {
   }
   e->encode_bin(s->off_cbf_chroma + 0, cb0);
   e->encode_bin(s->off_cbf_chroma + 0, cr0);
+  static thread_local std::vector<int32_t> lv;
+  lv.resize(32 * 32);
   for (int i = 0; i < n_tus; i++) {
+    int tx = n_tus == 1 ? x : x + (i & 1) * half;
+    int ty = n_tus == 1 ? y : y + (i >> 1) * half;
     int trafo_depth = n_tus == 1 ? 0 : 1;
     if (n_tus > 1) {
       if (cb0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cb[i]);
       if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[i]);
     }
     e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0), cbf_y[i]);
-    int n = 1 << tlg;
-    if (cbf_y[i])
-      encode_residual(e, lv_y[i], tlg, 0, scan_for(tlg, 0, mode));
-    if (cbf_cb[i])
-      encode_residual(e, lv_cb[i], tlg - 1, 1, scan_for(tlg - 1, 1, mode));
-    if (cbf_cr[i])
-      encode_residual(e, lv_cr[i], tlg - 1, 2, scan_for(tlg - 1, 2, mode));
-    (void)n;
+    if (cbf_y[i]) {
+      st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
+      encode_residual(e, lv.data(), tlg, 0, scan_for(tlg, 0, mode));
+    }
+    if (cbf_cb[i]) {
+      st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                    lv.data());
+      encode_residual(e, lv.data(), tlg - 1, 1, scan_for(tlg - 1, 1, mode));
+    }
+    if (cbf_cr[i]) {
+      st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
+                    lv.data());
+      encode_residual(e, lv.data(), tlg - 1, 2, scan_for(tlg - 1, 2, mode));
+    }
   }
-  set_cu(s, x, y, 1 << lg, depth, mode);
-  set_intra_motion(s, x, y, 1 << lg, false);
 }
 
-void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
+MotionCu cu_motion_from_maps(SliceEnc *s, int x, int y, int *dir_out) {
+  int g8 = (y >> 3) * s->dm_w + (x >> 3);
+  int dir = s->dir_map ? s->dir_map[g8] : 0;
+  *dir_out = dir;
+  MotionCu m;
+  if (dir > 0) {
+    m.dir = dir;
+    m.mv0x = s->mv_map[g8 * 4 + 0];
+    m.mv0y = s->mv_map[g8 * 4 + 1];
+    m.mv1x = s->mv_map[g8 * 4 + 2];
+    m.mv1y = s->mv_map[g8 * 4 + 3];
+    m.normalize();
+  }
+  return m;
+}
+
+// Phase-1 quadtree walk: commit only, no bits
+void commit_cq(SliceEnc *s, int x, int y, int lg, int depth) {
   Frame &f = *s->f;
+  int size = 1 << lg;
+  bool inside = (x + size <= f.coded_w) && (y + size <= f.coded_h);
+  bool split = !inside || (lg > s->log2_min_cu &&
+                           s->depth_map[(y >> 3) * s->dm_w + (x >> 3)] >
+                               depth);
+  if (split) {
+    int half = size >> 1;
+    for (int i = 0; i < 4; i++) {
+      int cx = x + (i & 1) * half, cy = y + (i >> 1) * half;
+      if (cx < f.coded_w && cy < f.coded_h)
+        commit_cq(s, cx, cy, lg - 1, depth + 1);
+    }
+    return;
+  }
+  if (s->slice_type != 2) {
+    int dir;
+    MotionCu m = cu_motion_from_maps(s, x, y, &dir);
+    if (dir > 0) {
+      commit_inter_cu(s, x, y, lg, depth, m);
+      return;
+    }
+  }
+  commit_intra_cu(s, x, y, lg, depth);
+}
+
+// Phase-2 quadtree walk: bits only
+void emit_cq(SliceEnc *s, int x, int y, int lg, int depth) {
+  Frame &f = *s->f;
+  Encoder *e = s->e;
   int size = 1 << lg;
   bool inside = (x + size <= f.coded_w) && (y + size <= f.coded_h);
   bool split;
   if (inside && lg > s->log2_min_cu) {
-    // decided depth at this granule > depth means split
     int d = s->depth_map[(y >> 3) * s->dm_w + (x >> 3)];
     split = d > depth;
-    s->e->encode_bin(s->off_split + split_ctx(s, x, y, depth), split);
+    e->encode_bin(s->off_split + split_ctx(s, x, y, depth), split);
   } else {
     split = !inside;
   }
@@ -1120,12 +1302,22 @@ void encode_cq(SliceEnc *s, int x, int y, int lg, int depth) {
     for (int i = 0; i < 4; i++) {
       int cx = x + (i & 1) * half, cy = y + (i >> 1) * half;
       if (cx < f.coded_w && cy < f.coded_h)
-        encode_cq(s, cx, cy, lg - 1, depth + 1);
+        emit_cq(s, cx, cy, lg - 1, depth + 1);
     }
     return;
   }
-  encode_cu(s, x, y, lg, depth);
+  if (s->slice_type != 2) {
+    int dir;
+    MotionCu m = cu_motion_from_maps(s, x, y, &dir);
+    if (dir > 0) {
+      emit_inter_cu(s, x, y, lg, depth, m);
+      return;
+    }
+    e->encode_bin(s->off_skip + skip_ctx(s, x, y), 0);
+  }
+  emit_intra_cu(s, x, y, lg, depth);
 }
+
 
 // ---- deblocking filter (spec 8.7.2) ---------------------------------------
 // Mirror of spec/deblock.py (the Python oracle), byte-exact — enforced by
@@ -1320,6 +1512,241 @@ void chroma_pass(const DeblockCtx &c, int32_t *pl, bool vert, int tc,
     }
 }
 
+// ---- SAO (spec 8.7.3): estimation + application ---------------------------
+// Mirror of spec/sao.py (estimate_ctb / estimate_ctb_given / apply_sao):
+// estimation classifies within the CTB (conservative, affects parameter
+// choice only); application classifies on the full pre-SAO plane (normative,
+// matches the decoder).
+
+const int kEoN[4][2][2] = {  // class -> ((dy0,dx0),(dy1,dx1))
+    {{0, -1}, {0, 1}}, {{-1, 0}, {1, 0}}, {{-1, -1}, {1, 1}},
+    {{1, -1}, {-1, 1}}};
+
+inline int sgn(int v) { return v > 0 ? 1 : v < 0 ? -1 : 0; }
+
+// Python round() = banker's rounding = nearbyint in the default FP mode
+inline int sao_offset_for(long long cnt, long long sum) {
+  if (cnt == 0) return 0;
+  int o = (int)std::nearbyint((double)sum / (double)cnt);
+  return o < -7 ? -7 : o > 7 ? 7 : o;
+}
+
+// Edge-offset stats for one class over a region (in-region neighbors only;
+// region-boundary samples are category 0, exactly like the oracle's
+// _edge_categories on the cropped CTB)
+void sao_eo_stats(const int32_t *rec, int rstride, const uint8_t *src,
+                  int sstride, int w, int h, int cls, long long cnt[5],
+                  long long sum[5]) {
+  int dy0 = kEoN[cls][0][0], dx0 = kEoN[cls][0][1];
+  int dy1 = kEoN[cls][1][0], dx1 = kEoN[cls][1][1];
+  int ty = std::max({0, -dy0, -dy1}), by = std::max({0, dy0, dy1});
+  int lx = std::max({0, -dx0, -dx1}), rx = std::max({0, dx0, dx1});
+  static const int remap[5] = {1, 2, 0, 3, 4};
+  for (int yy = ty; yy < h - by; yy++)
+    for (int xx = lx; xx < w - rx; xx++) {
+      int c = rec[yy * rstride + xx];
+      int raw = 2 + sgn(c - rec[(yy + dy0) * rstride + xx + dx0]) +
+                sgn(c - rec[(yy + dy1) * rstride + xx + dx1]);
+      int cat = remap[raw];
+      if (cat) {
+        cnt[cat]++;
+        sum[cat] += (int)src[yy * sstride + xx] - c;
+      }
+    }
+}
+
+SaoP sao_estimate_ctb(const uint8_t *src, int sstride, const int32_t *rec,
+                      int rstride, int w, int h, int bit_depth) {
+  double best_g = 0.0;
+  SaoP best;  // OFF
+  for (int cls = 0; cls < 4; cls++) {
+    long long cnt[5] = {0}, sum[5] = {0};
+    sao_eo_stats(rec, rstride, src, sstride, w, h, cls, cnt, sum);
+    int offs[4];
+    for (int c = 1; c <= 4; c++) offs[c - 1] = sao_offset_for(cnt[c], sum[c]);
+    offs[0] = std::max(0, offs[0]);
+    offs[1] = std::max(0, offs[1]);
+    offs[2] = std::min(0, offs[2]);
+    offs[3] = std::min(0, offs[3]);
+    double g = 0;
+    for (int i = 0; i < 4; i++)
+      g += 2.0 * offs[i] * sum[i + 1] - (double)offs[i] * offs[i] * cnt[i + 1];
+    if (g > best_g) {
+      best_g = g;
+      best.type = 2;
+      best.eo_class = cls;
+      best.band_pos = 0;
+      for (int i = 0; i < 4; i++) best.off[i] = offs[i];
+    }
+  }
+  long long bcnt[32] = {0}, bsum[32] = {0};
+  int shift = bit_depth - 5;
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int b = rec[yy * rstride + xx] >> shift;
+      bcnt[b]++;
+      bsum[b] += (int)src[yy * sstride + xx] - rec[yy * rstride + xx];
+    }
+  int boffs[32];
+  double bgain[32];
+  for (int b = 0; b < 32; b++) {
+    boffs[b] = sao_offset_for(bcnt[b], bsum[b]);
+    bgain[b] = 2.0 * boffs[b] * bsum[b] - (double)boffs[b] * boffs[b] * bcnt[b];
+  }
+  int best_pos = 0;
+  double best_run = -1e18;
+  for (int pos = 0; pos < 29; pos++) {
+    double g = bgain[pos] + bgain[pos + 1] + bgain[pos + 2] + bgain[pos + 3];
+    if (g > best_run) {
+      best_run = g;
+      best_pos = pos;
+    }
+  }
+  if (best_run > best_g) {
+    best.type = 1;
+    best.eo_class = 0;
+    best.band_pos = best_pos;
+    for (int i = 0; i < 4; i++) best.off[i] = boffs[best_pos + i];
+  }
+  return best;
+}
+
+// Cr shares Cb's type/eo_class (spec); offsets/band_pos re-estimated
+SaoP sao_estimate_ctb_given(const uint8_t *src, int sstride,
+                            const int32_t *rec, int rstride, int w, int h,
+                            int type, int eo_class, int bit_depth) {
+  SaoP p;
+  p.type = type;
+  p.eo_class = eo_class;
+  if (type == 0) return p;
+  if (type == 2) {
+    long long cnt[5] = {0}, sum[5] = {0};
+    sao_eo_stats(rec, rstride, src, sstride, w, h, eo_class, cnt, sum);
+    for (int c = 1; c <= 4; c++) p.off[c - 1] = sao_offset_for(cnt[c], sum[c]);
+    p.off[0] = std::max(0, p.off[0]);
+    p.off[1] = std::max(0, p.off[1]);
+    p.off[2] = std::min(0, p.off[2]);
+    p.off[3] = std::min(0, p.off[3]);
+    return p;
+  }
+  long long bcnt[32] = {0}, bsum[32] = {0};
+  int shift = bit_depth - 5;
+  for (int yy = 0; yy < h; yy++)
+    for (int xx = 0; xx < w; xx++) {
+      int b = rec[yy * rstride + xx] >> shift;
+      bcnt[b]++;
+      bsum[b] += (int)src[yy * sstride + xx] - rec[yy * rstride + xx];
+    }
+  int boffs[32];
+  double bgain[32];
+  for (int b = 0; b < 32; b++) {
+    boffs[b] = sao_offset_for(bcnt[b], bsum[b]);
+    bgain[b] = 2.0 * boffs[b] * bsum[b] - (double)boffs[b] * boffs[b] * bcnt[b];
+  }
+  int best_pos = 0;
+  double best_run = -1e18;
+  for (int pos = 0; pos < 29; pos++) {
+    double g = bgain[pos] + bgain[pos + 1] + bgain[pos + 2] + bgain[pos + 3];
+    if (g > best_run) {
+      best_run = g;
+      best_pos = pos;
+    }
+  }
+  p.band_pos = best_pos;
+  for (int i = 0; i < 4; i++) p.off[i] = boffs[best_pos + i];
+  return p;
+}
+
+// Apply SAO to one plane in place. Classification reads the pre-SAO copy
+// (full-plane neighbors; plane-boundary samples category 0) — normative.
+void sao_apply_plane(int32_t *plane, int w, int h, int ctb,
+                     const SaoP *params, int nx, int ny, int bit_depth) {
+  std::vector<int32_t> pre(plane, plane + (size_t)w * h);
+  int maxv = (1 << bit_depth) - 1;
+  int shift = bit_depth - 5;
+  for (int by = 0; by < ny; by++)
+    for (int bx = 0; bx < nx; bx++) {
+      const SaoP &p = params[by * nx + bx];
+      if (p.type == 0) continue;
+      int y0 = by * ctb, y1 = std::min((by + 1) * ctb, h);
+      int x0 = bx * ctb, x1 = std::min((bx + 1) * ctb, w);
+      if (p.type == 2) {
+        int dy0 = kEoN[p.eo_class][0][0], dx0 = kEoN[p.eo_class][0][1];
+        int dy1 = kEoN[p.eo_class][1][0], dx1 = kEoN[p.eo_class][1][1];
+        static const int remap[5] = {1, 2, 0, 3, 4};
+        int lut[5] = {0, p.off[0], p.off[1], p.off[2], p.off[3]};
+        for (int yy = y0; yy < y1; yy++)
+          for (int xx = x0; xx < x1; xx++) {
+            int ny0 = yy + dy0, nx0 = xx + dx0;
+            int ny1 = yy + dy1, nx1 = xx + dx1;
+            if (ny0 < 0 || ny1 < 0 || nx0 < 0 || nx1 < 0 || ny0 >= h ||
+                ny1 >= h || nx0 >= w || nx1 >= w)
+              continue;  // plane-boundary samples: category 0
+            int c = pre[yy * w + xx];
+            int raw = 2 + sgn(c - pre[ny0 * w + nx0]) +
+                      sgn(c - pre[ny1 * w + nx1]);
+            int v = c + lut[remap[raw]];
+            plane[yy * w + xx] = v < 0 ? 0 : v > maxv ? maxv : v;
+          }
+      } else {
+        int lut[32] = {0};
+        for (int i = 0; i < 4; i++) lut[(p.band_pos + i) & 31] = p.off[i];
+        for (int yy = y0; yy < y1; yy++)
+          for (int xx = x0; xx < x1; xx++) {
+            int c = pre[yy * w + xx];
+            int v = c + lut[c >> shift];
+            plane[yy * w + xx] = v < 0 ? 0 : v > maxv ? maxv : v;
+          }
+      }
+    }
+}
+
+// ---- SAO syntax (7.3.8.3), mirror of spec/sao.py encode_sao_ctu ----------
+void emit_sao_type_offsets(SliceEnc *s, const SaoP &p, bool write_class) {
+  Encoder *e = s->e;
+  e->encode_bin(s->off_sao_type, p.type ? 1 : 0);
+  if (!p.type) return;
+  e->encode_bypass(p.type == 2 ? 1 : 0);
+  for (int i = 0; i < 4; i++) {
+    int a = std::abs(p.off[i]);
+    for (int k = 0; k < a; k++) e->encode_bypass(1);
+    if (a < 7) e->encode_bypass(0);
+  }
+  if (p.type == 1) {
+    for (int i = 0; i < 4; i++)
+      if (p.off[i] != 0) e->encode_bypass(p.off[i] < 0 ? 1 : 0);
+    e->encode_bypass_bits(p.band_pos, 5);
+  } else if (write_class) {
+    e->encode_bypass_bits(p.eo_class, 2);
+  }
+}
+
+void emit_sao_offsets_only(SliceEnc *s, const SaoP &p) {
+  Encoder *e = s->e;
+  if (!p.type) return;
+  for (int i = 0; i < 4; i++) {
+    int a = std::abs(p.off[i]);
+    for (int k = 0; k < a; k++) e->encode_bypass(1);
+    if (a < 7) e->encode_bypass(0);
+  }
+  if (p.type == 1) {
+    for (int i = 0; i < 4; i++)
+      if (p.off[i] != 0) e->encode_bypass(p.off[i] < 0 ? 1 : 0);
+    e->encode_bypass_bits(p.band_pos, 5);
+  }
+}
+
+void emit_sao_ctu(SliceEnc *s, int cx, int cy, int rx, int ry) {
+  // merge flags always 0 (explicit params); present only when the
+  // neighbor CTB is in the same tile (spec 7.3.8.3)
+  if (rx > 0 && cx > s->tx0) s->e->encode_bin(s->off_sao_merge, 0);
+  if (ry > 0 && cy > s->ty0) s->e->encode_bin(s->off_sao_merge, 0);
+  int i = ry * s->sao_nx + rx;
+  emit_sao_type_offsets(s, s->sao_y[i], true);
+  emit_sao_type_offsets(s, s->sao_cb[i], true);
+  emit_sao_offsets_only(s, s->sao_cr[i]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -1379,9 +1806,14 @@ void hevc_deblock_picture(int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr,
   }
 }
 
-// Encode a full decided slice (I, intra tools): commit + entropy, with
-// optional tiles. Tiles are independent after decisions (per-tile CABAC
-// reset, tile-gated availability) and run on parallel threads.
+// Encode a full decided slice (I/P/B) in TWO PHASES: (1) commit — predict
+// + TQ + recon into a per-frame decision store, per tile on parallel
+// threads; then in-loop filters (deblock, SAO estimate+apply) on the full
+// recon; (2) entropy — SAO params + CU syntax + residuals from the store,
+// per tile on parallel threads. The split is what lets SAO parameters
+// (slice syntax that depends on the post-deblock picture) be coded at CTU
+// starts, mirroring HM's compressSlice -> loopFilterPic -> encodeSlice
+// order (SURVEY.md §3.1).
 //
 // tile_col_bounds: [n_tile_cols+1] CTU-column bounds; tile_row_bounds:
 // [n_tile_rows+1]. tile_sizes (out): per-tile substream byte size; the
@@ -1398,6 +1830,8 @@ int hevc_encode_slice_tiled(
                                  //  merge_idx,inter_idc,mvd,mvp,rqt_root
     int n_tile_cols, int n_tile_rows, const int32_t *tile_col_bounds,
     const int32_t *tile_row_bounds,
+    // in-loop filters (phase 1.5)
+    int deblock_enabled, int sao_enabled,
     // inter (P/B); pass slice_type=2 and nulls for I slices
     int slice_type, const int8_t *dir_map, const int16_t *mv_map,
     const int32_t *ref0_y, const int32_t *ref0_cb, const int32_t *ref0_cr,
@@ -1434,6 +1868,12 @@ int hevc_encode_slice_tiled(
   const bool tiled = n_tiles > 1;
   std::vector<Encoder> encs(n_tiles);
   std::vector<SliceEnc> ses(n_tiles);
+  Stored st;
+  st.init(coded_w, coded_h);
+  // SAO parameter grids (per CTB)
+  int sao_nx = (coded_w + cs - 1) / cs, sao_ny = (coded_h + cs - 1) / cs;
+  std::vector<SaoP> sao_y(sao_nx * sao_ny), sao_cb(sao_nx * sao_ny),
+      sao_cr(sao_nx * sao_ny);
 
   auto run_tile = [&](int t) {
     int tc = t % n_tile_cols, tr = t / n_tile_cols;
@@ -1446,6 +1886,7 @@ int hevc_encode_slice_tiled(
     enc.out.reserve(1 << 16);
     se.f = &f;
     se.e = &enc;
+    se.st = &st;
     se.qp_y = qp_y;
     se.qp_cb = qp_cb;
     se.qp_cr = qp_cr;
@@ -1487,7 +1928,19 @@ int hevc_encode_slice_tiled(
     } else {
       se.tx0 = 0; se.ty0 = 0; se.tx1 = coded_w; se.ty1 = coded_h;
     }
-    // CTUs of this tile, raster within tile
+    se.sao_on = sao_enabled;
+    se.off_sao_merge = ctx_offsets[20];
+    se.off_sao_type = ctx_offsets[21];
+    se.sao_y = sao_y.data();
+    se.sao_cb = sao_cb.data();
+    se.sao_cr = sao_cr.data();
+    se.sao_nx = sao_nx;
+  };
+
+  auto tile_ctu_loop = [&](int t, bool commit) {
+    int tc = t % n_tile_cols, tr = t / n_tile_cols;
+    SliceEnc &se = ses[t];
+    Encoder &enc = encs[t];
     int first_cx = tile_col_bounds[tc] * cs;
     int last_cx = tile_col_bounds[tc + 1] * cs;
     int first_cy = tile_row_bounds[tr] * cs;
@@ -1495,7 +1948,13 @@ int hevc_encode_slice_tiled(
     bool is_last_tile = (t == n_tiles - 1);
     for (int cy = first_cy; cy < last_cy && cy < coded_h; cy += cs)
       for (int cx = first_cx; cx < last_cx && cx < coded_w; cx += cs) {
-        encode_cq(&se, cx, cy, log2_ctu, 0);
+        if (commit) {
+          commit_cq(&se, cx, cy, log2_ctu, 0);
+          continue;
+        }
+        if (se.sao_on)
+          emit_sao_ctu(&se, cx, cy, cx >> log2_ctu, cy >> log2_ctu);
+        emit_cq(&se, cx, cy, log2_ctu, 0);
         bool last_ctu = (cy + cs >= last_cy || cy + cs >= coded_h) &&
                         (cx + cs >= last_cx || cx + cs >= coded_w);
         bool last_of_slice = is_last_tile && last_ctu;
@@ -1503,17 +1962,73 @@ int hevc_encode_slice_tiled(
         if (last_ctu && !last_of_slice)
           enc.encode_terminate(1);  // end_of_subset_one_bit
       }
-    enc.finish_aligned();
+    if (!commit) enc.finish_aligned();
   };
 
-  if (tiled) {
-    std::vector<std::thread> threads;
-    for (int t = 0; t < n_tiles; t++)
-      threads.emplace_back(run_tile, t);
-    for (auto &th : threads) th.join();
-  } else {
-    run_tile(0);
+  auto run_phase = [&](bool commit) {
+    if (tiled) {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < n_tiles; t++)
+        threads.emplace_back(tile_ctu_loop, t, commit);
+      for (auto &th : threads) th.join();
+    } else {
+      tile_ctu_loop(0, commit);
+    }
+  };
+
+  for (int t = 0; t < n_tiles; t++) run_tile(t);  // set up contexts
+  run_phase(true);  // ---- phase 1: commit --------------------------------
+
+  // ---- phase 1.5: in-loop filters on the full recon ---------------------
+  if (deblock_enabled) {
+    bool has_motion = slice_type != 2;
+    hevc_deblock_picture(f.y, f.cb, f.cr, coded_w, coded_h, log2_ctu,
+                         5 /*log2_max_tu*/, bit_depth, qp_y, qp_cb, qp_cr,
+                         depth_map,
+                         has_motion ? f.gmv.data() : nullptr,
+                         has_motion ? f.gref.data() : nullptr,
+                         has_motion ? f.gcbf.data() : nullptr);
   }
+  if (sao_enabled) {
+    // estimate per CTB (luma on CTB grid, chroma on CTB/2 regions), then
+    // apply; rows are independent -> two worker threads
+    auto est_rows = [&](int r0, int r1) {
+      for (int ry = r0; ry < r1; ry++)
+        for (int rx = 0; rx < sao_nx; rx++) {
+          int y0 = ry * cs, x0 = rx * cs;
+          int hh = std::min(cs, coded_h - y0), ww = std::min(cs, coded_w - x0);
+          int i = ry * sao_nx + rx;
+          sao_y[i] = sao_estimate_ctb(src_y + y0 * coded_w + x0, coded_w,
+                                      f.y + y0 * coded_w + x0, coded_w, ww,
+                                      hh, bit_depth);
+          int half = cs / 2, cw2 = coded_w / 2, ch2 = coded_h / 2;
+          int cy0 = ry * half, cx0 = rx * half;
+          int chh = std::min(half, ch2 - cy0), cww = std::min(half, cw2 - cx0);
+          sao_cb[i] = sao_estimate_ctb(src_cb + cy0 * cw2 + cx0, cw2,
+                                       f.cb + cy0 * cw2 + cx0, cw2, cww, chh,
+                                       bit_depth);
+          sao_cr[i] = sao_estimate_ctb_given(
+              src_cr + cy0 * cw2 + cx0, cw2, f.cr + cy0 * cw2 + cx0, cw2,
+              cww, chh, sao_cb[i].type, sao_cb[i].eo_class, bit_depth);
+        }
+    };
+    if (sao_ny >= 8) {
+      int mid = sao_ny / 2;
+      std::thread th(est_rows, 0, mid);
+      est_rows(mid, sao_ny);
+      th.join();
+    } else {
+      est_rows(0, sao_ny);
+    }
+    sao_apply_plane(f.y, coded_w, coded_h, cs, sao_y.data(), sao_nx,
+                    sao_ny, bit_depth);
+    sao_apply_plane(f.cb, coded_w / 2, coded_h / 2, cs / 2, sao_cb.data(),
+                    sao_nx, sao_ny, bit_depth);
+    sao_apply_plane(f.cr, coded_w / 2, coded_h / 2, cs / 2, sao_cr.data(),
+                    sao_nx, sao_ny, bit_depth);
+  }
+
+  run_phase(false);  // ---- phase 2: entropy ------------------------------
 
   size_t off = 0;
   for (int t = 0; t < n_tiles; t++) {

@@ -66,8 +66,11 @@ class TpuEncoder:
         cfg.validate()
         self.cfg = cfg
         self.sp = config_to_sp(cfg)
-        self.sp.sao_enabled = False
         self.sp.deblocking_disabled = (not cfg.deblocking) or cfg.lossless
+        # SAO runs in the two-phase native slice engine (commit -> filters
+        # -> entropy); the Python fallback path has no SAO pass
+        self.sp.sao_enabled = (cfg.sao and not cfg.lossless
+                               and _native_engine() is not None)
         lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_sqrt = float(np.sqrt(lam))
         # learned fast-partition model (SURVEY.md E8): prunes the split DP
@@ -281,13 +284,15 @@ class TpuEncoder:
             (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
             depth_map, mode_map, ContextSet(init_type, cfg.qp),
             cfg.lossless, slice_type=slice_type, dir_map=dir_map,
-            mv_map=mv_map, refs=refs)
+            mv_map=mv_map, refs=refs,
+            deblock=not sp.deblocking_disabled, sao=sp.sao_enabled)
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
                          ref_pocs_after=() if is_idr else ref_deltas[1],
+                         sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
                                             substreams[:-1]))
         w = write_slice_header(sh, sp, nal_type)
@@ -297,10 +302,6 @@ class TpuEncoder:
         planes = Planes.__new__(Planes)
         planes.y, planes.cb, planes.cr = ry, rcb, rcr
         nal = bs.write_nal(nal_type, w.get_bytes())
-        if not sp.deblocking_disabled:
-            native.deblock_picture_native(
-                planes, sp, depth_map, cfg.qp, qp_cb, qp_cr,
-                motion=None if is_idr else motion)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
         return nal, planes

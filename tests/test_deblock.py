@@ -94,8 +94,9 @@ def test_deblocking_helps_at_high_qp():
     frames = synthesize_yuv(96, 64, 1, seed=32)
     psnrs = {}
     for db in (False, True):
+        # sao=False: this isolates the deblocking filter's own effect
         cfg = EncoderConfig(width=96, height=64, qp=40, frames=1,
-                            deblocking=db)
+                            deblocking=db, sao=False)
         stream, recons = TpuEncoder(cfg).encode(frames)
         y, _, _ = yuv_from_planes((recons[0].y, recons[0].cb, recons[0].cr),
                                   96, 64)
