@@ -171,6 +171,52 @@ bool quantize(const int32_t *coeff, int lg, int qp, int bit_depth,
   return any;
 }
 
+// RDOQ-lite (HM TComTrQuant::xRateDistOptQuant essence, SURVEY.md C5):
+// per coefficient choose level in {round(q), round(q)-1, 0} minimizing
+// (q-l)^2 + lambda_q * R(l) in quantizer units. With HEVC's lambda(QP) =
+// 0.57*2^((QP-12)/3) and Qstep^2 = 2^((QP-4)/3), lambda/Qstep^2 =
+// 0.57*2^(-8/3) ~= 0.0897 is QP-independent, so the whole decision runs in
+// q-units with one constant. R(l) approximates the residual-coding bits
+// (sig + gt1 + gt2 + Golomb remainder).
+inline double rdoq_rate(int l) {
+  if (l == 0) return 0.0;
+  if (l == 1) return 1.0;
+  if (l == 2) return 2.0;
+  double v = l - 2;
+  return 3.0 + 2.0 * std::log2(v + 1.0);
+}
+
+bool quantize_rdoq(const int32_t *coeff, int lg, int qp, int bit_depth,
+                   int32_t *levels) {
+  int n = 1 << lg;
+  int tshift = 15 - bit_depth - lg;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = kQuantScales[qp % 6];
+  double inv = 1.0 / (double)(1ll << qbits);
+  const double lam = 0.0897;
+  bool any = false;
+  for (int i = 0; i < n * n; i++) {
+    int64_t c = coeff[i];
+    int64_t a = c < 0 ? -c : c;
+    double q = (double)(a * scale) * inv;
+    int l0 = (int)(q + 0.5);
+    if (l0 > 32767) l0 = 32767;
+    int best = 0;
+    double bestj = q * q;  // level 0
+    for (int cand = l0; cand >= l0 - 1 && cand >= 1; cand--) {
+      double d = q - cand;
+      double j = d * d + lam * rdoq_rate(cand);
+      if (j < bestj) {
+        bestj = j;
+        best = cand;
+      }
+    }
+    levels[i] = (int32_t)(c < 0 ? -best : best);
+    any |= best != 0;
+  }
+  return any;
+}
+
 void dequantize(const int32_t *levels, int lg, int qp, int bit_depth,
                 int32_t *out) {
   int n = 1 << lg;
@@ -543,6 +589,7 @@ struct SliceEnc {
   int tx0 = 0, ty0 = 0, tx1 = 1 << 20, ty1 = 1 << 20;  // tile rect (luma)
   int qp_y, qp_cb, qp_cr;
   bool lossless, bypass_enabled;
+  bool rdoq = false;
   int log2_min_cu = 3, log2_max_tu = 5;
   const uint8_t *src_y, *src_cb, *src_cr;
   const int8_t *depth_map, *mode_map;
@@ -806,7 +853,8 @@ bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
     int qp = c_idx == 0 ? s->qp_y : c_idx == 1 ? s->qp_cb : s->qp_cr;
     int32_t coeff[32 * 32];
     fwd_transform(res, lg, dst, f.bit_depth, coeff, &s->trbuf);
-    cbf = quantize(coeff, lg, qp, f.bit_depth, levels_out);
+    cbf = s->rdoq ? quantize_rdoq(coeff, lg, qp, f.bit_depth, levels_out)
+                  : quantize(coeff, lg, qp, f.bit_depth, levels_out);
     if (cbf) {
       int32_t deq[32 * 32];
       dequantize(levels_out, lg, qp, f.bit_depth, deq);
@@ -931,8 +979,10 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
     } else {
       fwd_transform(res.data(), blg, false, f.bit_depth, coeff.data(),
                     &s->trbuf);
-      // inter dead-zone offset (85/512)
-      {
+      if (s->rdoq) {
+        any = quantize_rdoq(coeff.data(), blg, qp, f.bit_depth, levels);
+      } else {
+        // inter dead-zone offset (85/512)
         int nn = 1 << blg;
         int tshift = 15 - f.bit_depth - blg;
         int qbits = 14 + qp / 6 + tshift;
