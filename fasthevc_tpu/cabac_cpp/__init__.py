@@ -70,7 +70,7 @@ def _load():
     lib.cabac_enc_residual.argtypes = [ctypes.c_void_p,
                                        ctypes.POINTER(ctypes.c_int32),
                                        ctypes.c_int, ctypes.c_int,
-                                       ctypes.c_int]
+                                       ctypes.c_int, ctypes.c_int]
     lib.cabac_enc_size.argtypes = [ctypes.c_void_p]
     lib.cabac_enc_size.restype = ctypes.c_int
     lib.cabac_enc_copy.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -96,6 +96,7 @@ def _load():
         i32p,                                # ctx offsets [22]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_int,          # deblock_enabled, sao_enabled
+        ctypes.c_int,                        # quant_flags (rdoq | sdh<<1)
         ctypes.c_int, i8p, i16p,             # slice_type, dir_map, mv_map
         i32p, i32p, i32p, i32p, i32p, i32p,  # ref planes l0 + l1
         i32p, i32p, u8p, u8p,                # motion field export
@@ -121,7 +122,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         mode_map, ctx: ContextSet, lossless: bool,
                         slice_type: int = 2, dir_map=None, mv_map=None,
                         refs=((), ()), deblock: bool = False,
-                        sao: bool = False):
+                        sao: bool = False, rdoq: bool = False,
+                        sdh: bool = False):
     """Run the two-phase C++ slice engine: commit, then in-loop filters
     (deblock + SAO when enabled), then entropy — for one decided slice
     (I/P/B), with tiles executed on parallel threads. The returned recon
@@ -189,7 +191,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
         dm.shape[1], states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b,
-        int(deblock), int(sao),
+        int(deblock), int(sao), int(rdoq) | (int(sdh) << 1),
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes)
@@ -274,11 +276,12 @@ class CppCabacEncoder:
         self._lib.cabac_enc_terminate(self._h, binval)
 
     def encode_residual_native(self, levels: np.ndarray, log2_size: int,
-                               c_idx: int, scan_idx: int) -> None:
+                               c_idx: int, scan_idx: int,
+                               sdh: bool = False) -> None:
         lv = np.ascontiguousarray(levels, dtype=np.int32)
         self._lib.cabac_enc_residual(
             self._h, lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            log2_size, c_idx, scan_idx)
+            log2_size, c_idx, scan_idx, int(sdh))
 
     def finish(self) -> None:
         trail = ctypes.c_uint32(0)

@@ -313,7 +313,7 @@ void last_prefix_suffix(int pos, int *prefix, int *suffix, int *slen) {
 }
 
 void encode_residual(Encoder *e, const int32_t *levels, int lg, int c_idx,
-                     int scan_idx) {
+                     int scan_idx, int sdh = 0) {
   init_scans();
   const Scan &sc = g_scans[lg - 2][scan_idx];
   int size = 1 << lg;
@@ -421,7 +421,13 @@ void encode_residual(Encoder *e, const int32_t *levels, int lg, int c_idx,
       e->encode_bin(e->off.gt2 + (c_idx ? 4 : 0) + ctx_set, g2);
     }
 
-    for (int k = 0; k < n_sig; k++) e->encode_bypass(signs[k]);
+    // sign-data hiding (spec 7.4.9.11): when enabled and the sub-block's
+    // sig span is > 3, the sign of the lowest-scan-pos coefficient
+    // (coded_pos[n_sig-1], the last one here) is inferred from the parity
+    // of the sum of abs levels — the quantizer guarantees it (sdh_adjust)
+    int hidden = sdh && n_sig > 0 &&
+                 (coded_pos[0] - coded_pos[n_sig - 1] > 3);
+    for (int k = 0; k < n_sig - hidden; k++) e->encode_bypass(signs[k]);
 
     int rice = 0;
     for (int k = 0; k < n_sig; k++) {
@@ -475,8 +481,8 @@ int cabac_enc_finish(void *h, uint32_t *trail) {
   return ((Encoder *)h)->finish(trail);
 }
 void cabac_enc_residual(void *h, const int32_t *levels, int lg, int c_idx,
-                        int scan_idx) {
-  encode_residual((Encoder *)h, levels, lg, c_idx, scan_idx);
+                        int scan_idx, int sdh) {
+  encode_residual((Encoder *)h, levels, lg, c_idx, scan_idx, sdh);
 }
 int cabac_enc_size(void *h) { return (int)((Encoder *)h)->out.size(); }
 void cabac_enc_copy(void *h, uint8_t *dst) {

@@ -217,6 +217,51 @@ bool quantize_rdoq(const int32_t *coeff, int lg, int qp, int bit_depth,
   return any;
 }
 
+// Sign-data-hiding parity fix (encoder side of spec 7.4.9.11 / HM
+// xSignBitHidingHDQ essence): per 4x4 sub-block whose significant-coeff
+// scan span exceeds 3, force (sum of abs levels) & 1 == sign of the
+// lowest-scan-pos coefficient. Parity is flipped by bumping |level| +1 at
+// the in-span position with the largest quantizer residue — +1 never
+// moves the span extrema, so the hidden-sign condition stays valid and
+// the serializer (encode_residual sdh path) recomputes the same span.
+void sdh_adjust(int32_t *levels, const int32_t *coeff, int lg, int qp,
+                int bit_depth, int scan_idx) {
+  const Scan &sc = g_scans[lg - 2][scan_idx];
+  int size = 1 << lg;
+  int tshift = 15 - bit_depth - lg;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = kQuantScales[qp % 6];
+  for (int base = 0; base < size * size; base += 16) {
+    int first = -1, last = -1;
+    int64_t sum = 0;
+    for (int k = 0; k < 16; k++) {
+      int32_t v = levels[sc.y[base + k] * size + sc.x[base + k]];
+      if (v) {
+        if (first < 0) first = k;
+        last = k;
+        sum += v < 0 ? -v : v;
+      }
+    }
+    if (first < 0 || last - first <= 3) continue;
+    int want = levels[sc.y[base + first] * size + sc.x[base + first]] < 0;
+    if ((int)(sum & 1) == want) continue;
+    int bestk = first;
+    int64_t bestr = INT64_MIN;
+    for (int k = first; k <= last; k++) {
+      int idx = sc.y[base + k] * size + sc.x[base + k];
+      int64_t a = coeff[idx] < 0 ? -(int64_t)coeff[idx] : coeff[idx];
+      int64_t la = levels[idx] < 0 ? -(int64_t)levels[idx] : levels[idx];
+      if (la >= 32767) continue;
+      int64_t r = a * scale - (la << qbits);  // distance to next level up
+      if (r > bestr) { bestr = r; bestk = k; }
+    }
+    int idx = sc.y[base + bestk] * size + sc.x[base + bestk];
+    if (levels[idx] > 0) levels[idx]++;
+    else if (levels[idx] < 0) levels[idx]--;
+    else levels[idx] = coeff[idx] < 0 ? -1 : 1;
+  }
+}
+
 void dequantize(const int32_t *levels, int lg, int qp, int bit_depth,
                 int32_t *out) {
   int n = 1 << lg;
@@ -590,6 +635,7 @@ struct SliceEnc {
   int qp_y, qp_cb, qp_cr;
   bool lossless, bypass_enabled;
   bool rdoq = false;
+  bool sdh = false;  // sign-data hiding (PPS sign_data_hiding_enabled_flag)
   int log2_min_cu = 3, log2_max_tu = 5;
   const uint8_t *src_y, *src_cb, *src_cr;
   const int8_t *depth_map, *mode_map;
@@ -816,6 +862,8 @@ void encode_merge_idx_cpp(SliceEnc *s, int idx) {
 }
 
 // one transform block: predict, residual, TQ, recon; returns cbf
+int scan_for(int lg, int c_idx, int mode);
+
 bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
                int32_t *levels_out) {
   Frame &f = *s->f;
@@ -855,6 +903,9 @@ bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
     fwd_transform(res, lg, dst, f.bit_depth, coeff, &s->trbuf);
     cbf = s->rdoq ? quantize_rdoq(coeff, lg, qp, f.bit_depth, levels_out)
                   : quantize(coeff, lg, qp, f.bit_depth, levels_out);
+    if (cbf && s->sdh)
+      sdh_adjust(levels_out, coeff, lg, qp, f.bit_depth,
+                 scan_for(lg, c_idx, mode));
     if (cbf) {
       int32_t deq[32 * 32];
       dequantize(levels_out, lg, qp, f.bit_depth, deq);
@@ -998,6 +1049,8 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
           any |= lvv != 0;
         }
       }
+      if (any && s->sdh)
+        sdh_adjust(levels, coeff.data(), blg, qp, f.bit_depth, 0);
       if (any) {
         dequantize(levels, blg, qp, f.bit_depth, deq.data());
         inv_transform(deq.data(), blg, false, f.bit_depth, rq.data(),
@@ -1170,17 +1223,17 @@ void emit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
                       cbf_y[ti]);
       if (cbf_y[ti]) {
         st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
-        encode_residual(e, lv.data(), tlg, 0, 0);
+        encode_residual(e, lv.data(), tlg, 0, 0, s->sdh);
       }
       if (cbf_cb[ti]) {
         st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                       lv.data());
-        encode_residual(e, lv.data(), tlg - 1, 1, 0);
+        encode_residual(e, lv.data(), tlg - 1, 1, 0, s->sdh);
       }
       if (cbf_cr[ti]) {
         st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                       lv.data());
-        encode_residual(e, lv.data(), tlg - 1, 2, 0);
+        encode_residual(e, lv.data(), tlg - 1, 2, 0, s->sdh);
       }
     }
   }
@@ -1274,17 +1327,17 @@ void emit_intra_cu(SliceEnc *s, int x, int y, int lg, int depth) {
     e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0), cbf_y[i]);
     if (cbf_y[i]) {
       st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
-      encode_residual(e, lv.data(), tlg, 0, scan_for(tlg, 0, mode));
+      encode_residual(e, lv.data(), tlg, 0, scan_for(tlg, 0, mode), s->sdh);
     }
     if (cbf_cb[i]) {
       st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                     lv.data());
-      encode_residual(e, lv.data(), tlg - 1, 1, scan_for(tlg - 1, 1, mode));
+      encode_residual(e, lv.data(), tlg - 1, 1, scan_for(tlg - 1, 1, mode), s->sdh);
     }
     if (cbf_cr[i]) {
       st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                     lv.data());
-      encode_residual(e, lv.data(), tlg - 1, 2, scan_for(tlg - 1, 2, mode));
+      encode_residual(e, lv.data(), tlg - 1, 2, scan_for(tlg - 1, 2, mode), s->sdh);
     }
   }
 }
@@ -1882,6 +1935,8 @@ int hevc_encode_slice_tiled(
     const int32_t *tile_row_bounds,
     // in-loop filters (phase 1.5)
     int deblock_enabled, int sao_enabled,
+    // quantizer flags: bit0 = RDOQ-lite, bit1 = sign-data hiding
+    int quant_flags,
     // inter (P/B); pass slice_type=2 and nulls for I slices
     int slice_type, const int8_t *dir_map, const int16_t *mv_map,
     const int32_t *ref0_y, const int32_t *ref0_cb, const int32_t *ref0_cr,
@@ -1942,6 +1997,8 @@ int hevc_encode_slice_tiled(
     se.qp_cr = qp_cr;
     se.lossless = lossless;
     se.bypass_enabled = bypass_enabled;
+    se.rdoq = (quant_flags & 1) != 0;
+    se.sdh = !lossless && (quant_flags & 2) != 0;
     se.src_y = src_y;
     se.src_cb = src_cb;
     se.src_cr = src_cr;

@@ -285,7 +285,8 @@ class TpuEncoder:
             depth_map, mode_map, ContextSet(init_type, cfg.qp),
             cfg.lossless, slice_type=slice_type, dir_map=dir_map,
             mv_map=mv_map, refs=refs,
-            deblock=not sp.deblocking_disabled, sao=sp.sao_enabled)
+            deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
+            rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding)
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
                          is_idr=is_idr,
@@ -518,6 +519,10 @@ class TpuEncoder:
                                                        False)
                     levels = spec_tr.quantize(coeffs, qp, sp.bit_depth,
                                               is_intra=False)
+                    if sp.sign_data_hiding and levels.any():
+                        from ..spec.residual import sdh_adjust
+                        levels = sdh_adjust(levels, coeffs, qp,
+                                            sp.bit_depth, tlg - sub, 0)
                 if not levels.any():
                     levels = None
                 if ci == 0:
@@ -562,6 +567,11 @@ class TpuEncoder:
                 coeffs = spec_tr.forward_transform(res, sp.bit_depth,
                                                    use_dst)
                 levels = spec_tr.quantize(coeffs, qp, sp.bit_depth, True)
+                if sp.sign_data_hiding and levels.any():
+                    from ..spec import residual as res_mod
+                    levels = res_mod.sdh_adjust(
+                        levels, coeffs, qp, sp.bit_depth, blg,
+                        res_mod.intra_scan_idx(blg, c_idx, mode))
             if not levels.any():
                 levels = None
             # reconstruct (reuses pred computation; exactness is what counts)

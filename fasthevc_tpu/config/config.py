@@ -48,6 +48,7 @@ class EncoderConfig:
     deblocking: bool = True
     sao: bool = True
     rdoq: bool = False
+    sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
     strong_intra_smoothing: bool = False
 
     # Search / speed

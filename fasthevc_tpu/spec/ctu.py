@@ -411,14 +411,16 @@ def _encode_transform_unit(coder, sp, x, y, log2_size, cu: CuDecision,
                  if not cu.is_inter else 0)
     chroma_scan = (residual.intra_scan_idx(log2_size - 1, 1, cmode)
                    if not cu.is_inter else 0)
+    sdh = sp.sign_data_hiding and not cu.bypass
     if cbf_y:
-        residual.encode_residual(coder, tu.levels_y, log2_size, 0, luma_scan)
+        residual.encode_residual(coder, tu.levels_y, log2_size, 0, luma_scan,
+                                 sdh)
     if tu.levels_cb is not None:
         residual.encode_residual(coder, tu.levels_cb, log2_size - 1, 1,
-                                 chroma_scan)
+                                 chroma_scan, sdh)
     if tu.levels_cr is not None:
         residual.encode_residual(coder, tu.levels_cr, log2_size - 1, 2,
-                                 chroma_scan)
+                                 chroma_scan, sdh)
 
 
 # ---------------------------------------------------------------------------
@@ -577,12 +579,14 @@ def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
         else:
             cbf_y = True  # inferred
         tu = TuData()
+        sdh = sp.sign_data_hiding and not cu.bypass
         if cbf_y:
-            tu.levels_y = residual.decode_residual(dec, tlg, 0, 0)
+            tu.levels_y = residual.decode_residual(dec, tlg, 0, 0, sdh)
         if cb:
-            tu.levels_cb = residual.decode_residual(dec, tlg - 1, 1, 0)
+            tu.levels_cb = residual.decode_residual(dec, tlg - 1, 1, 0, sdh)
         if cr:
-            tu.levels_cr = residual.decode_residual(dec, tlg - 1, 2, 0)
+            tu.levels_cr = residual.decode_residual(dec, tlg - 1, 2, 0,
+                                                    sdh)
         cu.tus.append(tu)
 
 
@@ -672,13 +676,16 @@ def _decode_transform_unit(dec, sp, cu_x, cu_y, x, y, log2_size, cu,
     tu = TuData()
     cbf_y = bool(dec.decode_bin("cbf_luma", 1 if trafo_depth == 0 else 0))
     cmode = chroma_mode_from_cu(cu)
+    sdh = sp.sign_data_hiding and not cu.bypass
     if cbf_y:
         scan = residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
-        tu.levels_y = residual.decode_residual(dec, log2_size, 0, scan)
+        tu.levels_y = residual.decode_residual(dec, log2_size, 0, scan, sdh)
     if cbf_cb:
         scan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
-        tu.levels_cb = residual.decode_residual(dec, log2_size - 1, 1, scan)
+        tu.levels_cb = residual.decode_residual(dec, log2_size - 1, 1, scan,
+                                                sdh)
     if cbf_cr:
         scan = residual.intra_scan_idx(log2_size - 1, 2, cmode)
-        tu.levels_cr = residual.decode_residual(dec, log2_size - 1, 2, scan)
+        tu.levels_cr = residual.decode_residual(dec, log2_size - 1, 2, scan,
+                                                sdh)
     return tu

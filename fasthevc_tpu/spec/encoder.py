@@ -70,6 +70,7 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         strong_intra_smoothing=cfg.strong_intra_smoothing,
         init_qp=cfg.qp,
         transquant_bypass_enabled=cfg.lossless,
+        sign_data_hiding=cfg.sign_data_hiding and not cfg.lossless,
         deblocking_disabled=not cfg.deblocking,
         tile_cols=cfg.tile_cols,
         tile_rows=cfg.tile_rows,
@@ -598,6 +599,10 @@ class SpecEncoder:
                     levels = transform.quantize(coeffs, qps[ci],
                                                 sp.bit_depth,
                                                 is_intra=False)
+                    if sp.sign_data_hiding and levels.any():
+                        levels = residual.sdh_adjust(levels, coeffs,
+                                                     qps[ci], sp.bit_depth,
+                                                     tlg - sub, 0)
                 if not levels.any():
                     levels = None
                     rec = p2
@@ -674,6 +679,10 @@ class SpecEncoder:
                                                      use_dst)
                 levels = transform.quantize(coeffs, qp, sp.bit_depth,
                                             is_intra=True)
+                if sp.sign_data_hiding and levels.any():
+                    levels = residual.sdh_adjust(
+                        levels, coeffs, qp, sp.bit_depth, blog2,
+                        residual.intra_scan_idx(blog2, c_idx, mode))
             if not levels.any():
                 levels = None
             ctu_mod.reconstruct_tb(self.planes, sp, bx, by, blog2, mode,

@@ -165,14 +165,61 @@ def _last_from_prefix(dec, prefix: int) -> int:
 # Main encode / decode
 # ---------------------------------------------------------------------------
 
+def sdh_adjust(levels: np.ndarray, coeff: np.ndarray, qp: int,
+               bit_depth: int, log2_size: int, scan_idx: int) -> np.ndarray:
+    """Encoder-side sign-data-hiding parity fix (spec 7.4.9.11 inference,
+    HM xSignBitHidingHDQ essence): per 4x4 sub-block whose significant
+    span exceeds 3 scan positions, force (sum |levels|) & 1 == sign of the
+    lowest-scan-pos coefficient by bumping |level| +1 at the in-span
+    position with the largest quantizer residue. Returns adjusted levels
+    (modified copy only when a fix is needed)."""
+    from .transform import QUANT_SCALES
+
+    size = 1 << log2_size
+    scan = get_scan(log2_size, scan_idx)
+    vals = levels[scan[:, 1], scan[:, 0]]
+    cvals = coeff[scan[:, 1], scan[:, 0]].astype(np.int64)
+    qbits = 14 + qp // 6 + (15 - bit_depth - log2_size)
+    scale = int(QUANT_SCALES[qp % 6])
+    out = None
+    for base in range(0, size * size, 16):
+        sub = vals[base:base + 16]
+        nz = np.nonzero(sub)[0]
+        if len(nz) == 0 or nz[-1] - nz[0] <= 3:
+            continue
+        want = 1 if sub[nz[0]] < 0 else 0
+        if (int(np.abs(sub).sum()) & 1) == want:
+            continue
+        if out is None:
+            out = levels.copy()
+            vals = out[scan[:, 1], scan[:, 0]]  # view-by-copy; re-read below
+        first, last = int(nz[0]), int(nz[-1])
+        span = slice(base + first, base + last + 1)
+        a = np.abs(cvals[span]) * scale
+        la = np.abs(vals[span]).astype(np.int64)
+        r = np.where(la >= 32767, np.int64(-2**62), a - (la << qbits))
+        k = base + first + int(np.argmax(r))
+        x, y = int(scan[k, 0]), int(scan[k, 1])
+        if out[y, x] > 0:
+            out[y, x] += 1
+        elif out[y, x] < 0:
+            out[y, x] -= 1
+        else:
+            out[y, x] = -1 if coeff[y, x] < 0 else 1
+        vals = out[scan[:, 1], scan[:, 0]]
+    return levels if out is None else out
+
+
 def encode_residual(coder, levels: np.ndarray, log2_size: int, c_idx: int,
-                    scan_idx: int) -> None:
+                    scan_idx: int, sdh: bool = False) -> None:
     """Entropy-code one transform block's quantized levels.
 
     levels: (N, N) int array indexed [y][x], at least one nonzero.
-    """
+    sdh: PPS sign_data_hiding_enabled_flag (and not transquant bypass) —
+    the caller's quantizer must have applied sdh_adjust."""
     if hasattr(coder, "encode_residual_native"):
-        coder.encode_residual_native(levels, log2_size, c_idx, scan_idx)
+        coder.encode_residual_native(levels, log2_size, c_idx, scan_idx,
+                                     sdh)
         return
     size = 1 << log2_size
     scan = get_scan(log2_size, scan_idx)
@@ -270,8 +317,11 @@ def encode_residual(coder, levels: np.ndarray, log2_size: int, c_idx: int,
             ctx2 = (4 if c_idx else 0) + ctx_set
             coder.encode_bin("coeff_abs_level_greater2_flag", ctx2, g2)
 
-        # signs (bypass; no sign-data hiding)
-        for s in signs:
+        # signs (bypass); with SDH the lowest-scan-pos sign is inferred
+        # from the level-sum parity (spec 7.4.9.11)
+        sign_hidden = (sdh and num_sig > 0
+                       and coded_positions[0] - coded_positions[-1] > 3)
+        for s in (signs[:-1] if sign_hidden else signs):
             coder.encode_bypass(s)
 
         # remaining levels
@@ -298,7 +348,7 @@ def encode_residual(coder, levels: np.ndarray, log2_size: int, c_idx: int,
 
 
 def decode_residual(dec, log2_size: int, c_idx: int,
-                    scan_idx: int) -> np.ndarray:
+                    scan_idx: int, sdh: bool = False) -> np.ndarray:
     """Parse one coded transform block -> (N, N) int32 levels [y][x]."""
     size = 1 << log2_size
     scan = get_scan(log2_size, scan_idx)
@@ -386,9 +436,13 @@ def decode_residual(dec, log2_size: int, c_idx: int,
             ctx2 = (4 if c_idx else 0) + ctx_set
             gt2 = dec.decode_bin("coeff_abs_level_greater2_flag", ctx2)
 
-        signs = [dec.decode_bypass() for _ in range(num_sig)]
+        sign_hidden = (sdh and num_sig > 0
+                       and coded_positions[0] - coded_positions[-1] > 3)
+        signs = [dec.decode_bypass()
+                 for _ in range(num_sig - (1 if sign_hidden else 0))]
 
         rice = 0
+        abs_out = []
         for k in range(num_sig):
             if k < 8:
                 if gt1_flags[k] == 0:
@@ -404,7 +458,12 @@ def decode_residual(dec, log2_size: int, c_idx: int,
                 val = 1 + read_remaining(dec, rice)
             if val > (3 << rice) and rice < 4:
                 rice += 1
+            abs_out.append(val)
+        if sign_hidden:
+            # hidden sign = parity of the sub-block's abs-level sum
+            signs.append(sum(abs_out) & 1)
+        for k in range(num_sig):
             n = coded_positions[k]
             x, y = int(sub_scan[n, 0]), int(sub_scan[n, 1])
-            levels[y, x] = -val if signs[k] else val
+            levels[y, x] = -abs_out[k] if signs[k] else abs_out[k]
     return levels
