@@ -36,6 +36,13 @@ from ..utils.video import pad_plane, picture_md5
 from .search import decisions_to_trees, search_intra_frame
 
 
+# Frames per device dispatch on the pipelined all-intra path: the axon
+# tunnel costs ~30-60 ms latency per round-trip regardless of payload, so
+# grouping frames amortizes it (search compute is <1 ms/frame). bench.py
+# warms up exactly this group shape so the timed run hits the jit cache.
+FRAME_GROUP = 4
+
+
 def _native_engine():
     """The C++ slice engine module, or None if the toolchain is missing."""
     try:
@@ -71,8 +78,7 @@ class TpuEncoder:
         # -> entropy); the Python fallback path has no SAO pass
         self.sp.sao_enabled = (cfg.sao and not cfg.lossless
                                and _native_engine() is not None)
-        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
-        self.lambda_sqrt = float(np.sqrt(lam))
+        self.lambda_sqrt = self._lambda_sqrt(cfg.qp)
         # learned fast-partition model (SURVEY.md E8): prunes the split DP
         self.partition_params = partition_params
         if cfg.fast_partition and partition_params is None:
@@ -83,6 +89,11 @@ class TpuEncoder:
                 raise NotImplementedError(
                     "TpuEncoder tiles need the native slice engine "
                     "(C++ toolchain); use SpecEncoder otherwise")
+
+    @staticmethod
+    def _lambda_sqrt(qp: int) -> float:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        return float(np.sqrt(lam))
 
     def _apply_fast_partition(self, dec, y_pad, pw, ph):
         """Replace the DP split decisions with the CNN's partition map."""
@@ -117,13 +128,18 @@ class TpuEncoder:
         dpb: dict = {}
         order = coding_order(cfg, len(frames), start_poc)
         if (len(order) > 1 and _native_engine() is not None
-                and all(st == SLICE_I for _, st, _ in order)):
+                and all(st == SLICE_I for _, st, _, _ in order)):
             # all-intra: frames are independent -> pipeline TPU search
             # against thread-pooled C++ commits (SURVEY.md P4/P5)
             return self._encode_all_intra_pipelined(frames, start_poc, out,
                                                     on_frame)
+        rc = None
+        if cfg.target_bitrate > 0:
+            from .rate_control import RateController
+            rc = RateController(cfg.target_bitrate, 30.0,
+                                sp.coded_width, sp.coded_height)
         last_idr = start_poc
-        for poc, slice_type, ref_deltas in order:
+        for poc, slice_type, ref_deltas, qp_off in order:
             is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
@@ -131,10 +147,17 @@ class TpuEncoder:
             cvs_poc = poc - last_idr
             slice_type, refs_l0, refs_l1, deltas = ref_lists(
                 dpb, cvs_poc, slice_type, ref_deltas, is_idr)
+            if rc is not None:
+                qp = rc.picture_qp(len(frames), is_intra=is_idr)
+            else:
+                # temporal-layer QP cascade (HM TEncGOP, SURVEY.md §3.5)
+                qp = min(max(cfg.qp + qp_off, 0), 51)
             nal_bytes, planes = self.encode_frame(
                 frames[poc - start_poc], poc=cvs_poc,
                 slice_type=slice_type, refs=(refs_l0, refs_l1),
-                ref_deltas=deltas)
+                ref_deltas=deltas, qp=qp)
+            if rc is not None:
+                rc.update_after_picture(len(nal_bytes) * 8)
             out += nal_bytes
             recons[poc] = planes
             if on_frame is not None:
@@ -170,10 +193,7 @@ class TpuEncoder:
             srcs.append(src)
         n = len(frames)
         results: list = [None] * n
-        # frames per device dispatch: the axon tunnel costs ~30-60 ms
-        # latency per round-trip regardless of payload, so grouping frames
-        # amortizes it (search compute is <1 ms/frame)
-        group = min(4, n)
+        group = min(FRAME_GROUP, n)
         import jax.numpy as jnp
 
         from .search import search_intra_maps_batch
@@ -222,7 +242,8 @@ class TpuEncoder:
                 on_frame(start_poc + i, True, bytes(nal_bytes))
         return bytes(out), recons
 
-    def _search_dispatch(self, y_pad, refs, slice_type, is_idr, pw, ph):
+    def _search_dispatch(self, y_pad, refs, slice_type, is_idr, pw, ph,
+                         qp=None):
         """Dispatch the jitted search+pack; returns the (async) device
         array holding the ONE packed int16 decision tensor (the axon tunnel
         makes multi-array fetches slow — see _pack_maps_device). Callers
@@ -233,11 +254,12 @@ class TpuEncoder:
         cfg = self.cfg
         from .search import search_b_maps, search_intra_maps, search_p_maps
 
+        qp = cfg.qp if qp is None else qp
         use_cnn = bool(cfg.fast_partition
                        and self.partition_params is not None)
         up_dtype = np.uint8 if sp.bit_depth == 8 else np.int32
-        lam = jnp.float32(self.lambda_sqrt)
-        kw = dict(cnn_params=self.partition_params, qp=cfg.qp,
+        lam = jnp.float32(self._lambda_sqrt(qp))
+        kw = dict(cnn_params=self.partition_params, qp=qp,
                   use_cnn=use_cnn)
         y_dev = jnp.asarray(y_pad.astype(up_dtype))
         if is_idr or not refs[0]:
@@ -261,13 +283,14 @@ class TpuEncoder:
 
     def _encode_frame_native(self, native, src, packed, pw, ph, poc=0,
                              slice_type=SLICE_I, refs=((), ()),
-                             ref_deltas=((), ())):
+                             ref_deltas=((), ()), qp=None):
         """C++ slice engine path: packed decision tensor in, payload +
         recon out."""
         sp = self.sp
         cfg = self.cfg
         from ..spec.ctu import tu_qps
 
+        qp = cfg.qp if qp is None else qp
         is_idr = slice_type == SLICE_I
         depth_map = packed[..., 0].astype(np.int8)
         mode_map = packed[..., 1].astype(np.int8)
@@ -278,17 +301,17 @@ class TpuEncoder:
         mode_map = np.ascontiguousarray(mode_map[:gh, :gw])
         dir_map = np.ascontiguousarray(dir_map[:gh, :gw])
         mv_map = np.ascontiguousarray(mv_map[:gh, :gw])
-        qp_y, qp_cb, qp_cr = tu_qps(sp, cfg.qp)
+        qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
         init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
         substreams, ry, rcb, rcr, motion = native.encode_slice_native(
             (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
-            depth_map, mode_map, ContextSet(init_type, cfg.qp),
+            depth_map, mode_map, ContextSet(init_type, qp),
             cfg.lossless, slice_type=slice_type, dir_map=dir_map,
             mv_map=mv_map, refs=refs,
             deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
             rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding)
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
-        sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
+        sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
@@ -308,13 +331,16 @@ class TpuEncoder:
         return nal, planes
 
     def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
-                     refs=((), ()), ref_deltas=((), ())):
+                     refs=((), ()), ref_deltas=((), ()), qp=None):
         is_idr = slice_type == SLICE_I
         import jax
         import jax.numpy as jnp
 
         sp = self.sp
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        self.qp = qp
+        self.lambda_sqrt = self._lambda_sqrt(qp)
         self.refs = refs
         self.slice_type = slice_type
         y, cb, cr = frame
@@ -336,12 +362,12 @@ class TpuEncoder:
         native = _native_engine()
         if native is not None:
             packed = np.asarray(self._search_dispatch(
-                y_pad, refs, slice_type, is_idr, pw, ph))
+                y_pad, refs, slice_type, is_idr, pw, ph, qp=qp))
             return self._encode_frame_native(native, src, packed, pw, ph,
                                              poc=poc,
                                              slice_type=slice_type,
                                              refs=refs,
-                                             ref_deltas=ref_deltas)
+                                             ref_deltas=ref_deltas, qp=qp)
 
         if is_idr or not refs[0]:
             dec = search_intra_frame(jnp.asarray(y_pad),
@@ -374,7 +400,7 @@ class TpuEncoder:
         # ---- 2. exact commit (host) ----------------------------------
         planes = Planes(sp)
         maps = FrameMaps(sp)
-        qp_y, qp_cb, qp_cr = ctu_mod.tu_qps(sp, cfg.qp)
+        qp_y, qp_cb, qp_cr = ctu_mod.tu_qps(sp, qp)
         decisions = []
         for x0, y0, tree in trees:
             cu = self._commit_node(src, planes, sp, x0, y0, sp.log2_ctu,
@@ -383,14 +409,14 @@ class TpuEncoder:
 
         # ---- 3. entropy (host CABAC; C++ bin engine when available) --
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
-        sh = SliceHeader(slice_type=slice_type, slice_qp=cfg.qp,
+        sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
                          ref_pocs_after=() if is_idr else ref_deltas[1])
         w = write_slice_header(sh, sp, nal_type)
         init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
-        enc = _make_cabac(w, ContextSet(init_type, cfg.qp))
+        enc = _make_cabac(w, ContextSet(init_type, qp))
         maps2 = FrameMaps(sp)
         for i, (x0, y0, cu) in enumerate(decisions):
             ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu, slice_type)
@@ -401,7 +427,7 @@ class TpuEncoder:
         if not sp.deblocking_disabled:
             from ..spec.deblock import deblock_picture
             deblock_picture(planes, sp, maps.depth[::2, ::2].astype(np.int32),
-                            cfg.qp, qp_cb, qp_cr,
+                            qp, qp_cb, qp_cr,
                             maps=None if is_idr else maps)
         md5s = picture_md5((planes.y, planes.cb, planes.cr))
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
@@ -538,7 +564,7 @@ class TpuEncoder:
             cu.skip = True
             cu.tus = []
         ctu_mod._reconstruct_inter_cu(planes, sp, x, y, lg, cu, self.refs,
-                                      self.cfg.qp)
+                                      self.qp)
         maps.set_cu(x, y, n, depth, -1)
         maps.set_skip(x, y, n, cu.skip)
         cbf_y = any(t.levels_y is not None for t in cu.tus)

@@ -14,10 +14,15 @@ SLICE_B, SLICE_P, SLICE_I = 0, 1, 2
 
 
 def coding_order(cfg, n_frames: int, start_poc: int) -> list:
-    """[(poc, slice_type, ref_deltas)] in coding order."""
+    """[(poc, slice_type, ref_deltas, qp_offset)] in coding order.
+
+    qp_offset implements the temporal-layer QP/lambda cascade (HM
+    TEncGOP's per-GOP-entry QP offsets, SURVEY.md §1 L4 / §3.5): each
+    picture codes at cfg.qp + its GOP entry's qp_offset, which is what
+    makes hierarchical GOP structures rate-efficient."""
     all_intra = cfg.intra_period == 1 or not cfg.gop
     if all_intra:
-        return [(start_poc + i, SLICE_I, ()) for i in range(n_frames)]
+        return [(start_poc + i, SLICE_I, (), 0) for i in range(n_frames)]
     st_map = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}
     gop = cfg.gop
     gop_len = max(e.poc_offset for e in gop)
@@ -28,7 +33,7 @@ def coding_order(cfg, n_frames: int, start_poc: int) -> list:
         is_idr = poc == 0 or (cfg.intra_period > 0
                               and poc % cfg.intra_period == 0)
         if is_idr or i == 0:
-            order.append((poc, SLICE_I, ()))
+            order.append((poc, SLICE_I, (), 0))
             i += 1
             continue
         base = poc - 1  # GOP anchored at the previous picture
@@ -39,10 +44,11 @@ def coding_order(cfg, n_frames: int, start_poc: int) -> list:
         if block_ok:
             for e in gop:
                 order.append((base + e.poc_offset, st_map[e.slice_type],
-                              tuple(e.ref_pocs)))
+                              tuple(e.ref_pocs), e.qp_offset))
             i += gop_len
         else:
-            order.append((poc, SLICE_P, (-1,)))
+            order.append((poc, SLICE_P, (-1,),
+                          gop[0].qp_offset if gop else 0))
             i += 1
     return order
 

@@ -125,7 +125,7 @@ class SpecEncoder:
         from ..codec.gop import coding_order, ref_lists
         order = coding_order(self.cfg, len(frames), start_poc)
         last_idr = start_poc
-        for poc, slice_type, ref_deltas in order:
+        for poc, slice_type, ref_deltas, qp_off in order:
             is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
@@ -133,9 +133,11 @@ class SpecEncoder:
             cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
             slice_type, refs_l0, refs_l1, (before, after) = ref_lists(
                 self.dpb, cvs_poc, slice_type, ref_deltas, is_idr)
-            qp = None
             if rc is not None:
                 qp = rc.picture_qp(len(frames), is_intra=is_idr)
+            else:
+                # temporal-layer QP cascade (HM TEncGOP, SURVEY.md §3.5)
+                qp = min(max(self.cfg.qp + qp_off, 0), 51)
             nal_bytes, planes = self.encode_frame(
                 frames[poc - start_poc], poc=cvs_poc,
                 slice_type=slice_type, refs=(refs_l0, refs_l1), qp=qp,
