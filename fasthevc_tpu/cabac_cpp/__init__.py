@@ -85,6 +85,20 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # bd, qps
         i8p,                                 # depth_map
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # mf (nullable)
+    lib.hevc_entropy_slice_tiled.restype = ctypes.c_int
+    lib.hevc_entropy_slice_tiled.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,bd
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # qps
+        ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
+        i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
+        i16p, i16p, i16p,                    # levels planes
+        u8p, u8p, ctypes.c_int,              # ctx states/mps/n
+        i32p,                                # ctx offsets [22]
+        ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
+        ctypes.c_int, ctypes.c_void_p,       # sao_enabled, sao_params
+        ctypes.c_int,                        # sdh
+        u8p,                                 # payload out
+        i32p]                                # per-tile sizes out
     lib.hevc_encode_slice_tiled.restype = ctypes.c_int
     lib.hevc_encode_slice_tiled.argtypes = [
         u8p, u8p, u8p,                       # src planes
@@ -203,6 +217,60 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     assert off == total
     return (subs, rec_y, rec_cb, rec_cr,
             (mf_mv, mf_ref, mf_cbf, mf_inter))
+
+
+def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
+                         lv_y, lv_cb, lv_cr, ctx: ContextSet,
+                         sao_params=None, sdh: bool = True,
+                         lossless: bool = False):
+    """Entropy-only slice emission from device-committed levels (the TPU
+    wavefront-commit path, SURVEY.md §2.5): the C++ engine fills its
+    decision store from the provided int16 level planes and runs the
+    phase-2 CABAC emission per tile on parallel threads.
+
+    sao_params: int32 [sao_ny, sao_nx, 3, 7] from ops.sao.sao_device, or
+    None when SAO is off. Returns the list of byte-aligned tile
+    substreams."""
+    lib = _load()
+    w, h = sp.coded_width, sp.coded_height
+    states = np.zeros(N_CTX, dtype=np.uint8)
+    mps = np.zeros(N_CTX, dtype=np.uint8)
+    for name, off in CTX_OFFSETS.items():
+        n = len(ctx.state[name])
+        states[off:off + n] = ctx.state[name]
+        mps[off:off + n] = ctx.mps[name]
+    offsets = np.array([CTX_OFFSETS[n] for n in _OFFSET_ORDER],
+                       dtype=np.int32)
+    dm = np.ascontiguousarray(depth_map, dtype=np.int8)
+    mm = np.ascontiguousarray(mode_map, dtype=np.int8)
+    lv_y = np.ascontiguousarray(lv_y, dtype=np.int16)
+    lv_cb = np.ascontiguousarray(lv_cb, dtype=np.int16)
+    lv_cr = np.ascontiguousarray(lv_cr, dtype=np.int16)
+    n_tiles = sp.tile_cols * sp.tile_rows
+    col_b = np.asarray(sp.tile_col_bounds(), dtype=np.int32)
+    row_b = np.asarray(sp.tile_row_bounds(), dtype=np.int32)
+    sizes = np.zeros(n_tiles, dtype=np.int32)
+    payload = np.empty(w * h * 3 + 4096, dtype=np.uint8)
+    if sao_params is not None:
+        sao_arr = np.ascontiguousarray(sao_params, dtype=np.int32)
+        sao_ptr = sao_arr.ctypes.data_as(ctypes.c_void_p)
+        sao_on = 1
+    else:
+        sao_ptr = None
+        sao_on = 0
+    total = lib.hevc_entropy_slice_tiled(
+        w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
+        int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
+        dm.shape[1], lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
+        sp.tile_cols, sp.tile_rows, col_b, row_b, sao_on, sao_ptr,
+        int(sdh), payload, sizes)
+    subs = []
+    off = 0
+    for t in range(n_tiles):
+        subs.append(payload[off:off + int(sizes[t])].tobytes())
+        off += int(sizes[t])
+    assert off == total
+    return subs
 
 
 def deblock_picture_native(planes, sp, depth_map, slice_qp, qp_cb, qp_cr,

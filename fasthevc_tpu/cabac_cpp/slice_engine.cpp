@@ -16,7 +16,9 @@
 // Forced boundary splits are re-derived from the coded dims (spec rule).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -2083,8 +2085,18 @@ int hevc_encode_slice_tiled(
     }
   };
 
+  // FASTHEVC_TIMING=1: print per-phase wall ms to stderr (profiling aid)
+  static const bool timing = std::getenv("FASTHEVC_TIMING") != nullptr;
+  auto now_ms = [] {
+    return std::chrono::duration<double, std::milli>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = timing ? now_ms() : 0.0;
+
   for (int t = 0; t < n_tiles; t++) run_tile(t);  // set up contexts
   run_phase(true);  // ---- phase 1: commit --------------------------------
+  double t_commit = timing ? now_ms() : 0.0;
 
   // ---- phase 1.5: in-loop filters on the full recon ---------------------
   if (deblock_enabled) {
@@ -2135,7 +2147,16 @@ int hevc_encode_slice_tiled(
                     sao_nx, sao_ny, bit_depth);
   }
 
+  double t_filters = timing ? now_ms() : 0.0;
   run_phase(false);  // ---- phase 2: entropy ------------------------------
+  if (timing) {
+    double t_end = now_ms();
+    fprintf(stderr,
+            "[slice_engine] %dx%d tiles=%d commit=%.1fms filters=%.1fms "
+            "entropy=%.1fms\n",
+            coded_w, coded_h, n_tiles, t_commit - t0, t_filters - t_commit,
+            t_end - t_filters);
+  }
 
   size_t off = 0;
   for (int t = 0; t < n_tiles; t++) {
@@ -2149,6 +2170,213 @@ int hevc_encode_slice_tiled(
                           sizeof(int32_t) * f.gw * f.gh * 2);
   if (mf_cbf) std::memcpy(mf_cbf, f.gcbf.data(), f.gw * f.gh);
   if (mf_inter) std::memcpy(mf_inter, f.ginter.data(), f.gw * f.gh);
+  return (int)off;
+}
+
+// Entropy-only slice emission for the DEVICE-COMMIT path (SURVEY.md
+// §2.5): the TPU wavefront kernel (ops/commit.py) has already produced
+// the exact reconstruction and quantized levels; this entry fills the
+// decision store + frame maps from those levels and runs phase 2 only.
+// Intra slices, TU == CU. lv planes: int16 at plane positions. sao_params:
+// int32 [sao_ny][sao_nx][3][7] = (type, eo_class, band_pos, off0..3) per
+// component, or null when SAO is off.
+int hevc_entropy_slice_tiled(
+    int coded_w, int coded_h, int log2_ctu, int bit_depth, int qp_y,
+    int qp_cb, int qp_cr, int lossless, int bypass_enabled,
+    const int8_t *depth_map, const int8_t *mode_map, int dm_w,
+    const int16_t *lv_y, const int16_t *lv_cb, const int16_t *lv_cr,
+    const uint8_t *ctx_states, const uint8_t *ctx_mps, int n_ctx,
+    const int32_t *ctx_offsets, int n_tile_cols, int n_tile_rows,
+    const int32_t *tile_col_bounds, const int32_t *tile_row_bounds,
+    int sao_enabled, const int32_t *sao_params, int sdh,
+    uint8_t *payload, int32_t *tile_sizes) {
+  static std::once_flag init_once2;
+  std::call_once(init_once2, [] { init_transforms(); init_scans(); });
+  Frame f;
+  f.coded_w = coded_w;
+  f.coded_h = coded_h;
+  f.log2_ctu = log2_ctu;
+  f.bit_depth = bit_depth;
+  f.y = nullptr;
+  f.cb = nullptr;
+  f.cr = nullptr;
+  f.gw = coded_w >> 2;
+  f.gh = coded_h >> 2;
+  f.gdepth.assign(f.gw * f.gh, -1);
+  f.gmode.assign(f.gw * f.gh, -1);
+  f.gcoded.assign(f.gw * f.gh, 0);
+  f.gskip.assign(f.gw * f.gh, 0);
+  f.ginter.assign(f.gw * f.gh, 0);
+  f.gcbf.assign(f.gw * f.gh, 0);
+  f.gmv.assign(f.gw * f.gh * 4, 0);
+  f.gref.assign(f.gw * f.gh * 2, -1);
+
+  const int cs = 1 << log2_ctu;
+  const int n_tiles = n_tile_cols * n_tile_rows;
+  std::vector<Encoder> encs(n_tiles);
+  std::vector<SliceEnc> ses(n_tiles);
+  Stored st;
+  st.init(coded_w, coded_h);
+  int sao_nx = (coded_w + cs - 1) / cs, sao_ny = (coded_h + cs - 1) / cs;
+  std::vector<SaoP> sao_y(sao_nx * sao_ny), sao_cb(sao_nx * sao_ny),
+      sao_cr(sao_nx * sao_ny);
+  if (sao_enabled && sao_params) {
+    for (int i = 0; i < sao_nx * sao_ny; i++)
+      for (int ci = 0; ci < 3; ci++) {
+        const int32_t *p = sao_params + (i * 3 + ci) * 7;
+        SaoP &sp = ci == 0 ? sao_y[i] : (ci == 1 ? sao_cb[i] : sao_cr[i]);
+        sp.type = p[0];
+        sp.eo_class = p[1];
+        sp.band_pos = p[2];
+        for (int k = 0; k < 4; k++) sp.off[k] = p[3 + k];
+      }
+  }
+
+  // ---- fill the store + frame maps from the device-committed levels ----
+  struct Filler {
+    SliceEnc *s;
+    const int16_t *lv_y, *lv_cb, *lv_cr;
+    void cu(int x, int y, int lg, int depth) {
+      Frame &f = *s->f;
+      Stored &st = *s->st;
+      int size = 1 << lg;
+      bool inside = (x + size <= f.coded_w) && (y + size <= f.coded_h);
+      bool split =
+          !inside || (lg > s->log2_min_cu &&
+                      s->depth_map[(y >> 3) * s->dm_w + (x >> 3)] > depth);
+      if (split) {
+        int half = size >> 1;
+        for (int i = 0; i < 4; i++) {
+          int cx = x + (i & 1) * half, cy = y + (i >> 1) * half;
+          if (cx < f.coded_w && cy < f.coded_h) cu(cx, cy, lg - 1, depth + 1);
+        }
+        return;
+      }
+      int mode = s->mode_map[(y >> 3) * s->dm_w + (x >> 3)];
+      int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
+      int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+      int tn = 1 << tlg;
+      int half = 1 << (lg - 1);
+      for (int i = 0; i < n_tus; i++) {
+        int tx = n_tus == 1 ? x : x + (i & 1) * half;
+        int ty = n_tus == 1 ? y : y + (i >> 1) * half;
+        bool cy_f = copy_tb(st.lv_y, f.coded_w, lv_y, tx, ty, tn);
+        st.set_cbf(st.cbf_y, tx, ty, tn, cy_f);
+        bool ccb = copy_tb(st.lv_cb, f.coded_w / 2, lv_cb, tx >> 1,
+                           ty >> 1, tn / 2);
+        st.set_cbf(st.cbf_cb, tx, ty, tn, ccb);
+        bool ccr = copy_tb(st.lv_cr, f.coded_w / 2, lv_cr, tx >> 1,
+                           ty >> 1, tn / 2);
+        st.set_cbf(st.cbf_cr, tx, ty, tn, ccr);
+      }
+      set_cu(s, x, y, size, depth, mode);
+      set_intra_motion(s, x, y, size, false);
+    }
+    static bool copy_tb(std::vector<int32_t> &dst, int stride,
+                        const int16_t *src, int x, int y, int n) {
+      bool any = false;
+      for (int yy = 0; yy < n; yy++)
+        for (int xx = 0; xx < n; xx++) {
+          int32_t v = src[(y + yy) * stride + (x + xx)];
+          dst[(y + yy) * stride + (x + xx)] = v;
+          any |= v != 0;
+        }
+      return any;
+    }
+  };
+
+  auto setup_tile = [&](int t) {
+    int tc = t % n_tile_cols, tr = t / n_tile_cols;
+    SliceEnc &se = ses[t];
+    Encoder &enc = encs[t];
+    enc.state.assign(ctx_states, ctx_states + n_ctx);
+    enc.mps.assign(ctx_mps, ctx_mps + n_ctx);
+    enc.off = {ctx_offsets[0], ctx_offsets[1], ctx_offsets[2],
+               ctx_offsets[3], ctx_offsets[4]};
+    enc.out.reserve(1 << 16);
+    se.f = &f;
+    se.e = &enc;
+    se.st = &st;
+    se.qp_y = qp_y;
+    se.qp_cb = qp_cb;
+    se.qp_cr = qp_cr;
+    se.lossless = lossless;
+    se.bypass_enabled = bypass_enabled;
+    se.sdh = !lossless && sdh;
+    se.depth_map = depth_map;
+    se.mode_map = mode_map;
+    se.dm_w = dm_w;
+    se.off_split = ctx_offsets[5];
+    se.off_bypassflag = ctx_offsets[6];
+    se.off_part = ctx_offsets[7];
+    se.off_prev_intra = ctx_offsets[8];
+    se.off_chroma_mode = ctx_offsets[9];
+    se.off_cbf_luma = ctx_offsets[10];
+    se.off_cbf_chroma = ctx_offsets[11];
+    se.off_skip = ctx_offsets[12];
+    se.off_pred_mode = ctx_offsets[13];
+    se.off_merge_flag = ctx_offsets[14];
+    se.off_merge_idx = ctx_offsets[15];
+    se.off_inter_idc = ctx_offsets[16];
+    se.off_mvd = ctx_offsets[17];
+    se.off_mvp = ctx_offsets[18];
+    se.off_rqt_root = ctx_offsets[19];
+    se.slice_type = 2;
+    if (n_tiles > 1) {
+      se.tx0 = tile_col_bounds[tc] * cs;
+      se.ty0 = tile_row_bounds[tr] * cs;
+      se.tx1 = std::min(tile_col_bounds[tc + 1] * cs, coded_w);
+      se.ty1 = std::min(tile_row_bounds[tr + 1] * cs, coded_h);
+    } else {
+      se.tx0 = 0; se.ty0 = 0; se.tx1 = coded_w; se.ty1 = coded_h;
+    }
+    se.sao_on = sao_enabled != 0;
+    se.off_sao_merge = ctx_offsets[20];
+    se.off_sao_type = ctx_offsets[21];
+    se.sao_y = sao_y.data();
+    se.sao_cb = sao_cb.data();
+    se.sao_cr = sao_cr.data();
+    se.sao_nx = sao_nx;
+  };
+
+  for (int t = 0; t < n_tiles; t++) setup_tile(t);
+  {  // fill pass (cheap, single thread)
+    Filler fill{&ses[0], lv_y, lv_cb, lv_cr};
+    for (int cy = 0; cy < coded_h; cy += cs)
+      for (int cx = 0; cx < coded_w; cx += cs)
+        fill.cu(cx, cy, log2_ctu, 0);
+  }
+
+  auto tile_emit = [&](int t) {
+    SliceEnc &se = ses[t];
+    Encoder &enc = encs[t];
+    bool is_last_tile = (t == n_tiles - 1);
+    for (int cy = se.ty0; cy < se.ty1; cy += cs)
+      for (int cx = se.tx0; cx < se.tx1; cx += cs) {
+        if (se.sao_on)
+          emit_sao_ctu(&se, cx, cy, cx >> log2_ctu, cy >> log2_ctu);
+        emit_cq(&se, cx, cy, log2_ctu, 0);
+        bool last_ctu = (cy + cs >= se.ty1) && (cx + cs >= se.tx1);
+        bool last_of_slice = is_last_tile && last_ctu;
+        enc.encode_terminate(last_of_slice ? 1 : 0);
+        if (last_ctu && !last_of_slice) enc.encode_terminate(1);
+      }
+    enc.finish_aligned();
+  };
+  if (n_tiles > 1) {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_tiles; t++) threads.emplace_back(tile_emit, t);
+    for (auto &th : threads) th.join();
+  } else {
+    tile_emit(0);
+  }
+
+  size_t off = 0;
+  for (int t = 0; t < n_tiles; t++) {
+    std::memcpy(payload + off, encs[t].out.data(), encs[t].out.size());
+    tile_sizes[t] = (int32_t)encs[t].out.size();
+    off += encs[t].out.size();
+  }
   return (int)off;
 }
 

@@ -78,6 +78,51 @@ def config2(quick=False):
     return out
 
 
+def config3(quick=False, frames_n=None, ablate_cascade=False):
+    """BASELINE config #3: random-access GOP-16, ParkScene-class 1080p,
+    decode verify. quick: tiny frames for CI. --ablate-cascade also codes
+    the same clip with the temporal QP cascade zeroed and reports the
+    BD-rate of cascade vs flat QP (must be negative = cascade wins)."""
+    from ..config import random_access_gop16
+
+    if quick:
+        w, h, n = 160, 96, 18
+    else:
+        w, h, n = 1920, 1080, (frames_n or 33)
+    frames = synthesize_yuv(w, h, n, seed=3)
+    cfg = random_access_gop16(width=w, height=h, frames=n)
+    print("RA GOP-16 RD curve (TPU encoder, decode-verified):",
+          file=sys.stderr)
+    rates, psnrs = rd_curve(lambda c: TpuEncoder(c), cfg, frames, w, h,
+                            "RA")
+    out = {"config": "RA-1080p" if not quick else "RA-quick",
+           "rates": rates, "psnrs": psnrs, "decode_verify": True}
+    if ablate_cascade:
+        import dataclasses
+        flat_gop = [dataclasses.replace(e, qp_offset=0) for e in cfg.gop]
+        cfg_flat = cfg.replace(gop=flat_gop)
+        print("flat-QP ablation curve:", file=sys.stderr)
+        r_flat, p_flat = rd_curve(lambda c: TpuEncoder(c), cfg_flat,
+                                  frames, w, h, "flat")
+        delta = bd_rate(r_flat, p_flat, rates, psnrs)
+        out["bd_rate_cascade_vs_flat_pct"] = delta
+        out["cascade_wins"] = bool(delta < 0.0)
+    print(json.dumps(out))
+    return out
+
+
+def config5(quick=False):
+    """BASELINE config #5: 4K multi-tile encode, GOP-parallel across N>=2
+    processes (jax.distributed loopback on one machine when no cluster)."""
+    from ..parallel.multiproc import gop_parallel_encode_check
+
+    w, h, n = (256, 128, 4) if quick else (3840, 2160, 8)
+    out = gop_parallel_encode_check(w, h, n, n_procs=2,
+                                    tile_cols=2, tile_rows=2)
+    print(json.dumps(out))
+    return out
+
+
 def config4(quick=False, params_path=None):
     """Fast CU-partition model vs full RDO: BD-rate delta gate (<= 2%)."""
     from ..models import load_params, train_self_distilled
@@ -110,14 +155,23 @@ def config4(quick=False, params_path=None):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=1, choices=[1, 2, 4])
+    ap.add_argument("--config", type=int, default=1,
+                    choices=[1, 2, 3, 4, 5])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--frames", type=int, help="override frame count")
+    ap.add_argument("--ablate-cascade", action="store_true",
+                    help="config 3: also run flat-QP and report BD-rate")
     ap.add_argument("--partition-model")
     args = ap.parse_args(argv)
     if args.config == 1:
         config1(args.quick)
     elif args.config == 2:
         config2(args.quick)
+    elif args.config == 3:
+        config3(args.quick, args.frames, args.ablate_cascade)
+    elif args.config == 5:
+        out = config5(args.quick)
+        return 0 if out.get("ok") else 1
     else:
         out = config4(args.quick, args.partition_model)
         return 0 if out["gate_2pct"] else 1

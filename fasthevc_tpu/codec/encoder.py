@@ -127,12 +127,19 @@ class TpuEncoder:
         recons: dict = {}
         dpb: dict = {}
         order = coding_order(cfg, len(frames), start_poc)
-        if (len(order) > 1 and _native_engine() is not None
+        if (_native_engine() is not None
                 and all(st == SLICE_I for _, st, _, _ in order)):
-            # all-intra: frames are independent -> pipeline TPU search
-            # against thread-pooled C++ commits (SURVEY.md P4/P5)
-            return self._encode_all_intra_pipelined(frames, start_poc, out,
-                                                    on_frame)
+            from .device_pipeline import device_path_ok
+            if device_path_ok(cfg, sp):
+                # full device pipeline: search + exact wavefront commit +
+                # deblock + SAO in one dispatch per frame group; the host
+                # does CABAC emission only (SURVEY.md §7.0 end state)
+                return self._encode_all_intra_device(frames, start_poc,
+                                                     out, on_frame)
+            if len(order) > 1:
+                # classic: TPU search + thread-pooled C++ commits
+                return self._encode_all_intra_pipelined(frames, start_poc,
+                                                        out, on_frame)
         rc = None
         if cfg.target_bitrate > 0:
             from .rate_control import RateController
@@ -167,6 +174,115 @@ class TpuEncoder:
                             for i in range(len(frames))]
 
     # ------------------------------------------------------------------
+
+    def _encode_all_intra_device(self, frames, start_poc, out, on_frame):
+        """Device-pipeline all-intra encode: one TPU dispatch per frame
+        group runs search -> exact wavefront commit -> deblock -> SAO; the
+        host emits CABAC per frame on a small thread pool while the device
+        works on the next group (double-buffered dispatch)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..spec.ctu import tu_qps
+        from .device_pipeline import encode_group_device
+
+        sp = self.sp
+        cfg = self.cfg
+        native = _native_engine()
+        ctu = 1 << sp.log2_ctu
+        pw = -(-sp.coded_width // ctu) * ctu
+        ph = -(-sp.coded_height // ctu) * ctu
+        n = len(frames)
+        qp = cfg.qp
+        qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
+        tbx = tuple(int(b) * ctu for b in sp.tile_col_bounds()[1:-1])
+        tby = tuple(int(b) * ctu for b in sp.tile_row_bounds()[1:-1])
+        use_cnn = bool(cfg.fast_partition
+                       and self.partition_params is not None)
+        deblock_on = not sp.deblocking_disabled
+        sao_on = bool(sp.sao_enabled)
+        group = min(FRAME_GROUP, n)
+        starts = list(range(0, n, group))
+        gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
+
+        def upload(i0, i1):
+            ys, cbs, crs = [], [], []
+            for i in range(i0, i1):
+                y, cb, cr = frames[i]
+                ys.append(pad_plane(np.asarray(y, np.int32), ph, pw)
+                          .astype(np.uint8))
+                cbs.append(pad_plane(np.asarray(cb, np.int32), ph // 2,
+                                     pw // 2).astype(np.uint8))
+                crs.append(pad_plane(np.asarray(cr, np.int32), ph // 2,
+                                     pw // 2).astype(np.uint8))
+            return (jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(cbs)),
+                    jnp.asarray(np.stack(crs)))
+
+        chunk_dev: dict = {}
+
+        def dispatch(ci):
+            s = starts[ci]
+            yb, cbb, crb = upload(s, min(s + group, n))
+            chunk_dev[ci] = encode_group_device(
+                yb, cbb, crb, jnp.float32(self._lambda_sqrt(qp)),
+                jnp.int32(qp_y), jnp.int32(qp_cb), jnp.int32(qp_cr),
+                jnp.int32(qp), sp.log2_ctu, sp.log2_min_cu,
+                sp.coded_width, sp.coded_height, bool(sp.sign_data_hiding),
+                deblock_on, sao_on, tbx, tby,
+                cnn_params=self.partition_params, qp=qp, use_cnn=use_cnn)
+
+        def emit_frame(res, j):
+            depth = np.ascontiguousarray(res["packed"][j, :gh, :gw, 0]
+                                         .astype(np.int8))
+            mode = np.ascontiguousarray(res["packed"][j, :gh, :gw, 1]
+                                        .astype(np.int8))
+            subs = native.entropy_slice_native(
+                sp, qp_y, qp_cb, qp_cr, depth, mode,
+                res["lv_y"][j], res["lv_cb"][j], res["lv_cr"][j],
+                ContextSet(0, qp),
+                sao_params=res["sao"][j] if sao_on else None,
+                sdh=sp.sign_data_hiding)
+            sh = SliceHeader(
+                slice_type=SLICE_I, slice_qp=qp, is_idr=True, poc_lsb=0,
+                sao_luma=sao_on, sao_chroma=sao_on,
+                entry_points=tuple(len(s) for s in subs[:-1]))
+            w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+            for s_bytes in subs:
+                w.append_bytes(s_bytes)
+            planes = Planes.__new__(Planes)
+            planes.y = res["rec_y"][j].astype(np.int32)
+            planes.cb = res["rec_cb"][j].astype(np.int32)
+            planes.cr = res["rec_cr"][j].astype(np.int32)
+            nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+            md5s = picture_md5((planes.y, planes.cb, planes.cr))
+            nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                                write_picture_hash_sei(md5s))
+            return nal, planes
+
+        results: list = [None] * n
+        workers = max(2, min(4, (os.cpu_count() or 2)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = []
+            for ci in range(min(2, len(starts))):  # stay 2 groups ahead
+                dispatch(ci)
+            for ci, s in enumerate(starts):
+                res_np = jax.tree.map(np.asarray, chunk_dev.pop(ci))
+                if ci + 2 < len(starts):
+                    dispatch(ci + 2)
+                for j in range(res_np["packed"].shape[0]):
+                    futs.append(ex.submit(emit_frame, res_np, j))
+            for i, fut in enumerate(futs):
+                results[i] = fut.result()
+        recons = []
+        for i, (nal_bytes, planes) in enumerate(results):
+            out += nal_bytes
+            recons.append(planes)
+            if on_frame is not None:
+                on_frame(start_poc + i, True, bytes(nal_bytes))
+        return bytes(out), recons
 
     def _encode_all_intra_pipelined(self, frames, start_poc, out, on_frame):
         """All-intra fast path: dispatch every frame's search to the TPU

@@ -235,6 +235,68 @@ def predict_all_modes(top: jnp.ndarray, left: jnp.ndarray, log2_size: int,
     return jnp.concatenate([planar, dcp[:, None], ang], axis=1)
 
 
+@partial(jax.jit, static_argnames=("log2_size", "is_luma", "bit_depth"))
+def predict_selected(top: jnp.ndarray, left: jnp.ndarray, log2_size: int,
+                     modes: jnp.ndarray, is_luma: bool = True,
+                     bit_depth: int = 8) -> jnp.ndarray:
+    """ONE intra prediction per block — exact twin of predict_all_modes
+    restricted to each block's chosen mode (the commit path needs only
+    that one; computing all 35 costs ~35x the FLOPs and dominates the
+    wavefront kernel).
+
+    top, left: [B, 2N+1] int32 corner-first; modes: [B] int32 in 0..34.
+    Returns [B, N, N] int32.
+    """
+    n = 1 << log2_size
+    t = _tables(n)
+    b = top.shape[0]
+    max_val = (1 << bit_depth) - 1
+    top = top.astype(jnp.int32)
+    left = left.astype(jnp.int32)
+    if is_luma and n > 4:
+        top_f, left_f = _filter_refs(top, left)
+    else:
+        top_f, left_f = top, left
+    refcat2 = jnp.concatenate([top, left, top_f, left_f],
+                              axis=1).astype(jnp.float32)   # [B, 2L]
+    # per-mode matrix table [35, 2L, n*n]: slot 0 = planar, slot 1 = DC
+    # (zero — handled exactly below), slots 2..34 = angular
+    m2 = np.concatenate([t.mat_u[is_luma], t.mat_v[is_luma]], axis=0)
+    ln2 = m2.shape[0]
+    m3 = m2.reshape(ln2, 34, n * n).transpose(1, 0, 2)      # [34, 2L, nn]
+    table = np.concatenate(
+        [m3[:1], np.zeros((1, ln2, n * n), np.float32), m3[1:]])
+    msel = jnp.asarray(table)[modes]                        # [B, 2L, nn]
+    lin = jnp.einsum("bl,bln->bn", refcat2, msel,
+                     preferred_element_type=jnp.float32)
+    pred = jnp.floor(lin + 0.5).astype(jnp.int32).reshape(b, n, n)
+
+    col0 = (jnp.arange(n) == 0)
+    if is_luma and n < 32:
+        v_col = jnp.clip(top[:, 1:2] + ((left[:, 1:n + 1] - left[:, :1])
+                                        >> 1), 0, max_val)
+        h_row = jnp.clip(left[:, 1:2] + ((top[:, 1:n + 1] - top[:, :1])
+                                         >> 1), 0, max_val)
+        is26 = (modes == 26)[:, None, None]
+        is10 = (modes == 10)[:, None, None]
+        pred = jnp.where(is26 & col0[None, None, :], v_col[:, :, None],
+                         pred)
+        pred = jnp.where(is10 & col0[None, :, None], h_row[:, None, :],
+                         pred)
+    dc = (jnp.sum(top[:, 1:n + 1], axis=1)
+          + jnp.sum(left[:, 1:n + 1], axis=1) + n) >> (log2_size + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (b, n, n))
+    if is_luma and n < 32:
+        first_row = (top[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
+        first_col = (left[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
+        corner = (left[:, 1] + 2 * dc + top[:, 1] + 2) >> 2
+        dcp = jnp.where(col0[None, :, None], first_row[:, None, :], dcp)
+        dcp = jnp.where(col0[None, None, :], first_col[:, :, None], dcp)
+        dcp = jnp.where(col0[None, :, None] & col0[None, None, :],
+                        corner[:, None, None], dcp)
+    return jnp.where((modes == 1)[:, None, None], dcp, pred)
+
+
 # ---------------------------------------------------------------------------
 # Grid reference extraction (search stage: source-pixel references)
 # ---------------------------------------------------------------------------
