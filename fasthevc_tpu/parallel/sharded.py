@@ -1,0 +1,269 @@
+"""Sharded intra encode pipeline: ("gop", "tile") mesh, load-bearing
+halo exchange (SURVEY.md §2.4 P1/P4/P6, §5.7).
+
+Each (gop, tile) shard owns a CTU-aligned tile COLUMN of its frames and
+runs the full device pixel path on it:
+
+  1. SEARCH on a halo-extended source plane — one `lax.ppermute` brings
+     the left neighbor's last CTU column and the right neighbor's first
+     two CTU columns, so every block's source references (top row extends
+     2N right, left column 1 left) are identical to the unsharded search.
+  2. COMMIT per tile via the wavefront kernel — HEVC tiles never predict
+     across tile boundaries, so the per-shard commit with tile-local
+     dimensions is bit-identical to the global tiled commit (no halo).
+  3. DEBLOCK with an 8-column recon halo — the vertical edges ON the tile
+     boundary read 4 samples from each side (spec 8.7.2,
+     loop_filter_across_tiles_enabled_flag = 1), so each shard exchanges
+     post-commit recon strips, filters the boundary edges redundantly,
+     and keeps only its own columns. Horizontal edges are column-local.
+
+The result is BYTE-IDENTICAL to the single-device encoder on the same
+tile grid (asserted by tests/test_sharded_pipeline.py) — the property
+test SURVEY.md §7.3.5 prescribes. SAO stays off on this path for now
+(its cross-tile classification halo is next); entropy is host C++ per
+tile, unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.commit import wavefront_commit_intra
+from ..ops.deblock import BETA_TABLE, TC_TABLE, _filter_vert_chroma, \
+    _filter_vert_luma, edge_masks_device
+from ..codec.search import _search_intra_maps_impl
+
+CTU = 32
+
+
+def _ppermute_halo(x, axis_name, n_shards, width_left, width_right,
+                   axis=-1):
+    """Exchange halos along the last axis: returns (from_left, from_right)
+    where from_left is the LEFT neighbor's rightmost `width_left` columns
+    and from_right the RIGHT neighbor's leftmost `width_right` columns.
+    Global-boundary shards receive edge-replicated own columns."""
+    idx = jax.lax.axis_index(axis_name)
+    right_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    left_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    mine_last = x[..., -width_left:]
+    mine_first = x[..., :width_right]
+    from_left = jax.lax.ppermute(mine_last, axis_name, right_perm)
+    from_right = jax.lax.ppermute(mine_first, axis_name, left_perm)
+    # replicate own edge at the picture boundary (grid_refs edge-pad rule)
+    edge_l = jnp.repeat(x[..., :1], width_left, axis=-1)
+    edge_r = jnp.repeat(x[..., -1:], width_right, axis=-1)
+    from_left = jnp.where(idx == 0, edge_l, from_left)
+    from_right = jnp.where(idx == n_shards - 1, edge_r, from_right)
+    return from_left, from_right
+
+
+def _deblock_sharded_cols(rec_y, rec_cb, rec_cr, depth, qp, qp_cb, qp_cr,
+                          axis_name, n_shards, bit_depth=8):
+    """Cross-tile deblock for column shards: 8-luma-column halo exchange,
+    redundant boundary-edge compute, keep own columns. Bit-identical to
+    deblock_device on the assembled frame."""
+    h, w = rec_y.shape
+    idx = jax.lax.axis_index(axis_name)
+    gh, gw = h // 8, w // 8
+    halo = 8
+
+    # halos: post-commit recon + depth (1 granule col each side)
+    ly, ry = _ppermute_halo(rec_y, axis_name, n_shards, halo, halo)
+    lcb, rcb_h = _ppermute_halo(rec_cb, axis_name, n_shards, halo // 2,
+                                halo // 2)
+    lcr, rcr_h = _ppermute_halo(rec_cr, axis_name, n_shards, halo // 2,
+                                halo // 2)
+    ld, rd = _ppermute_halo(depth, axis_name, n_shards, 1, 1)
+    ext_y = jnp.concatenate([ly, rec_y, ry], axis=1)       # [h, w+16]
+    ext_cb = jnp.concatenate([lcb, rec_cb, rcb_h], axis=1)
+    ext_cr = jnp.concatenate([lcr, rec_cr, rcr_h], axis=1)
+    ext_d = jnp.concatenate([ld, depth, rd], axis=1)       # [gh, gw+2]
+
+    # edge flags on the extended grid, with GLOBAL column positions
+    size = (1 << 5) >> ext_d.astype(jnp.int32)
+    gx_glob = (jnp.arange(gw + 2) - 1 + idx * gw) * 8      # luma cols
+    gy = (jnp.arange(gh) * 8)[:, None]
+    vert = ((gx_glob[None, :] % size) == 0) & (gx_glob[None, :] > 0) \
+        & (gx_glob[None, :] < n_shards * w)   # no edge at/past the
+    # global picture right boundary (the halo there is edge-replicated)
+    horz = ((gy % size) == 0) & (gy > 0)
+
+    vseg = jnp.repeat(vert, 2, axis=0)
+    bsv = jnp.where(vseg, jnp.int32(2), jnp.int32(0))
+    y_f = _filter_vert_luma(ext_y.astype(jnp.int32), vseg, bsv, qp,
+                            bit_depth)[:, halo:halo + w]
+    # horizontal: column-local, reuse the transpose path on own columns
+    hseg = jnp.repeat(horz[:, 1:-1], 2, axis=1).T
+    bsh = jnp.where(hseg, jnp.int32(2), jnp.int32(0))
+    y_f = _filter_vert_luma(y_f.T, hseg, bsh, qp, bit_depth).T
+
+    # chroma: edges on the 16-luma grid, BS=2 (intra)
+    cvert = vert & ((gx_glob % 16) == 0)[None, :]
+    chorz = horz & ((jnp.arange(gh) % 2) == 0)[:, None]
+    ch = halo // 2
+    cb_f = _filter_vert_chroma(ext_cb.astype(jnp.int32), cvert, qp_cb,
+                               bit_depth)[:, ch:ch + w // 2]
+    cb_f = _filter_vert_chroma(cb_f.T, chorz[:, 1:-1].T, qp_cb,
+                               bit_depth).T
+    cr_f = _filter_vert_chroma(ext_cr.astype(jnp.int32), cvert, qp_cr,
+                               bit_depth)[:, ch:ch + w // 2]
+    cr_f = _filter_vert_chroma(cr_f.T, chorz[:, 1:-1].T, qp_cr,
+                               bit_depth).T
+    return y_f, cb_f, cr_f
+
+
+def build_sharded_intra_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
+                                 log2_ctu: int = 5, log2_min_cu: int = 3,
+                                 deblock_on: bool = True, sdh: bool = True):
+    """Jitted ("gop","tile")-sharded search+commit+deblock for intra
+    frames. Tile columns are uniform (coded_w divisible by n_tile CTU
+    columns). Frames [G, H, W] uint8 enter sharded P("gop", None, "tile");
+    outputs come back with the same layout for host entropy."""
+    n_tile = mesh.shape["tile"]
+    assert coded_w % (n_tile * (1 << log2_ctu)) == 0, \
+        "uniform CTU-aligned tile columns required"
+    tile_w = coded_w // n_tile
+    assert tile_w >= 2 * CTU, \
+        "tile columns must be >= 2 CTUs wide (halo from one neighbor)"
+    halo_r = 2 * CTU   # top-right source references reach 2N = 64 right
+
+    def per_shard(y, cb, cr, lam, qp_y, qp_cb, qp_cr, qp):
+        # y: [g_local, H, tile_w] uint8
+        def one_frame(yt, cbt, crt):
+            # --- 1. search with source halo (exact unsharded twin) ----
+            yl, yr = _ppermute_halo(yt, "tile", n_tile, CTU, halo_r)
+            ext = jnp.concatenate([yl, yt, yr], axis=1)
+            packed_ext = _search_intra_maps_impl(
+                ext, lam, log2_ctu, log2_min_cu, ext.shape[1], coded_h,
+                None, 0, False)
+            g0 = CTU >> 3
+            packed = packed_ext[:, g0:g0 + (tile_w >> 3)]
+            dm = packed[:coded_h >> 3, :, 0].astype(jnp.int32)
+            mm = packed[:coded_h >> 3, :, 1].astype(jnp.int32)
+            # --- 2. per-tile exact commit (no halo: tiles are closed) --
+            ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_intra(
+                yt[:coded_h].astype(jnp.int32),
+                cbt[:coded_h // 2].astype(jnp.int32),
+                crt[:coded_h // 2].astype(jnp.int32),
+                dm, mm, qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh)
+            # --- 3. cross-tile deblock via recon halo (P6) -------------
+            if deblock_on:
+                ry, rcb, rcr = _deblock_sharded_cols(
+                    ry, rcb, rcr, dm, qp, qp_cb, qp_cr, "tile", n_tile)
+            return (packed, lv_y, lv_cb, lv_cr,
+                    ry.astype(jnp.uint8), rcb.astype(jnp.uint8),
+                    rcr.astype(jnp.uint8))
+
+        return jax.vmap(one_frame)(y, cb, cr)
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("gop", None, "tile"), P("gop", None, "tile"),
+                  P("gop", None, "tile"), P(), P(), P(), P(), P()),
+        out_specs=(P("gop", None, "tile", None),   # packed [G, gh, gw, 7]
+                   P("gop", None, "tile"), P("gop", None, "tile"),
+                   P("gop", None, "tile"),
+                   P("gop", None, "tile"), P("gop", None, "tile"),
+                   P("gop", None, "tile")),
+        check_rep=False)
+
+    @jax.jit
+    def run(y, cb, cr, lam, qp_y, qp_cb, qp_cr, qp):
+        return mapped(y, cb, cr, lam, qp_y, qp_cb, qp_cr, qp)
+
+    return run
+
+
+def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
+    """Encode an all-intra clip on a ("gop","tile") mesh; returns the
+    Annex-B stream (byte-identical to TpuEncoder on the same tile grid
+    with SAO off) plus recon planes.
+
+    Host side: upload frames sharded, run the pipeline, then per frame
+    emit the per-tile CABAC substreams (C++), slice headers with entry
+    points, and the hash SEI."""
+    from .. import cabac_cpp
+    from ..spec import bitstream as bs
+    from ..spec.cabac import ContextSet
+    from ..spec.ctu import Planes, tu_qps
+    from ..spec.encoder import config_to_sp
+    from ..spec.syntax import (SliceHeader, write_picture_hash_sei,
+                               write_pps, write_slice_header, write_sps,
+                               write_vps)
+    from ..utils.video import pad_plane, picture_md5
+
+    n_tile = mesh.shape["tile"]
+    n_gop = mesh.shape["gop"]
+    cfg = cfg.replace(sao=False, tile_cols=n_tile, tile_rows=1)
+    sp = config_to_sp(cfg)
+    sp.sao_enabled = False
+    sp.deblocking_disabled = not cfg.deblocking
+    qp = cfg.qp
+    qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    pipeline = build_sharded_intra_pipeline(
+        mesh, sp.coded_width, sp.coded_height, sp.log2_ctu,
+        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding)
+
+    n = len(frames)
+    ph = -(-sp.coded_height // CTU) * CTU
+    # groups of n_gop frames fill the gop axis
+    out = bytearray(bs.write_nal(bs.NAL_VPS, write_vps(sp))
+                    + bs.write_nal(bs.NAL_SPS, write_sps(sp))
+                    + bs.write_nal(bs.NAL_PPS, write_pps(sp)))
+    recons = []
+    gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
+    for s in range(0, n, n_gop):
+        grp = list(range(s, min(s + n_gop, n)))
+        while len(grp) < n_gop:          # pad the gop axis
+            grp.append(grp[-1])
+        ys = np.stack([pad_plane(np.asarray(frames[i][0], np.int32), ph,
+                                 sp.coded_width).astype(np.uint8)
+                       for i in grp])
+        cbs = np.stack([pad_plane(np.asarray(frames[i][1], np.int32),
+                                  ph // 2, sp.coded_width // 2)
+                        .astype(np.uint8) for i in grp])
+        crs = np.stack([pad_plane(np.asarray(frames[i][2], np.int32),
+                                  ph // 2, sp.coded_width // 2)
+                        .astype(np.uint8) for i in grp])
+        spec_in = NamedSharding(mesh, P("gop", None, "tile"))
+        res = pipeline(jax.device_put(jnp.asarray(ys), spec_in),
+                       jax.device_put(jnp.asarray(cbs), spec_in),
+                       jax.device_put(jnp.asarray(crs), spec_in),
+                       jnp.float32(np.sqrt(lam)), jnp.int32(qp_y),
+                       jnp.int32(qp_cb), jnp.int32(qp_cr), jnp.int32(qp))
+        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr = \
+            (np.asarray(r) for r in res)
+        for j, i in enumerate(grp):
+            if i != s + j:               # padded duplicate
+                break
+            depth = np.ascontiguousarray(packed[j, :gh, :gw, 0]
+                                         .astype(np.int8))
+            mode = np.ascontiguousarray(packed[j, :gh, :gw, 1]
+                                        .astype(np.int8))
+            subs = cabac_cpp.entropy_slice_native(
+                sp, qp_y, qp_cb, qp_cr, depth, mode, lv_y[j], lv_cb[j],
+                lv_cr[j], ContextSet(0, qp), sao_params=None,
+                sdh=sp.sign_data_hiding)
+            sh = SliceHeader(slice_type=2, slice_qp=qp, is_idr=True,
+                             poc_lsb=0, sao_luma=False, sao_chroma=False,
+                             entry_points=tuple(len(x) for x in subs[:-1]))
+            w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
+            for s_bytes in subs:
+                w.append_bytes(s_bytes)
+            planes = Planes.__new__(Planes)
+            planes.y = ry[j].astype(np.int32)
+            planes.cb = rcb[j].astype(np.int32)
+            planes.cr = rcr[j].astype(np.int32)
+            out += bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+            md5s = picture_md5((planes.y, planes.cb, planes.cr))
+            out += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                                write_picture_hash_sei(md5s))
+            recons.append(planes)
+    return bytes(out), recons
