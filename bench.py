@@ -20,11 +20,17 @@ Also prints per-stage/per-resolution detail lines to stderr for tracking.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: the 1080p device-pipeline program takes
+# minutes to compile; cache it across bench processes/rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fasthevc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 TARGET_FPS = 30.0  # BASELINE.md north star, 1080p QP32 per chip
 
@@ -48,7 +54,8 @@ def _platform() -> str:
     return jax.devices()[0].platform
 
 
-def bench_encode(width: int, height: int, frames: int, qp: int = 32):
+def bench_encode(width: int, height: int, frames: int, qp: int = 32,
+                 group: int = 0):
     from fasthevc_tpu.codec.encoder import FRAME_GROUP, TpuEncoder
     from fasthevc_tpu.config import EncoderConfig
     from fasthevc_tpu.config.config import auto_tile_grid
@@ -57,13 +64,14 @@ def bench_encode(width: int, height: int, frames: int, qp: int = 32):
     clip = synthesize_yuv(width, height, frames, seed=1)
     tc, tr = auto_tile_grid(width, height)
     cfg = EncoderConfig(width=width, height=height, qp=qp, frames=frames,
-                        tile_cols=tc, tile_rows=tr)
+                        tile_cols=tc, tile_rows=tr,
+                        frame_group=group or 0)
     enc = TpuEncoder(cfg)
     # Warm-up: encode one full frame group so the pipelined path compiles
     # the same `search_intra_maps_batch` signature the timed run dispatches
     # (a 1-frame warm-up would compile the WRONG program — the unbatched
     # search — leaving the real compile inside the timed region).
-    warm = min(FRAME_GROUP, frames)
+    warm = min(group or FRAME_GROUP, frames)
     enc.encode(clip[:warm])
     t0 = time.time()
     stream, recons = enc.encode(clip)

@@ -48,6 +48,25 @@ def build(force: bool = False) -> str:
     return _SO
 
 
+def build_sanitized(force: bool = False) -> str:
+    """Build the ASan+UBSan self-test driver (SURVEY.md §5.2); returns the
+    executable path. Run it (subprocess) to fuzz the bin engine, residual
+    coder and deblock filter under the sanitizers."""
+    exe = os.path.join(_DIR, "sanitize_main")
+    main_src = os.path.join(_DIR, "sanitize_main.cpp")
+    stale = (not os.path.exists(exe)
+             or os.path.getmtime(exe) < os.path.getmtime(_SRC)
+             or os.path.getmtime(exe) < os.path.getmtime(_SRC_DEP)
+             or os.path.getmtime(exe) < os.path.getmtime(main_src))
+    if force or stale:
+        subprocess.run(
+            ["g++", "-O1", "-g", "-std=c++17", "-pthread",
+             "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+             f"-I{_DIR}", "-o", exe, main_src, _SRC],
+            check=True, capture_output=True)
+    return exe
+
+
 def _load():
     global _lib
     if _lib is not None:

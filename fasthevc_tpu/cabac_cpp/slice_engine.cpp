@@ -1575,7 +1575,7 @@ void chroma_seg(int32_t *pl, int stride, bool vert, int sy, int sx, int tc,
       q0 = pl + sy * stride + sx + i;
       q1 = pl + (sy + 1) * stride + sx + i;
     }
-    int delta = clip3((((*q0 - *p0) << 2) + *p1 - *q1 + 4) >> 3, -tc, tc);
+    int delta = clip3(((*q0 - *p0) * 4 + *p1 - *q1 + 4) >> 3, -tc, tc);
     *p0 = clip3(*p0 + delta, 0, maxv);
     *q0 = clip3(*q0 - delta, 0, maxv);
   }

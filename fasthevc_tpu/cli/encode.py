@@ -64,6 +64,16 @@ def main(argv=None) -> int:
                     help="tile columns x rows, e.g. 4x2")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (enables rate control)")
+    ap.add_argument("--nxn-intra", action="store_true",
+                    help="search PART_NxN intra at min CU (spec engine)")
+    ap.add_argument("--transform-skip", action="store_true",
+                    help="search transform_skip on 4x4 TBs (spec engine)")
+    ap.add_argument("--hash-type", type=int, default=0, choices=[0, 1, 2],
+                    help="decoded-picture-hash SEI: 0 MD5, 1 CRC, "
+                         "2 checksum")
+    ap.add_argument("--search-range", type=int, default=64,
+                    help="motion search range (full-pel; hierarchical ME "
+                         "beyond 8)")
     ap.add_argument("--metrics", help="write per-picture JSONL records")
     ap.add_argument("--profile",
                     help="capture a jax.profiler trace into this directory "
@@ -91,7 +101,11 @@ def main(argv=None) -> int:
                     log2_ctu=args.ctu.bit_length() - 1,
                     num_intra_rd_candidates=args.rd_candidates,
                     tile_cols=tc, tile_rows=tr,
-                    target_bitrate=args.bitrate)
+                    target_bitrate=args.bitrate,
+                    nxn_intra=args.nxn_intra,
+                    transform_skip=args.transform_skip,
+                    hash_type=args.hash_type,
+                    search_range=args.search_range)
 
     if args.engine == "tpu":
         from ..codec.encoder import TpuEncoder as Encoder

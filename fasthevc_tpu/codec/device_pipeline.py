@@ -55,7 +55,8 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
     def one(y, cbp, crp):
         packed = _search_intra_maps_impl(y, lambda_sqrt, log2_ctu,
                                          log2_min_cu, coded_w, coded_h,
-                                         cnn_params, qp, use_cnn)
+                                         cnn_params, qp, use_cnn,
+                                         cb_u8=cbp, cr_u8=crp)
         dm = packed[:gh, :gw, 0].astype(jnp.int32)
         mm = packed[:gh, :gw, 1].astype(jnp.int32)
         sy = y[:coded_h, :coded_w].astype(jnp.int32)

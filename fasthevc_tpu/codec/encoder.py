@@ -32,7 +32,7 @@ from ..spec.syntax import (
     write_sps,
     write_vps,
 )
-from ..utils.video import pad_plane, picture_md5
+from ..utils.video import pad_plane, picture_hash
 from .search import decisions_to_trees, search_intra_frame
 
 
@@ -78,6 +78,9 @@ class TpuEncoder:
         # -> entropy); the Python fallback path has no SAO pass
         self.sp.sao_enabled = (cfg.sao and not cfg.lossless
                                and _native_engine() is not None)
+        # the native entropy engine does not emit transform_skip_flag yet;
+        # with the PPS flag on every 4x4 residual would misparse
+        self.sp.transform_skip_enabled = False
         self.lambda_sqrt = self._lambda_sqrt(cfg.qp)
         # learned fast-partition model (SURVEY.md E8): prunes the split DP
         self.partition_params = partition_params
@@ -204,7 +207,7 @@ class TpuEncoder:
                        and self.partition_params is not None)
         deblock_on = not sp.deblocking_disabled
         sao_on = bool(sp.sao_enabled)
-        group = min(FRAME_GROUP, n)
+        group = min(self.cfg.frame_group or FRAME_GROUP, n)
         starts = list(range(0, n, group))
         gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
 
@@ -257,9 +260,10 @@ class TpuEncoder:
             planes.cb = res["rec_cb"][j].astype(np.int32)
             planes.cr = res["rec_cr"][j].astype(np.int32)
             nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
-            md5s = picture_md5((planes.y, planes.cb, planes.cr))
+            md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                                cfg.hash_type)
             nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
-                                write_picture_hash_sei(md5s))
+                                write_picture_hash_sei(md5s, cfg.hash_type))
             return nal, planes
 
         results: list = [None] * n
@@ -309,7 +313,7 @@ class TpuEncoder:
             srcs.append(src)
         n = len(frames)
         results: list = [None] * n
-        group = min(FRAME_GROUP, n)
+        group = min(self.cfg.frame_group or FRAME_GROUP, n)
         import jax.numpy as jnp
 
         from .search import search_intra_maps_batch
@@ -324,13 +328,19 @@ class TpuEncoder:
 
         def dispatch_chunk(ci):
             s = starts[ci]
+            rng = range(s, min(s + group, n))
             ys = np.stack([pad_plane(srcs[i].y, ph, pw).astype(up_dtype)
-                           for i in range(s, min(s + group, n))])
+                           for i in rng])
+            cbs = np.stack([pad_plane(srcs[i].cb, ph // 2, pw // 2)
+                            .astype(up_dtype) for i in rng])
+            crs = np.stack([pad_plane(srcs[i].cr, ph // 2, pw // 2)
+                            .astype(up_dtype) for i in rng])
             chunk_dev[ci] = search_intra_maps_batch(
                 jnp.asarray(ys), lam, sp_.log2_ctu, sp_.log2_min_cu,
                 sp_.coded_width, sp_.coded_height,
                 cnn_params=self.partition_params, qp=self.cfg.qp,
-                use_cnn=use_cnn)
+                use_cnn=use_cnn, cb_u8_batch=jnp.asarray(cbs),
+                cr_u8_batch=jnp.asarray(crs))
 
         import os
         workers = max(2, min(4, (os.cpu_count() or 2)))
@@ -359,7 +369,7 @@ class TpuEncoder:
         return bytes(out), recons
 
     def _search_dispatch(self, y_pad, refs, slice_type, is_idr, pw, ph,
-                         qp=None):
+                         qp=None, src=None):
         """Dispatch the jitted search+pack; returns the (async) device
         array holding the ONE packed int16 decision tensor (the axon tunnel
         makes multi-array fetches slow — see _pack_maps_device). Callers
@@ -379,6 +389,11 @@ class TpuEncoder:
                   use_cnn=use_cnn)
         y_dev = jnp.asarray(y_pad.astype(up_dtype))
         if is_idr or not refs[0]:
+            if src is not None:
+                kw["cb_u8"] = jnp.asarray(
+                    pad_plane(src.cb, ph // 2, pw // 2).astype(up_dtype))
+                kw["cr_u8"] = jnp.asarray(
+                    pad_plane(src.cr, ph // 2, pw // 2).astype(up_dtype))
             packed = search_intra_maps(y_dev, lam, sp.log2_ctu,
                                        sp.log2_min_cu, sp.coded_width,
                                        sp.coded_height, **kw)
@@ -388,13 +403,13 @@ class TpuEncoder:
             packed = search_b_maps(y_dev, jnp.asarray(r0), jnp.asarray(r1),
                                    lam, sp.log2_ctu, sp.log2_min_cu,
                                    sp.coded_width, sp.coded_height,
-                                   min(cfg.search_range, 8), **kw)
+                                   cfg.search_range, **kw)
         else:
             ref = pad_plane(refs[0][0].y, ph, pw).astype(up_dtype)
             packed = search_p_maps(y_dev, jnp.asarray(ref), lam,
                                    sp.log2_ctu, sp.log2_min_cu,
                                    sp.coded_width, sp.coded_height,
-                                   min(cfg.search_range, 8), **kw)
+                                   cfg.search_range, **kw)
         return packed
 
     def _encode_frame_native(self, native, src, packed, pw, ph, poc=0,
@@ -442,8 +457,10 @@ class TpuEncoder:
         planes = Planes.__new__(Planes)
         planes.y, planes.cb, planes.cr = ry, rcb, rcr
         nal = bs.write_nal(nal_type, w.get_bytes())
-        md5s = picture_md5((planes.y, planes.cb, planes.cr))
-        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                            cfg.hash_type)
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                            write_picture_hash_sei(md5s, cfg.hash_type))
         return nal, planes
 
     def encode_frame(self, frame, poc: int = 0, slice_type: int = SLICE_I,
@@ -478,7 +495,7 @@ class TpuEncoder:
         native = _native_engine()
         if native is not None:
             packed = np.asarray(self._search_dispatch(
-                y_pad, refs, slice_type, is_idr, pw, ph, qp=qp))
+                y_pad, refs, slice_type, is_idr, pw, ph, qp=qp, src=src))
             return self._encode_frame_native(native, src, packed, pw, ph,
                                              poc=poc,
                                              slice_type=slice_type,
@@ -497,14 +514,14 @@ class TpuEncoder:
                                  jnp.asarray(r1),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu,
-                                 min(self.cfg.search_range, 8))
+                                 self.cfg.search_range)
         else:
             from .search import search_p_frame
             ref_pad = pad_plane(refs[0][0].y, ph, pw)
             dec = search_p_frame(jnp.asarray(y_pad), jnp.asarray(ref_pad),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu,
-                                 min(self.cfg.search_range, 8))
+                                 self.cfg.search_range)
         dec = jax.device_get(dec)
         if self.cfg.fast_partition and self.partition_params is not None:
             dec = self._apply_fast_partition(dec, y_pad, pw, ph)
@@ -545,8 +562,10 @@ class TpuEncoder:
             deblock_picture(planes, sp, maps.depth[::2, ::2].astype(np.int32),
                             qp, qp_cb, qp_cr,
                             maps=None if is_idr else maps)
-        md5s = picture_md5((planes.y, planes.cb, planes.cr))
-        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                            cfg.hash_type)
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                            write_picture_hash_sei(md5s, cfg.hash_type))
         return nal, planes
 
     # ------------------------------------------------------------------

@@ -9,8 +9,10 @@ recursive xCompressCU (SURVEY.md §3.1 hot loop #1) with dense tensor ops.
 Search-stage approximations (the commit stage is exact, so these affect RD
 quality only, not conformance):
   * references are source pixels, not reconstructions;
-  * mode rate is a proxy (MPM coupling ignored);
-  * distortion proxy is SATD (HM's own RMD uses the same).
+  * intra mode rate is MPM-aware but uses same-size grid neighbors as the
+    MPM proxy (the exact decode-order MPM depends on the final partition);
+  * distortion proxy is SATD for mode choice (HM's own RMD uses the same),
+    true transform-domain SSE for the partition DP.
 """
 
 from __future__ import annotations
@@ -34,9 +36,74 @@ def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
             .reshape(-1, n, n))
 
 
-@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu"))
+# Per-CU overhead proxies (bits): cbf luma + 2x chroma cbf + chroma mode
+# bin + pred/part flags; split flag ~1 bit. Intra mode bits are counted
+# separately (MPM-aware, _intra_mode_bits).
+CU_OVERHEAD_BITS = 3.0
+SPLIT_FLAG_BITS = 1.0
+# mvp flag + merge-ish overhead for an inter leaf
+INTER_OVERHEAD_BITS = 2.0
+
+
+def _mv_rate_bits(mv: jnp.ndarray) -> jnp.ndarray:
+    """MVD rate proxy (bits) from quarter-pel magnitude."""
+    mag = (jnp.abs(mv[:, 0]) + jnp.abs(mv[:, 1])).astype(jnp.float32)
+    return 4.0 + 2.0 * jnp.log2(1.0 + mag)
+
+
+def _neighbor_mvs(mv: jnp.ndarray, gy: int, gx: int):
+    """Left and top same-size-grid neighbor MVs ([B, 2] each, zero at the
+    frame edge) — the search-stage stand-ins for merge candidates A1/B1."""
+    m = mv.reshape(gy, gx, 2)
+    left = jnp.concatenate([jnp.zeros((gy, 1, 2), mv.dtype), m[:, :-1]], 1)
+    top = jnp.concatenate([jnp.zeros((1, gx, 2), mv.dtype), m[:-1, :]], 0)
+    return left.reshape(-1, 2), top.reshape(-1, 2)
+
+
+def _intra_mode_bits(best_mode: jnp.ndarray, gy: int, gx: int,
+                     edge_col: int = 0, edge_on=None):
+    """MPM-aware per-mode rate [B, 35] from provisional neighbor modes.
+
+    best_mode: [B] provisional (SATD-best) mode per block at this size,
+    raster order. MPM list per spec 8.4.2 using the same-size left/above
+    neighbors (DC when unavailable); rate = 2 bits for MPM0, 3 for
+    MPM1/2, 6 (flag + 5 fixed) for the rest — the HM binarization.
+
+    edge_col: grid column that is the TRUE picture left edge (non-zero on
+    halo-extended tile shards, where column 0 is replicated halo — the
+    sharded search must apply the unavailable-neighbor filler at the same
+    place the full-frame search does, or byte-identity breaks)."""
+    m = best_mode.reshape(gy, gx)
+    cand_a = jnp.concatenate([jnp.full((gy, 1), 1, m.dtype), m[:, :-1]], 1)
+    if edge_col:
+        cond = jnp.arange(gx)[None, :] == edge_col
+        if edge_on is not None:
+            cond = cond & edge_on  # only the shard holding the frame edge
+        cand_a = jnp.where(cond, jnp.asarray(1, m.dtype), cand_a)
+    cand_b = jnp.concatenate([jnp.full((1, gx), 1, m.dtype), m[:-1, :]], 0)
+    eq = cand_a == cand_b
+    lt2 = cand_a < 2
+    mpm0 = jnp.where(eq & lt2, 0, cand_a)
+    mpm1 = jnp.where(eq, jnp.where(lt2, 1, 2 + ((cand_a + 29) % 32)),
+                     cand_b)
+    third = jnp.where((cand_a != 0) & (cand_b != 0), 0,
+                      jnp.where((cand_a != 1) & (cand_b != 1), 1, 26))
+    mpm2 = jnp.where(eq, jnp.where(lt2, 26, 2 + ((cand_a - 1) % 32)),
+                     third)
+    modes = jnp.arange(35, dtype=m.dtype)
+    is0 = modes[None, None, :] == mpm0[..., None]
+    is12 = ((modes[None, None, :] == mpm1[..., None])
+            | (modes[None, None, :] == mpm2[..., None]))
+    bits = jnp.where(is0, 2.0, jnp.where(is12, 3.0, 6.0))
+    return bits.reshape(-1, 35)
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
+                                   "mpm_edge_x"))
 def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
-                       log2_ctu: int = 5, log2_min_cu: int = 3):
+                       log2_ctu: int = 5, log2_min_cu: int = 3,
+                       cb_plane=None, cr_plane=None, mpm_edge_x: int = 0,
+                       mpm_edge_on=None):
     """Decide the CU quadtree + luma mode for every CTU of a frame.
 
     y_plane: [H, W] int32 luma (coded dims, multiples of CTU).
@@ -75,38 +142,74 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
             preds = predict_all_modes(top, left, plg, True)  # [B,35,pn,pn]
             src = _blocks(y_plane, n)[:, :pn, :pn]
             d = satd(src[:, None] - preds)                   # [B,35]
-        cost_rmd = d.astype(jnp.float32) + lambda_sqrt * 2.5
-        best_mode = jnp.argmin(cost_rmd, axis=1).astype(jnp.int32)
-        modes[n] = best_mode
-        # stage 2: true RD for the chosen mode
+        # two-pass MPM-aware mode rate: provisional SATD-best modes give
+        # the neighbor context, then the final pick charges real mode bits
+        prov = jnp.argmin(d, axis=1).astype(jnp.int32)
+        mode_bits = _intra_mode_bits(prov, h // n, w // n,
+                                     mpm_edge_x // n,
+                                     mpm_edge_on)           # [B,35]
+        cost_rmd = d.astype(jnp.float32) + lambda_sqrt * mode_bits
+        # stage 2: true RD over the RMD top-k shortlist (HM keeps 3-8
+        # full-RD candidates; SATD-best alone is frequently not RD-best)
+        k = 3
+        b = src.shape[0]
         with jax.named_scope(f"intra_rd_{n}"):
+            _, top_idx = jax.lax.top_k(-cost_rmd, k)         # [B,k]
             # one-hot contraction instead of take_along_axis: per-element
             # gathers are VPU-serial on TPU, the einsum rides the MXU
-            onehot = jax.nn.one_hot(best_mode, 35, dtype=jnp.float32)
-            bsel = jnp.einsum("bm,bmyx->byx", onehot,
-                              preds.astype(jnp.float32),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.int32)
-            res = src - bsel
-            levels, rq = tq_roundtrip(res, qp_i, plg)
-            dist = sse(res, rq).astype(jnp.float32)
-            rate = level_rate_proxy(levels)
+            onehot = jax.nn.one_hot(top_idx, 35, dtype=jnp.float32)
+            cands = jnp.einsum("bkm,bmyx->bkyx", onehot,
+                               preds.astype(jnp.float32),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+            res = src[:, None] - cands                        # [B,k,pn,pn]
+            levels, rq = tq_roundtrip(res.reshape(b * k, pn, pn), qp_i,
+                                      plg)
+            dist = sse(res.reshape(b * k, pn, pn),
+                       rq).astype(jnp.float32).reshape(b, k)
+            rate = level_rate_proxy(levels).reshape(b, k)
+            cand_bits = jnp.sum(onehot * mode_bits[:, None, :], axis=2)
+            rd_k = dist + lam * (rate + cand_bits)            # [B,k]
+            kbest = jnp.argmin(rd_k, axis=1)
+            ksel = jax.nn.one_hot(kbest, k, dtype=jnp.float32)
+            best_mode = jnp.sum(
+                ksel * top_idx.astype(jnp.float32), axis=1).astype(jnp.int32)
+            dist = jnp.sum(ksel * dist, axis=1)
+            rate = jnp.sum(ksel * rate, axis=1)
+            sel_bits = jnp.sum(ksel * cand_bits, axis=1)
+        modes[n] = best_mode
         scale = 4.0 if pn != n else 1.0  # quadrant proxy for 64-blocks
-        costs[n] = scale * (dist + lam * rate)
+        cost_n = dist + lam * (rate + sel_bits)
+        if cb_plane is not None and pn == n:
+            # chroma DM cost (both planes): the partition DP otherwise
+            # ignores ~1/3 of the coded samples and over-splits flat-
+            # chroma regions
+            from ..ops.intra import predict_selected
+            cn = pn // 2
+            clg = cn.bit_length() - 1
+            for cp in (cb_plane, cr_plane):
+                ctop, cleft = grid_refs(cp, cn)
+                cpred = predict_selected(ctop, cleft, clg, best_mode,
+                                         is_luma=False)
+                cres = _blocks(cp, cn) - cpred
+                clv, crq = tq_roundtrip(cres, qp_i, clg)
+                cost_n = cost_n + (sse(cres, crq).astype(jnp.float32)
+                                   + lam * level_rate_proxy(clv))
+        costs[n] = scale * cost_n
     raw_costs = dict(costs)  # per-block costs before the DP (P search uses)
 
-    # Quadtree DP bottom-up. Per-CU overhead: mode+cbf+part ~ 5 bits;
-    # a split adds the split flag + 4x CU overheads (in the leaf costs).
+    # Quadtree DP bottom-up; leaf/split overheads are bit proxies of the
+    # actual CU syntax (CU_OVERHEAD_BITS / SPLIT_FLAG_BITS).
     out = {}
-    dp = costs[sizes[0]] + lam * 5.0
+    dp = costs[sizes[0]] + lam * CU_OVERHEAD_BITS
     out[f"mode{sizes[0]}"] = modes[sizes[0]]
     for n in sizes[1:]:
         gy, gx = h // n, w // n
         child = dp.reshape(gy, 2, gx, 2)  # children in 2x2 groups
         sum_child = child.sum(axis=(1, 3)).reshape(-1)
-        self_cost = costs[n] + lam * 5.0
-        split = sum_child + lam * 1.0 < self_cost
-        dp = jnp.where(split, sum_child + lam * 1.0, self_cost)
+        self_cost = costs[n] + lam * CU_OVERHEAD_BITS
+        split = sum_child + lam * SPLIT_FLAG_BITS < self_cost
+        dp = jnp.where(split, sum_child + lam * SPLIT_FLAG_BITS, self_cost)
         out[f"mode{n}"] = modes[n]
         out[f"split{n}"] = split
         out[f"cost{n}"] = dp
@@ -126,7 +229,7 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     Adds to the intra outputs: inter{n} (bool: inter chosen) and mv{n}
     ([B_n, 2] quarter-pel).
     """
-    from ..ops.me import search_inter_costs
+    from ..ops.me import mc_blocks, search_inter_costs
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
@@ -135,20 +238,11 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
                                    log2_min_cu)
-    inter_costs = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
-                                     log2_ctu, log2_min_cu, search_range)
+    me = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
+                            log2_ctu, log2_min_cu, search_range)
 
-    def inter_rd(n, mv):
-        """True-RD leaf cost for the best integer MV of each n-block."""
-        lg = n.bit_length() - 1
-        gy, gx = h // n, w // n
-        oy = (jnp.arange(gy) * n)[:, None].repeat(gx, 1).reshape(-1)
-        ox = (jnp.arange(gx) * n)[None, :].repeat(gy, 0).reshape(-1)
-        rows = jnp.clip(oy[:, None] + (mv[:, 1] >> 2)[:, None]
-                        + jnp.arange(n)[None, :], 0, h - 1)
-        cols = jnp.clip(ox[:, None] + (mv[:, 0] >> 2)[:, None]
-                        + jnp.arange(n)[None, :], 0, w - 1)
-        pred = ref_plane[rows[:, :, None], cols[:, None, :]]
+    def inter_rd(n, pred, rate_bits):
+        """True-RD leaf cost on the exact sub-pel prediction residual."""
         res = _blocks(y_plane, n) - pred
         pn = min(n, 32)
         res = res[:, :pn, :pn]
@@ -156,23 +250,31 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                                   is_intra=False)
         dist = sse(res, rq).astype(jnp.float32)
         rate = level_rate_proxy(levels)
-        mv_rate = 4.0 + 2.0 * jnp.log2(
-            1.0 + (jnp.abs(mv[:, 0]) + jnp.abs(mv[:, 1])).astype(
-                jnp.float32))
         scale = 4.0 if pn != n else 1.0
-        return scale * (dist + lam * (rate + mv_rate))
+        return scale * (dist + lam * (rate + rate_bits
+                                      + INTER_OVERHEAD_BITS))
 
     out = {}
-    for n in sizes:
-        out[f"mode{n}"] = intra_dec[f"mode{n}"]
-        out[f"mv{n}"] = inter_costs[n][1]
     dp = None
     for i, n in enumerate(sizes):
-        _, mv = inter_costs[n]
-        icost = inter_rd(n, mv)
+        _, mv, pred = me[n]
+        icost = inter_rd(n, pred, _mv_rate_bits(mv))
+        # merge-style candidates: the same-size left/top neighbors' MVs at
+        # ~2 bits (merge_idx) — steers the field toward coherent motion
+        # the exact commit then codes as merge/skip (HM merge estimation,
+        # SURVEY.md E7)
+        for cand in _neighbor_mvs(mv, h // n, w // n):
+            predc = mc_blocks(ref_plane, cand, n, h, w)
+            costc = inter_rd(n, predc, 2.0)
+            better = costc < icost
+            icost = jnp.where(better, costc, icost)
+            mv = jnp.where(better[:, None], cand, mv)
         raw_intra = intra_dec[f"rawcost{n}"]
         use_inter = icost < raw_intra
-        leaf = jnp.minimum(icost, raw_intra) + lam * 5.0
+        leaf = (jnp.minimum(icost, raw_intra)
+                + lam * CU_OVERHEAD_BITS)
+        out[f"mode{n}"] = intra_dec[f"mode{n}"]
+        out[f"mv{n}"] = mv
         out[f"inter{n}"] = use_inter
         if i == 0:
             dp = leaf
@@ -180,8 +282,8 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
         gy, gx = h // n, w // n
         child = dp.reshape(gy, 2, gx, 2)
         sum_child = child.sum(axis=(1, 3)).reshape(-1)
-        split = sum_child + lam * 1.0 < leaf
-        dp = jnp.where(split, sum_child + lam * 1.0, leaf)
+        split = sum_child + lam * SPLIT_FLAG_BITS < leaf
+        dp = jnp.where(split, sum_child + lam * SPLIT_FLAG_BITS, leaf)
         out[f"split{n}"] = split
     return out
 
@@ -198,7 +300,7 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     BI cost uses the integer average of the two integer-MV predictions
     (commit re-derives the exact 14-bit average).
     """
-    from ..ops.me import search_inter_costs
+    from ..ops.me import mc_blocks, search_inter_costs
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
@@ -212,16 +314,6 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     me1 = search_inter_costs(y_plane, ref1_plane, lambda_sqrt, log2_ctu,
                              log2_min_cu, search_range)
 
-    def block_pred(ref, n, mv):
-        gy, gx = h // n, w // n
-        oy = (jnp.arange(gy) * n)[:, None].repeat(gx, 1).reshape(-1)
-        ox = (jnp.arange(gx) * n)[None, :].repeat(gy, 0).reshape(-1)
-        rows = jnp.clip(oy[:, None] + (mv[:, 1] >> 2)[:, None]
-                        + jnp.arange(n)[None, :], 0, h - 1)
-        cols = jnp.clip(ox[:, None] + (mv[:, 0] >> 2)[:, None]
-                        + jnp.arange(n)[None, :], 0, w - 1)
-        return ref[rows[:, :, None], cols[:, None, :]]
-
     def rd_of(pred, n, mv_mag):
         pn = min(n, 32)
         res = (_blocks(y_plane, n) - pred)[:, :pn, :pn]
@@ -231,24 +323,37 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
         rate = level_rate_proxy(levels)
         mv_rate = 4.0 + 2.0 * jnp.log2(1.0 + mv_mag.astype(jnp.float32))
         scale = 4.0 if pn != n else 1.0
-        return scale * (dist + lam * (rate + mv_rate))
+        return scale * (dist + lam * (rate + mv_rate
+                                      + INTER_OVERHEAD_BITS))
+
+    def with_merge_cands(ref_plane, mv, pred, cost, n):
+        """Fold in the left/top neighbor MVs at merge-class rate."""
+        for cand in _neighbor_mvs(mv, h // n, w // n):
+            predc = mc_blocks(ref_plane, cand, n, h, w)
+            # rd_of charges mv_rate(0)=4 bits; merge_idx is ~2 bits
+            costc = rd_of(predc, n, jnp.zeros(cand.shape[0])) - lam * 2.0
+            better = costc < cost
+            cost = jnp.where(better, costc, cost)
+            mv = jnp.where(better[:, None], cand, mv)
+            pred = jnp.where(better[:, None, None], predc, pred)
+        return mv, pred, cost
 
     out = {}
     dp = None
     for i, n in enumerate(sizes):
-        mv0 = me0[n][1]
-        mv1 = me1[n][1]
-        p0 = block_pred(ref0_plane, n, mv0)
-        p1 = block_pred(ref1_plane, n, mv1)
+        _, mv0, p0 = me0[n]
+        _, mv1, p1 = me1[n]
+        c0 = rd_of(p0, n, jnp.abs(mv0).sum(-1))
+        c1 = rd_of(p1, n, jnp.abs(mv1).sum(-1))
+        mv0, p0, c0 = with_merge_cands(ref0_plane, mv0, p0, c0, n)
+        mv1, p1, c1 = with_merge_cands(ref1_plane, mv1, p1, c1, n)
         mag0 = jnp.abs(mv0).sum(-1)
         mag1 = jnp.abs(mv1).sum(-1)
-        c0 = rd_of(p0, n, mag0)
-        c1 = rd_of(p1, n, mag1)
         cbi = rd_of((p0 + p1 + 1) >> 1, n, mag0 + mag1)
         raw_intra = intra_dec[f"rawcost{n}"]
         stacked = jnp.stack([raw_intra, c0, c1, cbi])      # [4, B]
         choice = jnp.argmin(stacked, axis=0)               # 0=intra,1,2,3=bi
-        leaf = jnp.min(stacked, axis=0) + lam * 5.0
+        leaf = jnp.min(stacked, axis=0) + lam * CU_OVERHEAD_BITS
         out[f"mode{n}"] = intra_dec[f"mode{n}"]
         out[f"inter{n}"] = choice > 0
         out[f"dir{n}"] = jnp.where(choice == 0, 1, choice).astype(jnp.int32)
@@ -260,8 +365,8 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
         gy, gx = h // n, w // n
         child = dp.reshape(gy, 2, gx, 2)
         sum_child = child.sum(axis=(1, 3)).reshape(-1)
-        split = sum_child + lam * 1.0 < leaf
-        dp = jnp.where(split, sum_child + lam * 1.0, leaf)
+        split = sum_child + lam * SPLIT_FLAG_BITS < leaf
+        dp = jnp.where(split, sum_child + lam * SPLIT_FLAG_BITS, leaf)
         out[f"split{n}"] = split
     return out
 
@@ -344,9 +449,14 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
 
 
 def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
-                            coded_w, coded_h, cnn_params, qp, use_cnn):
+                            coded_w, coded_h, cnn_params, qp, use_cnn,
+                            cb_u8=None, cr_u8=None, mpm_edge_x=0,
+                            mpm_edge_on=None):
     y = y_u8.astype(jnp.int32)
-    dec = search_intra_frame(y, lambda_sqrt, log2_ctu, log2_min_cu)
+    cb = cb_u8.astype(jnp.int32) if cb_u8 is not None else None
+    cr = cr_u8.astype(jnp.int32) if cr_u8 is not None else None
+    dec = search_intra_frame(y, lambda_sqrt, log2_ctu, log2_min_cu, cb, cr,
+                             mpm_edge_x, mpm_edge_on)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -360,11 +470,13 @@ def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
 def search_intra_maps(y_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                       log2_ctu: int, log2_min_cu: int,
                       coded_w: int, coded_h: int,
-                      cnn_params=None, qp: int = 0, use_cnn: bool = False):
+                      cnn_params=None, qp: int = 0, use_cnn: bool = False,
+                      cb_u8=None, cr_u8=None):
     """Intra search + decision packing in one dispatch; y_u8 is the padded
     luma plane as uint8 (4x less tunnel upload than int32)."""
     return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
-                                   coded_w, coded_h, cnn_params, qp, use_cnn)
+                                   coded_w, coded_h, cnn_params, qp, use_cnn,
+                                   cb_u8=cb_u8, cr_u8=cr_u8)
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
@@ -373,13 +485,22 @@ def search_intra_maps_batch(y_u8_batch: jnp.ndarray,
                             lambda_sqrt: jnp.ndarray, log2_ctu: int,
                             log2_min_cu: int, coded_w: int, coded_h: int,
                             cnn_params=None, qp: int = 0,
-                            use_cnn: bool = False):
+                            use_cnn: bool = False,
+                            cb_u8_batch=None, cr_u8_batch=None):
     """Multi-frame intra search: [F, H, W] uint8 -> [F, gh, gw, 7] packed.
 
     One dispatch + ONE device->host fetch for F frames: the axon tunnel
     costs ~30-60 ms latency per round-trip regardless of size, so batching
     frames amortizes what is otherwise the dominant per-frame cost (the
     search compute itself is <1 ms/frame at 1080p)."""
+    if cb_u8_batch is not None:
+        def one_c(y_u8, cb_u8, cr_u8):
+            return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu,
+                                           log2_min_cu, coded_w, coded_h,
+                                           cnn_params, qp, use_cnn,
+                                           cb_u8=cb_u8, cr_u8=cr_u8)
+        return jax.vmap(one_c)(y_u8_batch, cb_u8_batch, cr_u8_batch)
+
     def one(y_u8):
         return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu,
                                        log2_min_cu, coded_w, coded_h,

@@ -48,8 +48,14 @@ class EncoderConfig:
     deblocking: bool = True
     sao: bool = True
     rdoq: bool = False
+    transform_skip: bool = False  # 4x4 TB transform_skip (spec 7.3.8.11; SpecEncoder searches it)
     sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
     strong_intra_smoothing: bool = False
+    hash_type: int = 0           # decoded-picture-hash SEI: 0 MD5/1 CRC/2 checksum
+
+    # PART_NxN intra partitions at min CU (4x4 PUs + DST-VII luma TBs).
+    # SpecEncoder searches them when enabled; decoder always supports them.
+    nxn_intra: bool = False
 
     # Search / speed
     full_rdo: bool = True        # exhaustive partition search
@@ -59,6 +65,11 @@ class EncoderConfig:
 
     # Rate control (0 = fixed QP)
     target_bitrate: int = 0
+
+    # Frames per device dispatch on the all-intra pipelines (0 = default).
+    # Larger groups amortize the fixed per-op overhead of the wavefront
+    # commit chain and the device tunnel latency at the cost of memory.
+    frame_group: int = 0
 
     def validate(self) -> None:
         assert self.width % 2 == 0 and self.height % 2 == 0

@@ -1,11 +1,24 @@
 """Batched motion estimation (JAX, TPU).
 
-Reference parity: HM TEncSearch::xTZSearch (SURVEY.md E7, hot loop #2) —
-redesigned TPU-first: instead of the reference's sequential zonal search
-per block, ONE jitted scan evaluates every candidate offset for EVERY
-block of the frame simultaneously (dense abs-diff + block reductions on
-the VPU), then argmin per block. Integer-pel; sub-pel refinement happens
-host-side (or is skipped by the TPU encoder — a quality/speed knob).
+Reference parity: HM TEncSearch::xTZSearch + xPatternSearchFracDIF
+(SURVEY.md E7, hot loop #2) — redesigned TPU-first. Instead of the
+reference's sequential zonal search per block, the whole frame is searched
+at once in three dense stages:
+
+  1. integer search — small ranges: one jitted scan evaluates every offset
+     for EVERY block simultaneously (dense abs-diff + block reductions on
+     the VPU); large ranges (SearchRange up to 64 is honored, no silent
+     clamping): coarse full search on 4x-decimated planes followed by a
+     +-3 px window refinement at full resolution via per-block window
+     gathers whose candidate slices are static;
+  2. sub-pel refinement — all 48 half/quarter-pel positions around the
+     best integer MV are evaluated with the EXACT spec 8-tap interpolation
+     (spec 8.5.4.2.2.1, same taps as spec/mc.py) applied to per-block
+     windows, cost = SATD + lambda*mv-rate (HM's fractional search is the
+     same SATD criterion);
+  3. the winning prediction block is returned alongside the MV so the
+     caller's RD stage (transform round-trip) runs on the true sub-pel
+     residual, not an integer approximation.
 """
 
 from __future__ import annotations
@@ -16,23 +29,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..spec.mc import LUMA_FILTERS
 
-@partial(jax.jit, static_argnames=("block", "search_range"))
-def full_search(src: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
-                search_range: int = 8):
-    """Exhaustive integer-pel search for every aligned block of the frame.
 
-    src, ref: [H, W] int32 (same padded dims). Returns (best_sad [B],
-    best_mv [B, 2] in quarter-pel units), blocks in raster order.
-    """
+def _sad_grid(src: jnp.ndarray, shifted: jnp.ndarray, gy: int, gx: int,
+              block: int) -> jnp.ndarray:
+    diff = jnp.abs(src - shifted)
+    return (diff.reshape(gy, block, gx, block)
+            .transpose(0, 2, 1, 3).sum(axis=(2, 3)))
+
+
+def _full_search_int(src: jnp.ndarray, ref: jnp.ndarray, block: int,
+                     search_range: int):
+    """Exhaustive integer search; returns (sad [gy,gx], mv [gy,gx,2] in
+    INTEGER pixels)."""
     h, w = src.shape
     gy, gx = h // block, w // block
     n_off = 2 * search_range + 1
-    # pad ref so every offset is a static slice
     refp = jnp.pad(ref, search_range, mode="edge")
-
-    src_blocks = (src.reshape(gy, block, gx, block)
-                  .transpose(0, 2, 1, 3))              # [gy, gx, b, b]
 
     def eval_offset(carry, idx):
         best_sad, best_idx = carry
@@ -40,9 +54,7 @@ def full_search(src: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
         dx = idx % n_off - search_range
         shifted = jax.lax.dynamic_slice(
             refp, (dy + search_range, dx + search_range), (h, w))
-        diff = jnp.abs(src - shifted)
-        sads = (diff.reshape(gy, block, gx, block)
-                .transpose(0, 2, 1, 3).sum(axis=(2, 3)))  # [gy, gx]
+        sads = _sad_grid(src, shifted, gy, gx, block)
         better = sads < best_sad
         best_sad = jnp.where(better, sads, best_sad)
         best_idx = jnp.where(better, idx, best_idx)
@@ -52,27 +64,208 @@ def full_search(src: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
             jnp.zeros((gy, gx), jnp.int32))
     (best_sad, best_idx), _ = jax.lax.scan(
         eval_offset, init, jnp.arange(n_off * n_off, dtype=jnp.int32))
-    mv_y = (best_idx // n_off - search_range) * 4
-    mv_x = (best_idx % n_off - search_range) * 4
-    return (best_sad.reshape(-1),
-            jnp.stack([mv_x.reshape(-1), mv_y.reshape(-1)], axis=-1))
+    mv = jnp.stack([best_idx % n_off - search_range,
+                    best_idx // n_off - search_range], axis=-1)
+    return best_sad, mv
 
 
-@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "search_range"))
+@partial(jax.jit, static_argnames=("block", "search_range"))
+def full_search(src: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
+                search_range: int = 8):
+    """Exhaustive integer-pel search for every aligned block of the frame.
+
+    src, ref: [H, W] int32 (same padded dims). Returns (best_sad [B],
+    best_mv [B, 2] in quarter-pel units), blocks in raster order.
+    """
+    sad, mv = _full_search_int(src, ref, block, search_range)
+    return sad.reshape(-1), (mv * 4).reshape(-1, 2)
+
+
+def _block_origins(h: int, w: int, n: int):
+    gy, gx = h // n, w // n
+    oy = jnp.repeat(jnp.arange(gy, dtype=jnp.int32) * n, gx)
+    ox = jnp.tile(jnp.arange(gx, dtype=jnp.int32) * n, gy)
+    return oy, ox
+
+
+def _gather_windows(ref: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
+                    win: int) -> jnp.ndarray:
+    """Per-block [win, win] windows at (possibly out-of-frame) origins;
+    edge clamping matches the spec's padded reference pictures."""
+    h, w = ref.shape
+    rows = jnp.clip(oy[:, None] + jnp.arange(win), 0, h - 1)
+    cols = jnp.clip(ox[:, None] + jnp.arange(win), 0, w - 1)
+    return ref[rows[:, :, None], cols[:, None, :]]
+
+
+def _refine_int(src_blocks: jnp.ndarray, ref: jnp.ndarray, oy, ox,
+                base_mv: jnp.ndarray, n: int, r: int):
+    """+-r integer window refinement around base_mv (int pixels).
+
+    One gather per block of a (n+2r)^2 window; every candidate is then a
+    STATIC slice (no per-candidate gathers). Returns (sad, mv int px)."""
+    win = _gather_windows(ref, oy + base_mv[:, 1] - r, ox + base_mv[:, 0] - r,
+                          n + 2 * r)
+    best_sad = jnp.full((src_blocks.shape[0],), 2 ** 31 - 1, jnp.int32)
+    best_mv = base_mv
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            cand = win[:, dy + r:dy + r + n, dx + r:dx + r + n]
+            sad = jnp.abs(src_blocks - cand).sum(axis=(-2, -1))
+            mv = base_mv + jnp.asarray([dx, dy], jnp.int32)
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            best_mv = jnp.where(better[:, None], mv, best_mv)
+    return best_sad, best_mv
+
+
+def _downsample4(plane: jnp.ndarray) -> jnp.ndarray:
+    h, w = plane.shape
+    return (plane.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)) + 8) // 16
+
+
+def hier_int_search(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
+                    log2_ctu: int, log2_min_cu: int, search_range: int):
+    """Integer MVs for every block of every CU size, honoring search_range.
+
+    range <= 8: direct dense scan. Larger: coarse full search on the
+    4x-decimated planes (range/4) at sizes >= 16, +-3 full-res window
+    refinement; 8-blocks inherit their 16-parent's coarse MV. Returns
+    {n: mv_int [B, 2]} (integer pixels)."""
+    h, w = y_plane.shape
+    sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    out = {}
+    if search_range <= 8:
+        for n in sizes:
+            _, mv = _full_search_int(y_plane, ref_plane, n, search_range)
+            out[n] = mv.reshape(-1, 2)
+        return out
+    src4 = _downsample4(y_plane)
+    ref4 = _downsample4(ref_plane)
+    sr4 = -(-search_range // 4)
+    coarse = {}
+    for n in sizes:
+        if n >= 16:
+            _, mv4 = _full_search_int(src4, ref4, n // 4, sr4)
+            coarse[n] = mv4 * 4                        # full-res pixels
+    # 8-blocks start from the containing 16-block's coarse vector
+    coarse[8] = jnp.repeat(jnp.repeat(coarse[16], 2, axis=0), 2, axis=1)
+    for n in sizes:
+        oy, ox = _block_origins(h, w, n)
+        base = coarse[n].reshape(-1, 2)
+        src_blocks = (y_plane.reshape(h // n, n, w // n, n)
+                      .transpose(0, 2, 1, 3).reshape(-1, n, n))
+        _, mv = _refine_int(src_blocks, ref_plane, oy, ox, base, n, 3)
+        out[n] = jnp.clip(mv, -search_range, search_range)
+    return out
+
+
+def subpel_refine(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
+                  mv_int: jnp.ndarray, n: int, lambda_sqrt,
+                  from_satd_of_int=None):
+    """Half+quarter-pel refinement with exact spec interpolation.
+
+    Evaluates all 49 quarter-pel candidates d in {-3..3}^2 around the
+    integer MV: pred = 8-tap two-stage filter (spec 8.5.4.2.2.1) of a
+    per-block window, cost = SATD + lambda_sqrt * mv-rate-proxy.
+    Returns (cost [B], mv_qpel [B, 2], pred [B, n, n])."""
+    h, w = y_plane.shape
+    oy, ox = _block_origins(h, w, n)
+    src_blocks = (y_plane.reshape(h // n, n, w // n, n)
+                  .transpose(0, 2, 1, 3).reshape(-1, n, n))
+    from .cost import satd
+
+    W = n + 8
+    win = _gather_windows(ref_plane, oy + mv_int[:, 1] - 4,
+                          ox + mv_int[:, 0] - 4, W)
+    # horizontal stage: per x-phase, all n+1 possibly-needed columns
+    # (candidate slices below are static). int32 throughout: worst-case
+    # |acc| < 88 * 64 * 255 * 8 << 2^31.
+    taps = np.asarray(LUMA_FILTERS, np.int64)
+    hf = []
+    for fx in range(4):
+        acc = jnp.zeros((win.shape[0], W, n + 1), jnp.int32)
+        for k in range(8):
+            if taps[fx][k]:
+                acc = acc + jnp.int32(taps[fx][k]) * win[:, :, k:k + n + 1]
+        hf.append(acc)
+
+    def mv_rate(mvq):
+        mag = jnp.abs(mvq[:, 0]) + jnp.abs(mvq[:, 1])
+        return 4.0 + 2.0 * jnp.log2(1.0 + mag.astype(jnp.float32))
+
+    best_cost = jnp.full((src_blocks.shape[0],), jnp.inf, jnp.float32)
+    best_mv = mv_int * 4
+    best_pred = jnp.zeros_like(src_blocks)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            fy, fx = dy & 3, dx & 3
+            dj, di = dy >> 2, dx >> 2
+            hsel = hf[fx][:, :, di + 1:di + 1 + n]       # [B, W, n]
+            acc = jnp.zeros((src_blocks.shape[0], n, n), jnp.int32)
+            for k in range(8):
+                if taps[fy][k]:
+                    acc = acc + jnp.int32(taps[fy][k]) * \
+                        hsel[:, dj + 1 + k:dj + 1 + k + n, :]
+            raw = acc >> 6                                # 14-bit interm.
+            pred = jnp.clip((raw + 32) >> 6, 0, 255)
+            mvq = mv_int * 4 + jnp.asarray([dx, dy], jnp.int32)
+            cost = (satd(src_blocks - pred).astype(jnp.float32)
+                    + lambda_sqrt * mv_rate(mvq))
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_mv = jnp.where(better[:, None], mvq, best_mv)
+            best_pred = jnp.where(better[:, None, None], pred, best_pred)
+    return best_cost, best_mv, best_pred
+
+
+def mc_blocks(ref_plane: jnp.ndarray, mvq: jnp.ndarray, n: int,
+              h: int, w: int) -> jnp.ndarray:
+    """Exact sub-pel prediction of every aligned n-block for ARBITRARY
+    per-block quarter-pel MVs (used to cost merge candidates whose phase
+    is data-dependent): one window gather per block, all 16 phases
+    filtered, one-hot phase select. Returns [B, n, n] int32."""
+    oy, ox = _block_origins(h, w, n)
+    mvi = mvq >> 2
+    frac = mvq & 3
+    W = n + 8
+    win = _gather_windows(ref_plane, oy + mvi[:, 1] - 3, ox + mvi[:, 0] - 3,
+                          W)
+    taps = np.asarray(LUMA_FILTERS, np.int64)
+    preds = []
+    for fy in range(4):
+        for fx in range(4):
+            hacc = jnp.zeros((win.shape[0], W, n), jnp.int32)
+            for k in range(8):
+                if taps[fx][k]:
+                    hacc = hacc + jnp.int32(taps[fx][k]) * \
+                        win[:, :, k:k + n]
+            acc = jnp.zeros((win.shape[0], n, n), jnp.int32)
+            for k in range(8):
+                if taps[fy][k]:
+                    acc = acc + jnp.int32(taps[fy][k]) * \
+                        hacc[:, k:k + n, :]
+            preds.append(jnp.clip(((acc >> 6) + 32) >> 6, 0, 255))
+    stacked = jnp.stack(preds, axis=1)                  # [B, 16, n, n]
+    sel = jax.nn.one_hot(frac[:, 1] * 4 + frac[:, 0], 16,
+                         dtype=jnp.float32)
+    return jnp.einsum("bp,bpyx->byx", sel, stacked.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 def search_inter_costs(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                        lambda_sqrt: jnp.ndarray, log2_ctu: int = 5,
                        log2_min_cu: int = 3, search_range: int = 8):
-    """Per-size inter costs + MVs for the whole frame.
+    """Per-size inter costs, sub-pel MVs and predictions for the frame.
 
-    Returns {n: (cost [B_n] f32, mv [B_n, 2])} for each CU size n.
-    MV rate proxy: ~1 bit per quarter-pel magnitude log.
+    Returns {n: (cost [B] f32, mv [B, 2] quarter-pel, pred [B, n, n])}.
     """
+    sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
+    int_mvs = hier_int_search(y_plane, ref_plane, log2_ctu, log2_min_cu,
+                              search_range)
     out = {}
-    for lg in range(log2_min_cu, log2_ctu + 1):
-        n = 1 << lg
-        sad, mv = full_search(y_plane, ref_plane, n, search_range)
-        mv_mag = jnp.abs(mv[:, 0]) + jnp.abs(mv[:, 1])
-        rate = 4.0 + 2.0 * jnp.log2(1.0 + mv_mag.astype(jnp.float32))
-        out[n] = (sad.astype(jnp.float32) + lambda_sqrt * rate, mv)
+    for n in sizes:
+        cost, mvq, pred = subpel_refine(y_plane, ref_plane, int_mvs[n], n,
+                                        lambda_sqrt)
+        out[n] = (cost, mvq, pred)
     return out

@@ -139,9 +139,18 @@ def build_sharded_intra_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
             # --- 1. search with source halo (exact unsharded twin) ----
             yl, yr = _ppermute_halo(yt, "tile", n_tile, CTU, halo_r)
             ext = jnp.concatenate([yl, yt, yr], axis=1)
+            # chroma halo: reference reach is 2*16 chroma cols = halo_r/2
+            cbl, cbr = _ppermute_halo(cbt, "tile", n_tile, CTU // 2,
+                                      halo_r // 2)
+            crl, crr = _ppermute_halo(crt, "tile", n_tile, CTU // 2,
+                                      halo_r // 2)
+            ext_cb = jnp.concatenate([cbl, cbt, cbr], axis=1)
+            ext_cr = jnp.concatenate([crl, crt, crr], axis=1)
             packed_ext = _search_intra_maps_impl(
                 ext, lam, log2_ctu, log2_min_cu, ext.shape[1], coded_h,
-                None, 0, False)
+                None, 0, False, cb_u8=ext_cb, cr_u8=ext_cr,
+                mpm_edge_x=CTU,
+                mpm_edge_on=jax.lax.axis_index("tile") == 0)
             g0 = CTU >> 3
             packed = packed_ext[:, g0:g0 + (tile_w >> 3)]
             dm = packed[:coded_h >> 3, :, 0].astype(jnp.int32)
@@ -196,7 +205,7 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
     from ..spec.syntax import (SliceHeader, write_picture_hash_sei,
                                write_pps, write_slice_header, write_sps,
                                write_vps)
-    from ..utils.video import pad_plane, picture_md5
+    from ..utils.video import pad_plane, picture_hash
 
     n_tile = mesh.shape["tile"]
     n_gop = mesh.shape["gop"]
@@ -262,8 +271,9 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
             planes.cb = rcb[j].astype(np.int32)
             planes.cr = rcr[j].astype(np.int32)
             out += bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
-            md5s = picture_md5((planes.y, planes.cb, planes.cr))
+            md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                                cfg.hash_type)
             out += bs.write_nal(bs.NAL_SUFFIX_SEI,
-                                write_picture_hash_sei(md5s))
+                                write_picture_hash_sei(md5s, cfg.hash_type))
             recons.append(planes)
     return bytes(out), recons

@@ -33,6 +33,10 @@ class TuData:
     levels_y: np.ndarray | None = None
     levels_cb: np.ndarray | None = None
     levels_cr: np.ndarray | None = None
+    # transform_skip_flag per component (4x4 TBs only, spec 7.3.8.11)
+    ts_y: bool = False
+    ts_cb: bool = False
+    ts_cr: bool = False
 
 
 @dataclass
@@ -43,6 +47,10 @@ class CuDecision:
     chroma_mode: int = CHROMA_DM
     bypass: bool = False          # cu_transquant_bypass
     tus: list = field(default_factory=list)  # 1 TU, or 4 for 64x64 CU
+    # PART_NxN intra at min CU (spec 7.3.8.5): 4 luma PUs/TBs of 4x4,
+    # chroma stays one 4x4 TB (carried in tus[3], spec blkIdx-3 rule)
+    nxn: bool = False
+    luma_modes: tuple = ()        # 4 per-PU modes (z-order) when nxn
     # inter fields (P/B slices; PU == CU, one active ref per list)
     is_inter: bool = False
     skip: bool = False            # cu_skip_flag (merge + no residual)
@@ -164,7 +172,7 @@ def predict_block(planes: Planes, sp: SequenceParams, x: int, y: int,
 def reconstruct_tb(planes: Planes, sp: SequenceParams, x: int, y: int,
                    log2_size: int, mode: int, c_idx: int,
                    levels: np.ndarray | None, qp: int,
-                   bypass: bool) -> np.ndarray:
+                   bypass: bool, ts: bool = False) -> np.ndarray:
     """Predict + inverse TQ + clip; writes into the plane and returns pred."""
     n = 1 << log2_size
     pred = predict_block(planes, sp, x, y, log2_size, mode, c_idx)
@@ -173,9 +181,12 @@ def reconstruct_tb(planes: Planes, sp: SequenceParams, x: int, y: int,
     elif bypass:
         res = levels
     else:
-        use_dst = (c_idx == 0 and log2_size == 2)
         deq = transform.dequantize(levels, qp, sp.bit_depth)
-        res = transform.inverse_transform(deq, sp.bit_depth, use_dst)
+        if ts:
+            res = transform.inverse_transform_skip(deq, sp.bit_depth)
+        else:
+            use_dst = (c_idx == 0 and log2_size == 2)
+            res = transform.inverse_transform(deq, sp.bit_depth, use_dst)
     rec = np.clip(pred + res, 0, (1 << sp.bit_depth) - 1)
     planes.plane(c_idx)[y:y + n, x:x + n] = rec
     return pred
@@ -192,6 +203,20 @@ def reconstruct_cu(planes: Planes, sp: SequenceParams, x: int, y: int,
                    log2_size: int, cu: CuDecision, slice_qp: int) -> None:
     """Apply a no-split CU decision's reconstruction (luma + chroma)."""
     qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
+    if cu.nxn:
+        half = 1 << (log2_size - 1)
+        for i in range(4):
+            tx = x + (i & 1) * half
+            ty = y + (i >> 1) * half
+            reconstruct_tb(planes, sp, tx, ty, log2_size - 1,
+                           cu.luma_modes[i], 0, cu.tus[i].levels_y, qp_y,
+                           cu.bypass)
+        cmode = chroma_mode_from_cu(cu)
+        reconstruct_tb(planes, sp, x >> 1, y >> 1, log2_size - 1, cmode, 1,
+                       cu.tus[3].levels_cb, qp_cb, cu.bypass)
+        reconstruct_tb(planes, sp, x >> 1, y >> 1, log2_size - 1, cmode, 2,
+                       cu.tus[3].levels_cr, qp_cr, cu.bypass)
+        return
     if log2_size > sp.log2_max_tu:
         # forced RQT split (64x64 CU -> 4 32x32 TUs)
         half = 1 << (log2_size - 1)
@@ -206,24 +231,27 @@ def reconstruct_cu(planes: Planes, sp: SequenceParams, x: int, y: int,
 
 
 def chroma_mode_from_cu(cu: CuDecision) -> int:
+    # spec 8.4.3: DM and the substitution rule reference the FIRST luma
+    # PU's mode (xCb, yCb) — PU0 for PART_NxN
+    luma0 = cu.luma_modes[0] if cu.nxn else cu.luma_mode
     if cu.chroma_mode == CHROMA_DM:
-        return cu.luma_mode
+        return luma0
     m = CHROMA_MODE_LIST[cu.chroma_mode]
     # spec 8.4.3: if candidate equals luma mode, substitute 34
-    return 34 if m == cu.luma_mode else m
+    return 34 if m == luma0 else m
 
 
 def _reconstruct_tu(planes: Planes, sp: SequenceParams, x: int, y: int,
                     log2_size: int, cu: CuDecision, tu: TuData,
                     qp_y: int, qp_cb: int, qp_cr: int) -> None:
     reconstruct_tb(planes, sp, x, y, log2_size, cu.luma_mode, 0,
-                   tu.levels_y, qp_y, cu.bypass)
+                   tu.levels_y, qp_y, cu.bypass, tu.ts_y)
     cmode = chroma_mode_from_cu(cu)
     cx, cy, clog2 = x >> 1, y >> 1, log2_size - 1
     reconstruct_tb(planes, sp, cx, cy, clog2, cmode, 1, tu.levels_cb,
-                   qp_cb, cu.bypass)
+                   qp_cb, cu.bypass, tu.ts_cb)
     reconstruct_tb(planes, sp, cx, cy, clog2, cmode, 2, tu.levels_cr,
-                   qp_cr, cu.bypass)
+                   qp_cr, cu.bypass, tu.ts_cr)
 
 
 # ---------------------------------------------------------------------------
@@ -337,27 +365,55 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
                           slice_type)
 
 
-def _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth,
-                          cu: CuDecision, slice_type=SLICE_I):
-    if log2_size == sp.log2_min_cu:
-        coder.encode_bin("part_mode", 0, 1)  # PART_2Nx2N
-    # luma mode with MPM
-    lm, am, in_ctu = maps.neighbor_modes(x, y)
-    cands = intra.mpm_candidates(lm, am, in_ctu)
-    mode = cu.luma_mode
+def _pu_offsets(size: int):
+    h = size >> 1
+    return ((0, 0), (h, 0), (0, h), (h, h))
+
+
+def _encode_mpm_idx_or_rem(coder, cands, mode) -> None:
     if mode in cands:
         idx = cands.index(mode)
-        coder.encode_bin("prev_intra_luma_pred_flag", 0, 1)
         coder.encode_bypass(0 if idx == 0 else 1)
         if idx > 0:
             coder.encode_bypass(idx - 1)
     else:
-        coder.encode_bin("prev_intra_luma_pred_flag", 0, 0)
         rem = mode
         for c in sorted(cands, reverse=True):
             if mode > c:
                 rem -= 1
         coder.encode_bypass_bits(rem, 5)
+
+
+def _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth,
+                          cu: CuDecision, slice_type=SLICE_I):
+    size = 1 << log2_size
+    if log2_size == sp.log2_min_cu:
+        coder.encode_bin("part_mode", 0, 0 if cu.nxn else 1)
+    if cu.nxn:
+        # spec 7.3.8.5 PART_NxN: all four prev_intra_luma_pred_flag bins
+        # first, then per-PU mpm_idx / rem_intra. MPM candidates of later
+        # PUs reference earlier PUs' modes (z-order), so the granule mode
+        # map is updated per PU as the list is derived.
+        half = size >> 1
+        cands_list = []
+        for i, (dx, dy) in enumerate(_pu_offsets(size)):
+            px, py = x + dx, y + dy
+            lm, am, in_ctu = maps.neighbor_modes(px, py)
+            cands = intra.mpm_candidates(lm, am, in_ctu)
+            cands_list.append(cands)
+            maps.set_cu(px, py, half, depth, cu.luma_modes[i])
+        for i, cands in enumerate(cands_list):
+            coder.encode_bin("prev_intra_luma_pred_flag", 0,
+                             1 if cu.luma_modes[i] in cands else 0)
+        for i, cands in enumerate(cands_list):
+            _encode_mpm_idx_or_rem(coder, cands, cu.luma_modes[i])
+    else:
+        lm, am, in_ctu = maps.neighbor_modes(x, y)
+        cands = intra.mpm_candidates(lm, am, in_ctu)
+        mode = cu.luma_mode
+        coder.encode_bin("prev_intra_luma_pred_flag", 0,
+                         1 if mode in cands else 0)
+        _encode_mpm_idx_or_rem(coder, cands, mode)
     # chroma mode
     if cu.chroma_mode == CHROMA_DM:
         coder.encode_bin("intra_chroma_pred_mode", 0, 0)
@@ -365,8 +421,12 @@ def _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth,
         coder.encode_bin("intra_chroma_pred_mode", 0, 1)
         coder.encode_bypass_bits(cu.chroma_mode, 2)
     _encode_transform_tree(coder, sp, x, y, log2_size, cu)
-    size = 1 << log2_size
-    maps.set_cu(x, y, size, depth, cu.luma_mode)
+    if cu.nxn:
+        half = size >> 1
+        for i, (dx, dy) in enumerate(_pu_offsets(size)):
+            maps.set_cu(x + dx, y + dy, half, depth, cu.luma_modes[i])
+    else:
+        maps.set_cu(x, y, size, depth, cu.luma_mode)
     maps.set_skip(x, y, size, False)
     maps.motion.set_intra_cu(x, y, size,
                              any(tu.levels_y is not None for tu in cu.tus))
@@ -379,6 +439,41 @@ def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
     cbf_cr0 = any(tu.levels_cr is not None for tu in cu.tus)
     coder.encode_bin("cbf_chroma", 0, int(cbf_cb0))
     coder.encode_bin("cbf_chroma", 0, int(cbf_cr0))
+    if cu.nxn:
+        # IntraSplitFlag: split_transform_flag inferred 1; 4 luma 4x4 TBs
+        # (per-PU mode scan + DST), chroma 4x4 coded with the LAST child
+        # transform_unit (spec 7.3.8.10 blkIdx == 3 rule, tus[3])
+        half = 1 << (log2_size - 1)
+        sdh = sp.sign_data_hiding and not cu.bypass
+        ts_ok = sp.transform_skip_enabled and not cu.bypass
+        for i, (dx, dy) in enumerate(_pu_offsets(1 << log2_size)):
+            tu = cu.tus[i]
+            cbf_y = tu.levels_y is not None
+            coder.encode_bin("cbf_luma", 0, int(cbf_y))   # trafoDepth 1
+            if cbf_y:
+                if ts_ok:
+                    coder.encode_bin("transform_skip_flag", 0,
+                                     int(tu.ts_y))
+                scan = residual.intra_scan_idx(log2_size - 1, 0,
+                                               cu.luma_modes[i])
+                residual.encode_residual(coder, tu.levels_y,
+                                         log2_size - 1, 0, scan, sdh)
+            if i == 3:
+                cmode = chroma_mode_from_cu(cu)
+                cscan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
+                if tu.levels_cb is not None:
+                    if ts_ok:
+                        coder.encode_bin("transform_skip_flag", 1,
+                                         int(tu.ts_cb))
+                    residual.encode_residual(coder, tu.levels_cb,
+                                             log2_size - 1, 1, cscan, sdh)
+                if tu.levels_cr is not None:
+                    if ts_ok:
+                        coder.encode_bin("transform_skip_flag", 1,
+                                         int(tu.ts_cr))
+                    residual.encode_residual(coder, tu.levels_cr,
+                                             log2_size - 1, 2, cscan, sdh)
+        return
     if forced_split:
         half = 1 << (log2_size - 1)
         for i, tu in enumerate(cu.tus):
@@ -412,13 +507,20 @@ def _encode_transform_unit(coder, sp, x, y, log2_size, cu: CuDecision,
     chroma_scan = (residual.intra_scan_idx(log2_size - 1, 1, cmode)
                    if not cu.is_inter else 0)
     sdh = sp.sign_data_hiding and not cu.bypass
+    ts_ok = sp.transform_skip_enabled and not cu.bypass
     if cbf_y:
+        if ts_ok and log2_size == 2:
+            coder.encode_bin("transform_skip_flag", 0, int(tu.ts_y))
         residual.encode_residual(coder, tu.levels_y, log2_size, 0, luma_scan,
                                  sdh)
     if tu.levels_cb is not None:
+        if ts_ok and log2_size - 1 == 2:
+            coder.encode_bin("transform_skip_flag", 1, int(tu.ts_cb))
         residual.encode_residual(coder, tu.levels_cb, log2_size - 1, 1,
                                  chroma_scan, sdh)
     if tu.levels_cr is not None:
+        if ts_ok and log2_size - 1 == 2:
+            coder.encode_bin("transform_skip_flag", 1, int(tu.ts_cr))
         residual.encode_residual(coder, tu.levels_cr, log2_size - 1, 2,
                                  chroma_scan, sdh)
 
@@ -530,27 +632,35 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
         maps.motion.set_cu(x, y, size, cu.motion, cbf_y)
         return
     if log2_size == sp.log2_min_cu:
-        part = dec.decode_bin("part_mode", 0)
-        assert part == 1, "NxN partitions not emitted by this encoder"
-    lm, am, in_ctu = maps.neighbor_modes(x, y)
-    cands = intra.mpm_candidates(lm, am, in_ctu)
-    if dec.decode_bin("prev_intra_luma_pred_flag", 0):
-        idx = dec.decode_bypass()
-        if idx:
-            idx = 1 + dec.decode_bypass()
-        mode = cands[idx]
+        cu.nxn = dec.decode_bin("part_mode", 0) == 0
+    if cu.nxn:
+        half = size >> 1
+        flags = [dec.decode_bin("prev_intra_luma_pred_flag", 0)
+                 for _ in range(4)]
+        modes = []
+        for i, (dx, dy) in enumerate(_pu_offsets(size)):
+            px, py = x + dx, y + dy
+            lm, am, in_ctu = maps.neighbor_modes(px, py)
+            cands = intra.mpm_candidates(lm, am, in_ctu)
+            modes.append(_decode_mode_from_cands(dec, cands, flags[i]))
+            maps.set_cu(px, py, half, depth, modes[i])
+        cu.luma_modes = tuple(modes)
     else:
-        mode = dec.decode_bypass_bits(5)
-        for c in sorted(cands):
-            if mode >= c:
-                mode += 1
-    cu.luma_mode = mode
+        lm, am, in_ctu = maps.neighbor_modes(x, y)
+        cands = intra.mpm_candidates(lm, am, in_ctu)
+        flag = dec.decode_bin("prev_intra_luma_pred_flag", 0)
+        cu.luma_mode = _decode_mode_from_cands(dec, cands, flag)
     if dec.decode_bin("intra_chroma_pred_mode", 0):
         cu.chroma_mode = dec.decode_bypass_bits(2)
     else:
         cu.chroma_mode = CHROMA_DM
     _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp)
-    maps.set_cu(x, y, size, depth, cu.luma_mode)
+    if cu.nxn:
+        half = size >> 1
+        for i, (dx, dy) in enumerate(_pu_offsets(size)):
+            maps.set_cu(x + dx, y + dy, half, depth, cu.luma_modes[i])
+    else:
+        maps.set_cu(x, y, size, depth, cu.luma_mode)
     maps.set_skip(x, y, size, False)
     maps.motion.set_intra_cu(x, y, size,
                              any(tu.levels_y is not None for tu in cu.tus))
@@ -580,11 +690,18 @@ def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
             cbf_y = True  # inferred
         tu = TuData()
         sdh = sp.sign_data_hiding and not cu.bypass
+        ts_ok = sp.transform_skip_enabled and not cu.bypass
         if cbf_y:
+            if ts_ok and tlg == 2:
+                tu.ts_y = bool(dec.decode_bin("transform_skip_flag", 0))
             tu.levels_y = residual.decode_residual(dec, tlg, 0, 0, sdh)
         if cb:
+            if ts_ok and tlg - 1 == 2:
+                tu.ts_cb = bool(dec.decode_bin("transform_skip_flag", 1))
             tu.levels_cb = residual.decode_residual(dec, tlg - 1, 1, 0, sdh)
         if cr:
+            if ts_ok and tlg - 1 == 2:
+                tu.ts_cr = bool(dec.decode_bin("transform_skip_flag", 1))
             tu.levels_cr = residual.decode_residual(dec, tlg - 1, 2, 0,
                                                     sdh)
         cu.tus.append(tu)
@@ -604,12 +721,15 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
                                             x, y, size, sp.bit_depth)
     max_val = (1 << sp.bit_depth) - 1
 
-    def add_residual(pred, levels, qp, bypass):
+    def add_residual(pred, levels, qp, bypass, ts=False):
         if levels is None:
             return pred
         if bypass:
             return pred + levels
         deq = transform.dequantize(levels, qp, sp.bit_depth)
+        if ts:
+            return pred + transform.inverse_transform_skip(deq,
+                                                           sp.bit_depth)
         return pred + transform.inverse_transform(deq, sp.bit_depth, False)
 
     n_tus = len(cu.tus) if cu.tus else 0
@@ -647,11 +767,70 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
         recon_cr, 0, max_val)
 
 
+def _decode_mode_from_cands(dec, cands, prev_flag: int) -> int:
+    if prev_flag:
+        idx = dec.decode_bypass()
+        if idx:
+            idx = 1 + dec.decode_bypass()
+        return cands[idx]
+    mode = dec.decode_bypass_bits(5)
+    for c in sorted(cands):
+        if mode >= c:
+            mode += 1
+    return mode
+
+
 def _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp):
     forced_split = log2_size > sp.log2_max_tu
     cbf_cb0 = bool(dec.decode_bin("cbf_chroma", 0))
     cbf_cr0 = bool(dec.decode_bin("cbf_chroma", 0))
     qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
+    if cu.nxn:
+        # PART_NxN: 4 luma 4x4 TBs (parse + reconstruct per PU so each
+        # PU predicts from the previous PUs' recon), chroma 4x4 with the
+        # last child TU (spec blkIdx == 3)
+        half = 1 << (log2_size - 1)
+        sdh = sp.sign_data_hiding and not cu.bypass
+        ts_ok = sp.transform_skip_enabled and not cu.bypass
+        for i, (dx, dy) in enumerate(_pu_offsets(1 << log2_size)):
+            tx, ty = x + dx, y + dy
+            tu = TuData()
+            if dec.decode_bin("cbf_luma", 0):                # trafoDepth 1
+                if ts_ok:
+                    tu.ts_y = bool(dec.decode_bin("transform_skip_flag",
+                                                  0))
+                scan = residual.intra_scan_idx(log2_size - 1, 0,
+                                               cu.luma_modes[i])
+                tu.levels_y = residual.decode_residual(
+                    dec, log2_size - 1, 0, scan, sdh)
+            if i == 3:
+                cmode = chroma_mode_from_cu(cu)
+                cscan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
+                if cbf_cb0:
+                    if ts_ok:
+                        tu.ts_cb = bool(dec.decode_bin(
+                            "transform_skip_flag", 1))
+                    tu.levels_cb = residual.decode_residual(
+                        dec, log2_size - 1, 1, cscan, sdh)
+                if cbf_cr0:
+                    if ts_ok:
+                        tu.ts_cr = bool(dec.decode_bin(
+                            "transform_skip_flag", 1))
+                    tu.levels_cr = residual.decode_residual(
+                        dec, log2_size - 1, 2, cscan, sdh)
+            cu.tus.append(tu)
+            reconstruct_tb(planes, sp, tx, ty, log2_size - 1,
+                           cu.luma_modes[i], 0, tu.levels_y, qp_y,
+                           cu.bypass, tu.ts_y)
+        cmode = chroma_mode_from_cu(cu)
+        cx, cy = x >> 1, y >> 1
+        reconstruct_tb(planes, sp, cx, cy, log2_size - 1, cmode, 1,
+                       cu.tus[3].levels_cb, qp_cb, cu.bypass,
+                       cu.tus[3].ts_cb)
+        reconstruct_tb(planes, sp, cx, cy, log2_size - 1, cmode, 2,
+                       cu.tus[3].levels_cr, qp_cr, cu.bypass,
+                       cu.tus[3].ts_cr)
+        return
     if forced_split:
         half = 1 << (log2_size - 1)
         for i in range(4):
@@ -677,14 +856,21 @@ def _decode_transform_unit(dec, sp, cu_x, cu_y, x, y, log2_size, cu,
     cbf_y = bool(dec.decode_bin("cbf_luma", 1 if trafo_depth == 0 else 0))
     cmode = chroma_mode_from_cu(cu)
     sdh = sp.sign_data_hiding and not cu.bypass
+    ts_ok = sp.transform_skip_enabled and not cu.bypass
     if cbf_y:
+        if ts_ok and log2_size == 2:
+            tu.ts_y = bool(dec.decode_bin("transform_skip_flag", 0))
         scan = residual.intra_scan_idx(log2_size, 0, cu.luma_mode)
         tu.levels_y = residual.decode_residual(dec, log2_size, 0, scan, sdh)
     if cbf_cb:
+        if ts_ok and log2_size - 1 == 2:
+            tu.ts_cb = bool(dec.decode_bin("transform_skip_flag", 1))
         scan = residual.intra_scan_idx(log2_size - 1, 1, cmode)
         tu.levels_cb = residual.decode_residual(dec, log2_size - 1, 1, scan,
                                                 sdh)
     if cbf_cr:
+        if ts_ok and log2_size - 1 == 2:
+            tu.ts_cr = bool(dec.decode_bin("transform_skip_flag", 1))
         scan = residual.intra_scan_idx(log2_size - 1, 2, cmode)
         tu.levels_cr = residual.decode_residual(dec, log2_size - 1, 2, scan,
                                                 sdh)

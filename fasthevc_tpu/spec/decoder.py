@@ -11,7 +11,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils.video import picture_md5
+from ..utils.video import picture_hash
 from . import bitstream as bs
 from . import ctu as ctu_mod
 from .cabac import CabacDecoder, ContextSet
@@ -62,8 +62,9 @@ class SpecDecoder:
             sei = parse_sei(rbsp)
             if "picture_hash" in sei and self.pictures:
                 pic = self.pictures[-1]
-                got = picture_md5((pic.planes.y, pic.planes.cb,
-                                   pic.planes.cr))
+                got = picture_hash((pic.planes.y, pic.planes.cb,
+                                    pic.planes.cr),
+                                   sei.get("picture_hash_type", 0))
                 pic.hash_ok = (got == sei["picture_hash"])
             return
         if nal_type <= 31:  # VCL

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import EncoderConfig
-from ..utils.video import pad_plane, picture_md5
+from ..utils.video import pad_plane, picture_hash
 from . import bitstream as bs
 from . import ctu as ctu_mod
 from . import residual, transform
@@ -74,6 +74,7 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         deblocking_disabled=not cfg.deblocking,
         tile_cols=cfg.tile_cols,
         tile_rows=cfg.tile_rows,
+        transform_skip_enabled=cfg.transform_skip and not cfg.lossless,
     )
     return sp
 
@@ -251,8 +252,11 @@ class SpecEncoder:
             from . import sao as sao_mod
             sao_mod.apply_sao(self.planes, sp, *sao_params)
         # decoded picture hash SEI (suffix)
-        md5s = picture_md5((self.planes.y, self.planes.cb, self.planes.cr))
-        nal += bs.write_nal(bs.NAL_SUFFIX_SEI, write_picture_hash_sei(md5s))
+        ht = self.cfg.hash_type
+        md5s = picture_hash((self.planes.y, self.planes.cb, self.planes.cr),
+                            ht)
+        nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                            write_picture_hash_sei(md5s, ht))
         return nal, self.planes
 
     def _estimate_sao(self, sao_mod):
@@ -380,6 +384,9 @@ class SpecEncoder:
         sp = self.sp
         n = 1 << log2_size
         src_y = self.src.y[y:y + n, x:x + n]
+        entry_state = (self._save_state(x, y, n)
+                       if (log2_size == sp.log2_min_cu
+                           and self.cfg.nxn_intra) else None)
 
         # --- RMD: SATD over all 35 modes. Intra prediction tops out at the
         # max TU size (32), so for a 64x64 CU the shortlist is computed on
@@ -441,7 +448,168 @@ class SpecEncoder:
         self.maps.motion.set_intra_cu(
             x, y, n, any(tu.levels_y is not None for tu in cu.tus))
         self._est_cu_syntax(self.est, x, y, log2_size, cu)
+
+        # ---- PART_NxN alternative at min CU (SURVEY.md E7/C5: makes the
+        # 4x4 luma TB / DST-VII path reachable) -------------------------
+        if (log2_size == sp.log2_min_cu and self.cfg.nxn_intra
+                and entry_state is not None):
+            post_2nx2n = self._save_state(x, y, n)
+            self._restore_state(x, y, n, entry_state)
+            ncost, ncu = self._try_nxn(x, y, log2_size, depth)
+            if ncost < cost:
+                return ncu, ncost
+            self._restore_state(x, y, n, post_2nx2n)
         return cu, cost
+
+    def _try_nxn(self, x, y, log2_size, depth):
+        """PART_NxN RD: per-PU (z-order) RMD + RD mode choice with exact
+        recon feedback (each PU predicts from the previous PUs' recon),
+        then the 4x4 chroma TB and an exact syntax-bit estimate. Commits
+        recon/maps/est. Returns (cost, CuDecision)."""
+        sp = self.sp
+        half = 1 << (log2_size - 1)
+        bypass = self.cfg.lossless
+        modes, tus = [], []
+        dist_total = 0.0
+        for i, (dx, dy) in enumerate(ctu_mod._pu_offsets(1 << log2_size)):
+            px, py = x + dx, y + dy
+            src = self.src.y[py:py + half, px:px + half]
+            lm, am, in_ctu = self.maps.neighbor_modes(px, py)
+            cands = ctu_mod.intra.mpm_candidates(lm, am, in_ctu)
+            satd_costs = []
+            for mode in range(35):
+                pred = ctu_mod.predict_block(self.planes, sp, px, py,
+                                             log2_size - 1, mode, 0)
+                mode_bits = 2.0 if mode in cands else 6.0
+                satd_costs.append((satd(src - pred)
+                                   + self.lambda_mode * mode_bits, mode))
+            satd_costs.sort()
+            rd_modes = [m for _, m in
+                        satd_costs[:self.cfg.num_intra_rd_candidates]]
+            for m in cands:
+                if m not in rd_modes:
+                    rd_modes.append(m)
+            best = None
+            for mode in rd_modes:
+                d, levels, ts = self._build_luma_tb(px, py, log2_size - 1,
+                                                    mode, bypass)
+                est = CabacEstimator(self.est.ctx.copy())
+                est.encode_bin("cbf_luma", 0, int(levels is not None))
+                if levels is not None:
+                    if sp.transform_skip_enabled and not bypass:
+                        est.encode_bin("transform_skip_flag", 0, int(ts))
+                    scan = residual.intra_scan_idx(log2_size - 1, 0, mode)
+                    residual.encode_residual(est, levels, log2_size - 1,
+                                             0, scan,
+                                             sp.sign_data_hiding
+                                             and not bypass)
+                mode_bits = (2.0 if mode == cands[0] else
+                             3.0 if mode in cands else 6.0)
+                c = d + self.lambda_mode * (est.bits + mode_bits)
+                if best is None or c < best[0]:
+                    best = (c, mode, levels, d, ts)
+            _, mode_i, levels_i, d_i, ts_i = best
+            # re-apply the winning PU's recon (trials overwrote it)
+            ctu_mod.reconstruct_tb(self.planes, sp, px, py, log2_size - 1,
+                                   mode_i, 0, levels_i, self.qp_y, bypass,
+                                   ts_i)
+            self.maps.set_cu(px, py, half, depth, mode_i)
+            modes.append(mode_i)
+            tus.append(TuData(levels_y=levels_i, ts_y=ts_i))
+            dist_total += d_i
+        cu = CuDecision(split=False, nxn=True, luma_modes=tuple(modes),
+                        chroma_mode=CHROMA_DM, bypass=bypass, tus=tus)
+        # chroma 4x4 (DM from PU0), carried by tus[3]
+        cmode = ctu_mod.chroma_mode_from_cu(cu)
+        cx, cy = x >> 1, y >> 1
+        for c_idx, qp in ((1, self.qp_cb), (2, self.qp_cr)):
+            src_c = self.src.plane(c_idx)[cy:cy + half, cx:cx + half]
+            pred = ctu_mod.predict_block(self.planes, sp, cx, cy,
+                                         log2_size - 1, cmode, c_idx)
+            res = src_c - pred
+            ts = False
+            if bypass:
+                levels = res.astype(np.int32)
+                if not levels.any():
+                    levels = None
+            else:
+                levels, ts = self._tq_intra_tb(
+                    res, qp, log2_size - 1, c_idx,
+                    residual.intra_scan_idx(log2_size - 1, c_idx, cmode))
+            ctu_mod.reconstruct_tb(self.planes, sp, cx, cy, log2_size - 1,
+                                   cmode, c_idx, levels, qp, bypass, ts)
+            rec = self.planes.plane(c_idx)[cy:cy + half, cx:cx + half]
+            dist_total += sse(src_c, rec)
+            if c_idx == 1:
+                tus[3].levels_cb = levels
+                tus[3].ts_cb = ts
+            else:
+                tus[3].levels_cr = levels
+                tus[3].ts_cr = ts
+        est = CabacEstimator(self.est.ctx.copy())
+        self._est_cu_syntax(est, x, y, log2_size, cu)
+        cost = dist_total + self.lambda_mode * est.bits
+        n = 1 << log2_size
+        self.maps.set_skip(x, y, n, False)
+        self.maps.motion.set_intra_cu(
+            x, y, n, any(tu.levels_y is not None for tu in tus))
+        self._est_cu_syntax(self.est, x, y, log2_size, cu)
+        return cost, cu
+
+    def _tq_intra_tb(self, res, qp, blog2, c_idx, scan):
+        """TQ one intra TB, choosing DCT/DST vs transform_skip by RD when
+        the PPS enables TS and the TB is 4x4. Returns (levels|None, ts)."""
+        sp = self.sp
+        use_dst = (c_idx == 0 and blog2 == 2)
+        variants = ((False,) if not (sp.transform_skip_enabled
+                                     and blog2 == 2) else (False, True))
+        best = None
+        for ts in variants:
+            if ts:
+                coeffs = transform.forward_transform_skip(res, sp.bit_depth)
+            else:
+                coeffs = transform.forward_transform(res, sp.bit_depth,
+                                                     use_dst)
+            levels = transform.quantize(coeffs, qp, sp.bit_depth,
+                                        is_intra=True)
+            if sp.sign_data_hiding and levels.any():
+                levels = residual.sdh_adjust(levels, coeffs, qp,
+                                             sp.bit_depth, blog2, scan)
+            deq = transform.dequantize(levels, qp, sp.bit_depth)
+            if ts:
+                rhat = transform.inverse_transform_skip(deq, sp.bit_depth)
+            else:
+                rhat = transform.inverse_transform(deq, sp.bit_depth,
+                                                   use_dst)
+            a = np.abs(levels)
+            bits = float((a > 0).sum()) * 2.0 + \
+                2.0 * float(np.log2(1.0 + a[a > 0]).sum())
+            cost = sse(res, rhat) + self.lambda_mode * bits
+            if best is None or cost < best[0]:
+                best = (cost, levels if levels.any() else None, ts)
+        return best[1], best[2]
+
+    def _build_luma_tb(self, x, y, blog2, mode, bypass):
+        """TQ + reconstruct one luma TB; returns (sse_dist, levels|None,
+        transform_skip)."""
+        sp = self.sp
+        bn = 1 << blog2
+        src = self.src.y[y:y + bn, x:x + bn]
+        pred = ctu_mod.predict_block(self.planes, sp, x, y, blog2, mode, 0)
+        res = src - pred
+        ts = False
+        if bypass:
+            levels = res.astype(np.int32)
+            if not levels.any():
+                levels = None
+        else:
+            levels, ts = self._tq_intra_tb(
+                res, self.qp_y, blog2, 0,
+                residual.intra_scan_idx(blog2, 0, mode))
+        ctu_mod.reconstruct_tb(self.planes, sp, x, y, blog2, mode, 0,
+                               levels, self.qp_y, bypass, ts)
+        rec = self.planes.y[y:y + bn, x:x + bn]
+        return sse(src, rec), levels, ts
 
     # ---- inter search ----------------------------------------------------
 
@@ -673,28 +841,26 @@ class SpecEncoder:
             pred = ctu_mod.predict_block(self.planes, sp, bx, by, blog2,
                                          mode, c_idx)
             res = src - pred
+            ts = False
             if cu.bypass:
                 levels = res.astype(np.int32)
+                if not levels.any():
+                    levels = None
             else:
-                use_dst = (c_idx == 0 and blog2 == 2)
-                coeffs = transform.forward_transform(res, sp.bit_depth,
-                                                     use_dst)
-                levels = transform.quantize(coeffs, qp, sp.bit_depth,
-                                            is_intra=True)
-                if sp.sign_data_hiding and levels.any():
-                    levels = residual.sdh_adjust(
-                        levels, coeffs, qp, sp.bit_depth, blog2,
-                        residual.intra_scan_idx(blog2, c_idx, mode))
-            if not levels.any():
-                levels = None
+                levels, ts = self._tq_intra_tb(
+                    res, qp, blog2, c_idx,
+                    residual.intra_scan_idx(blog2, c_idx, mode))
             ctu_mod.reconstruct_tb(self.planes, sp, bx, by, blog2, mode,
-                                   c_idx, levels, qp, cu.bypass)
+                                   c_idx, levels, qp, cu.bypass, ts)
             rec = self.planes.plane(c_idx)[by:by + bn, bx:bx + bn]
             dist += sse(src, rec)
             if c_idx == 0:
                 tu.levels_y = levels
+                tu.ts_y = ts
             elif c_idx == 1:
                 tu.levels_cb = levels
+                tu.ts_cb = ts
             else:
                 tu.levels_cr = levels
+                tu.ts_cr = ts
         return dist, tu

@@ -467,14 +467,19 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
 # SEI: decoded picture hash (Annex D.3.19)
 # ---------------------------------------------------------------------------
 
-def write_picture_hash_sei(md5s: list[bytes]) -> bytes:
-    """decoded_picture_hash SEI with MD5 per plane (suffix SEI payload)."""
+_HASH_LEN = {0: 16, 1: 2, 2: 4}  # MD5 / CRC / checksum bytes per plane
+
+
+def write_picture_hash_sei(hashes: list[bytes], hash_type: int = 0) -> bytes:
+    """decoded_picture_hash SEI (suffix payload): MD5 (0), CRC (1) or
+    checksum (2) per plane — the full Annex D.3.19 type set."""
+    n = _HASH_LEN[hash_type]
     w = BitWriter()
     w.write_bits(132, 8)              # payloadType = decoded_picture_hash
-    w.write_bits(1 + 16 * len(md5s), 8)  # payloadSize
-    w.write_bits(0, 8)                # hash_type = MD5
-    for h in md5s:
-        assert len(h) == 16
+    w.write_bits(1 + n * len(hashes), 8)  # payloadSize
+    w.write_bits(hash_type, 8)
+    for h in hashes:
+        assert len(h) == n
         w.append_bytes(h)
     w.byte_align()
     return w.get_bytes()
@@ -501,10 +506,12 @@ def parse_sei(rbsp: bytes) -> dict:
         if ptype == 132:
             hash_type = r.read_bits(8)
             hashes = []
-            if hash_type == 0:
-                for _ in range((psize - 1) // 16):
-                    hashes.append(bytes(r.read_bits(8) for _ in range(16)))
+            n = _HASH_LEN.get(hash_type)
+            if n is not None:
+                for _ in range((psize - 1) // n):
+                    hashes.append(bytes(r.read_bits(8) for _ in range(n)))
             out["picture_hash"] = hashes
+            out["picture_hash_type"] = hash_type
         else:
             for _ in range(psize):
                 r.read_bits(8)

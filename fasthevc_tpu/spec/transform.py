@@ -69,6 +69,24 @@ def inverse_transform(coeffs: np.ndarray, bit_depth: int = 8,
     return r.astype(np.int32)
 
 
+def forward_transform_skip(residual: np.ndarray,
+                           bit_depth: int = 8) -> np.ndarray:
+    """transform_skip forward path (4x4 only): coeff = res << (15 - B -
+    log2TbSize) — the scale that makes the shared quant/dequant ladder
+    land on the same working point as the DCT path (HM convention)."""
+    return (residual.astype(np.int32) << (15 - bit_depth - 2))
+
+
+def inverse_transform_skip(coeffs: np.ndarray,
+                           bit_depth: int = 8) -> np.ndarray:
+    """transform_skip inverse (spec 8.6.4.2): r = coeff << 7, then the
+    bdShift = 20 - bitDepth rounding shift of the regular stage-2."""
+    bd_shift = 20 - bit_depth
+    r = (coeffs.astype(np.int64) << 7)
+    out = (r + (1 << (bd_shift - 1))) >> bd_shift
+    return np.clip(out, -(1 << 15), (1 << 15) - 1).astype(np.int32)
+
+
 def quantize(coeffs: np.ndarray, qp: int, bit_depth: int = 8,
              is_intra: bool = True) -> np.ndarray:
     """Forward scalar quantization (HM convention, non-RDOQ).

@@ -3,11 +3,12 @@
 from .video import (
     bd_rate,
     pad_plane,
+    picture_hash,
     picture_md5,
     psnr,
     synthesize_yuv,
     yuv_from_planes,
 )
 
-__all__ = ["bd_rate", "pad_plane", "picture_md5", "psnr", "synthesize_yuv",
-           "yuv_from_planes"]
+__all__ = ["bd_rate", "pad_plane", "picture_hash", "picture_md5", "psnr",
+           "synthesize_yuv", "yuv_from_planes"]

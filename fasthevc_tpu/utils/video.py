@@ -76,6 +76,49 @@ def picture_md5(planes) -> list[bytes]:
     return out
 
 
+def picture_crc(planes) -> list[bytes]:
+    """Per-plane 16-bit CRC (Annex D.3.19 hash_type 1).
+
+    The spec's bitwise CRC (poly 0x1021, init 0xFFFF fed in at the
+    register bottom, 16 augmenting zero bits) equals the table-driven
+    CCITT CRC binascii implements, with the init transformed to
+    0xFFFF*x^16 mod G = 0x1D0F (verified bit-by-bit in tests)."""
+    import binascii
+    out = []
+    for p in planes:
+        arr = np.asarray(p).astype(np.uint8)
+        crc = binascii.crc_hqx(arr.tobytes(), 0x1D0F)
+        out.append(bytes(((crc >> 8) & 0xFF, crc & 0xFF)))
+    return out
+
+
+def picture_checksum(planes) -> list[bytes]:
+    """Per-plane 32-bit checksum (Annex D.3.19 hash_type 2): sum of
+    sample bytes XORed with a position mask."""
+    out = []
+    for p in planes:
+        arr = np.asarray(p).astype(np.uint32)
+        h, w = arr.shape
+        xs = np.arange(w, dtype=np.uint32)
+        ys = np.arange(h, dtype=np.uint32)
+        mask = ((xs[None, :] & 0xFF) ^ (ys[:, None] & 0xFF)
+                ^ (xs[None, :] >> 8) ^ (ys[:, None] >> 8))
+        s = int(((arr & 0xFF) ^ mask).sum(dtype=np.uint64) & 0xFFFFFFFF)
+        out.append(s.to_bytes(4, "big"))
+    return out
+
+
+HASH_MD5, HASH_CRC, HASH_CHECKSUM = 0, 1, 2
+_HASH_FN = {HASH_MD5: picture_md5, HASH_CRC: picture_crc,
+            HASH_CHECKSUM: picture_checksum}
+HASH_LEN = {HASH_MD5: 16, HASH_CRC: 2, HASH_CHECKSUM: 4}
+
+
+def picture_hash(planes, hash_type: int = HASH_MD5) -> list[bytes]:
+    """Per-plane decoded-picture hash of the requested Annex D type."""
+    return _HASH_FN[hash_type](planes)
+
+
 def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test) -> float:
     """Bjontegaard delta rate (%) via piecewise-cubic interpolation over
     four (rate, PSNR) points per curve. Negative = test saves bitrate."""

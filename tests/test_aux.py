@@ -102,3 +102,76 @@ def test_metrics_log(tmp_path):
     log.close()
     lines = open(p).read().strip().splitlines()
     assert len(lines) == 2 and '"slice_type": "I"' in lines[0]
+
+
+# ---------------------------------------------------------------------------
+# decoded-picture-hash SEI variants (SURVEY.md E12: MD5 / CRC / checksum)
+# ---------------------------------------------------------------------------
+
+def _crc_spec_bitwise(data: bytes) -> int:
+    """Annex D.3.19 CRC, literal bit-by-bit transcription (the oracle the
+    table-driven utils implementation must match)."""
+    crc = 0xFFFF
+    for byte in data:
+        for bit_idx in range(8):
+            msb = (crc >> 15) & 1
+            bit = (byte >> (7 - bit_idx)) & 1
+            crc = (((crc << 1) + bit) & 0xFFFF) ^ (0x1021 if msb else 0)
+    for _ in range(16):
+        msb = (crc >> 15) & 1
+        crc = ((crc << 1) & 0xFFFF) ^ (0x1021 if msb else 0)
+    return crc
+
+
+def test_picture_crc_matches_spec_bitwise():
+    from fasthevc_tpu.utils.video import picture_crc
+    rng = np.random.default_rng(5)
+    for shape in ((8, 8), (17, 31), (64, 96)):
+        p = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = _crc_spec_bitwise(p.tobytes())
+        assert picture_crc([p])[0] == want.to_bytes(2, "big")
+
+
+def test_picture_checksum_matches_spec_loop():
+    from fasthevc_tpu.utils.video import picture_checksum
+    rng = np.random.default_rng(6)
+    p = rng.integers(0, 256, (33, 300), dtype=np.uint8)
+    s = 0
+    for y in range(p.shape[0]):
+        for x in range(p.shape[1]):
+            mask = (x & 0xFF) ^ (y & 0xFF) ^ (x >> 8) ^ (y >> 8)
+            s = (s + ((int(p[y, x]) & 0xFF) ^ mask)) & 0xFFFFFFFF
+    assert picture_checksum([p])[0] == s.to_bytes(4, "big")
+
+
+@pytest.mark.parametrize("hash_type", [1, 2])
+def test_hash_sei_variants_roundtrip(hash_type):
+    """Encode with CRC / checksum hash SEI; decoder must verify it."""
+    from fasthevc_tpu.codec.encoder import TpuEncoder
+    frames = synthesize_yuv(96, 64, 2, seed=9)
+    cfg = EncoderConfig(width=96, height=64, frames=2, qp=32,
+                        hash_type=hash_type)
+    stream, _ = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == 2 and all(p.hash_ok for p in pics)
+
+
+# ---------------------------------------------------------------------------
+# native-engine sanitizer build (SURVEY.md §5.2)
+# ---------------------------------------------------------------------------
+
+def test_native_engine_asan_ubsan():
+    """Build the C++ engine self-test with ASan+UBSan and run it: random
+    CABAC bin streams, residual blocks of every size, deblock on random
+    pictures — any OOB/UB aborts with a nonzero exit."""
+    import subprocess
+    from fasthevc_tpu import cabac_cpp
+    if not cabac_cpp.available():
+        pytest.skip("C++ toolchain unavailable")
+    try:
+        exe = cabac_cpp.build_sanitized()
+    except Exception:
+        pytest.skip("sanitizer libs unavailable")
+    r = subprocess.run([exe], capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert b"sanitize_main OK" in r.stdout

@@ -1,0 +1,54 @@
+"""BD-rate gate: the production TpuEncoder must stay within a bounded
+BD-rate distance of the SpecEncoder oracle (VERDICT r1 item 5 — without
+this gate the TPU search proxies can regress silently).
+
+The oracle runs exhaustive recursive RDO with reconstructed references;
+the TPU path uses source-reference wavefront-free search + proxies.
+Gate: BD-rate(TpuEncoder vs SpecEncoder) <= GATE_PCT on the synthetic
+clip, 4 CTC QPs. Ratchet GATE_PCT down as the search improves.
+"""
+
+import numpy as np
+import pytest
+
+from fasthevc_tpu.codec.encoder import TpuEncoder
+from fasthevc_tpu.config import EncoderConfig
+from fasthevc_tpu.config.config import GopEntry
+from fasthevc_tpu.spec.encoder import SpecEncoder
+from fasthevc_tpu.utils import bd_rate, psnr, synthesize_yuv, yuv_from_planes
+
+GATE_INTRA_PCT = 13.0  # measured 11.7 on the rd harness; ratchet down
+GATE_P_PCT = 20.0      # measured ~18 on the rd harness; ratchet down
+
+W, H, N = 96, 64, 2
+QPS = (22, 27, 32, 37)
+
+
+def _curve(cls, frames, **cfg_kw):
+    rates, psnrs = [], []
+    for qp in QPS:
+        cfg = EncoderConfig(width=W, height=H, qp=qp, frames=len(frames),
+                            sao=False, **cfg_kw)
+        stream, recs = cls(cfg).encode(frames)
+        ys = [yuv_from_planes((r.y, r.cb, r.cr), W, H)[0] for r in recs]
+        rates.append(len(stream) * 8 / len(frames))
+        psnrs.append(np.mean([psnr(frames[i][0], ys[i])
+                              for i in range(len(frames))]))
+    return rates, psnrs
+
+
+def test_bd_gate_all_intra():
+    frames = synthesize_yuv(W, H, N, seed=21)
+    ra, pa = _curve(SpecEncoder, frames)
+    rt, pt = _curve(TpuEncoder, frames)
+    bd = bd_rate(ra, pa, rt, pt)
+    assert bd <= GATE_INTRA_PCT, f"BD-rate {bd:.2f}% vs oracle"
+
+
+def test_bd_gate_p_frames():
+    frames = synthesize_yuv(W, H, 3, seed=22)
+    kw = dict(intra_period=-1, gop=[GopEntry(1, 2, "P", (-1,))])
+    ra, pa = _curve(SpecEncoder, frames, **kw)
+    rt, pt = _curve(TpuEncoder, frames, **kw)
+    bd = bd_rate(ra, pa, rt, pt)
+    assert bd <= GATE_P_PCT, f"BD-rate {bd:.2f}% vs oracle"
