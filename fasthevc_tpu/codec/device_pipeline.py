@@ -5,9 +5,21 @@ This is the SURVEY.md §7.0 decision-then-commit design taken to its end
 state: the whole pixel path (batched RDO search -> wavefront exact
 reconstruction -> deblock -> SAO estimate/apply) lives on device, and the
 only host work per frame is the sequential bit emission (C++
-hevc_entropy_slice_tiled) plus NAL/MD5 glue. One dispatch per FRAME_GROUP
-frames amortizes the axon tunnel round-trip; outputs are fetched as a
-single pytree.
+hevc_entropy_slice_tiled) plus NAL glue.
+
+Fetch architecture (the device->host tunnel sustains only ~25-35 MB/s, so
+bytes fetched per frame bound the frame rate):
+  * levels ship as int8 planes (quantized levels at practical QPs almost
+    never exceed |127|) with a per-frame/plane overflow flag; the exact
+    int16 planes stay on device and are fetched ONLY for flagged frames.
+  * the Annex D.3.19 decoded-picture CHECKSUM is a position-masked wrapping
+    sum — computed on device, so hash_type=2 needs no recon fetch at all;
+    recon planes are returned as device arrays and fetched lazily (MD5/CRC
+    are host-sequential and force the fetch).
+  * the intra search runs in micro-batches of <=4 frames inside the
+    dispatch (its all-modes tensors at 1080p exceed HBM beyond that) while
+    commit/deblock/SAO batch over the full group — the wavefront scan's
+    per-wave cost is frame-count-invariant, so bigger groups divide it.
 
 Scope guard (device_path_ok): intra slices, CTU 32, 8-bit, no lossless,
 no RDOQ (the classic C++ commit path remains for everything else).
@@ -19,12 +31,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.commit import wavefront_commit_intra
 from ..ops.deblock import deblock_device
 from ..ops.sao import sao_device
 from .search import _search_intra_maps_impl
+
+SEARCH_MICRO_BATCH = 4
 
 
 def device_path_ok(cfg, sp) -> bool:
@@ -32,10 +45,23 @@ def device_path_ok(cfg, sp) -> bool:
             and not cfg.rdoq)
 
 
+def _device_checksum(plane_u8: jnp.ndarray) -> jnp.ndarray:
+    """Annex D.3.19 hash_type 2 checksum of one plane (uint32 scalar):
+    sum of sample bytes XORed with the position mask, wrapping mod 2^32
+    (twin of utils.video.picture_checksum)."""
+    h, w = plane_u8.shape
+    xs = jnp.arange(w, dtype=jnp.uint32)
+    ys = jnp.arange(h, dtype=jnp.uint32)
+    mask = ((xs[None, :] & 0xFF) ^ (ys[:, None] & 0xFF)
+            ^ (xs[None, :] >> 8) ^ (ys[:, None] >> 8))
+    vals = (plane_u8.astype(jnp.uint32) & 0xFF) ^ mask
+    return jnp.sum(vals.astype(jnp.uint32))  # uint32 add wraps mod 2^32
+
+
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
                                    "coded_h", "sdh", "deblock_on", "sao_on",
                                    "tile_bounds_x", "tile_bounds_y",
-                                   "use_cnn"))
+                                   "use_cnn", "rd_cands"))
 def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
                         qp_cr, qp_for_deblock, log2_ctu: int,
                         log2_min_cu: int, coded_w: int, coded_h: int,
@@ -43,22 +69,38 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
                         tile_bounds_x: tuple = (),
                         tile_bounds_y: tuple = (),
                         cnn_params=None, qp: int = 0,
-                        use_cnn: bool = False):
+                        use_cnn: bool = False, rd_cands: int = 3):
     """Search + exact commit + filters for F frames in one dispatch.
 
     y_u8: [F, PH, PW] uint8 (CTU-padded), cb/cr_u8: [F, PH/2, PW/2].
     qp_*: dynamic int32 scalars (temporal cascade / rate control).
-    Returns dict of stacked per-frame outputs (device arrays).
+    Returns dict of stacked per-frame outputs (device arrays); see module
+    docstring for which are meant to be fetched eagerly vs lazily.
     """
     gh, gw = coded_h >> 3, coded_w >> 3
+    f_total = y_u8.shape[0]
 
-    def one(y, cbp, crp):
-        packed = _search_intra_maps_impl(y, lambda_sqrt, log2_ctu,
-                                         log2_min_cu, coded_w, coded_h,
-                                         cnn_params, qp, use_cnn,
-                                         cb_u8=cbp, cr_u8=crp)
-        dm = packed[:gh, :gw, 0].astype(jnp.int32)
-        mm = packed[:gh, :gw, 1].astype(jnp.int32)
+    def search_mb(args):
+        ym, cbm, crm = args
+        return jax.vmap(lambda y, cb, cr: _search_intra_maps_impl(
+            y, lambda_sqrt, log2_ctu, log2_min_cu, coded_w, coded_h,
+            cnn_params, qp, use_cnn, cb_u8=cb, cr_u8=cr,
+            rd_cands=rd_cands))(ym, cbm, crm)
+
+    mb = SEARCH_MICRO_BATCH
+    if f_total % mb == 0 and f_total > mb:
+        nmb = f_total // mb
+        packed = jax.lax.map(
+            search_mb, (y_u8.reshape((nmb, mb) + y_u8.shape[1:]),
+                        cb_u8.reshape((nmb, mb) + cb_u8.shape[1:]),
+                        cr_u8.reshape((nmb, mb) + cr_u8.shape[1:])))
+        packed = packed.reshape((f_total,) + packed.shape[2:])
+    else:
+        packed = search_mb((y_u8, cb_u8, cr_u8))
+
+    def one(y, cbp, crp, pk):
+        dm = pk[:gh, :gw, 0].astype(jnp.int32)
+        mm = pk[:gh, :gw, 1].astype(jnp.int32)
         sy = y[:coded_h, :coded_w].astype(jnp.int32)
         scb = cbp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
         scr = crp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
@@ -76,11 +118,24 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
             ny = -(-coded_h // (1 << log2_ctu))
             nx = -(-coded_w // (1 << log2_ctu))
             sao_params = jnp.zeros((ny, nx, 3, 7), jnp.int32)
-        return dict(packed=packed,
-                    lv_y=lv_y, lv_cb=lv_cb, lv_cr=lv_cr,
-                    rec_y=ry.astype(jnp.uint8),
-                    rec_cb=rcb.astype(jnp.uint8),
-                    rec_cr=rcr.astype(jnp.uint8),
-                    sao=sao_params)
+        ry8 = ry.astype(jnp.uint8)
+        rcb8 = rcb.astype(jnp.uint8)
+        rcr8 = rcr.astype(jnp.uint8)
+        cksum = jnp.stack([_device_checksum(ry8), _device_checksum(rcb8),
+                           _device_checksum(rcr8)])
 
-    return jax.vmap(one)(y_u8, cb_u8, cr_u8)
+        def to8(lv):
+            return (jnp.clip(lv, -128, 127).astype(jnp.int8),
+                    jnp.any(jnp.abs(lv.astype(jnp.int32)) > 127))
+
+        lv8_y, of_y = to8(lv_y)
+        lv8_cb, of_cb = to8(lv_cb)
+        lv8_cr, of_cr = to8(lv_cr)
+        return dict(packed=pk,
+                    lv8_y=lv8_y, lv8_cb=lv8_cb, lv8_cr=lv8_cr,
+                    overflow=jnp.stack([of_y, of_cb, of_cr]),
+                    lv_y=lv_y, lv_cb=lv_cb, lv_cr=lv_cr,
+                    rec_y=ry8, rec_cb=rcb8, rec_cr=rcr8,
+                    cksum=cksum, sao=sao_params)
+
+    return jax.vmap(one)(y_u8, cb_u8, cr_u8, packed)

@@ -36,11 +36,13 @@ from ..utils.video import pad_plane, picture_hash
 from .search import decisions_to_trees, search_intra_frame
 
 
-# Frames per device dispatch on the pipelined all-intra path: the axon
-# tunnel costs ~30-60 ms latency per round-trip regardless of payload, so
-# grouping frames amortizes it (search compute is <1 ms/frame). bench.py
-# warms up exactly this group shape so the timed run hits the jit cache.
-FRAME_GROUP = 4
+# Frames per device dispatch on the pipelined all-intra path: the
+# wavefront commit's per-wave cost is frame-count-invariant and the axon
+# tunnel costs ~30-60 ms latency per round-trip, so larger groups divide
+# both; 8 balances that against pipeline latency and search HBM (the
+# search micro-batches at 4 inside the dispatch). bench.py warms up
+# exactly this group shape so the timed run hits the jit cache.
+FRAME_GROUP = 8
 
 
 def _native_engine():
@@ -182,14 +184,20 @@ class TpuEncoder:
         """Device-pipeline all-intra encode: one TPU dispatch per frame
         group runs search -> exact wavefront commit -> deblock -> SAO; the
         host emits CABAC per frame on a small thread pool while the device
-        works on the next group (double-buffered dispatch)."""
+        works on the next group (double-buffered dispatch).
+
+        Fetch discipline (the tunnel is ~25-35 MB/s): only the int8 level
+        planes + decision maps + SAO params + device checksums come back
+        eagerly; exact int16 levels are fetched per frame only when the
+        overflow flag is set, and recon planes stay on device when the
+        hash SEI is the (device-computed) Annex-D checksum."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        import jax
         import jax.numpy as jnp
 
         from ..spec.ctu import tu_qps
+        from ..utils.video import HASH_CHECKSUM
         from .device_pipeline import encode_group_device
 
         sp = self.sp
@@ -210,6 +218,15 @@ class TpuEncoder:
         group = min(self.cfg.frame_group or FRAME_GROUP, n)
         starts = list(range(0, n, group))
         gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
+        cksum_hash = cfg.hash_type == HASH_CHECKSUM
+        # keys fetched eagerly per group; recon/int16 levels stay device-
+        # side unless needed (see emit_frame)
+        eager = ["packed", "lv8_y", "lv8_cb", "lv8_cr", "overflow",
+                 "cksum"]
+        if sao_on:
+            eager.append("sao")
+        if not cksum_hash:
+            eager += ["rec_y", "rec_cb", "rec_cr"]
 
         def upload(i0, i1):
             ys, cbs, crs = [], [], []
@@ -235,17 +252,24 @@ class TpuEncoder:
                 jnp.int32(qp), sp.log2_ctu, sp.log2_min_cu,
                 sp.coded_width, sp.coded_height, bool(sp.sign_data_hiding),
                 deblock_on, sao_on, tbx, tby,
-                cnn_params=self.partition_params, qp=qp, use_cnn=use_cnn)
+                cnn_params=self.partition_params, qp=qp, use_cnn=use_cnn,
+                rd_cands=cfg.num_intra_rd_candidates)
 
-        def emit_frame(res, j):
+        def emit_frame(res, res_dev, j):
             depth = np.ascontiguousarray(res["packed"][j, :gh, :gw, 0]
                                          .astype(np.int8))
             mode = np.ascontiguousarray(res["packed"][j, :gh, :gw, 1]
                                         .astype(np.int8))
+            of = res["overflow"][j]
+            lvs = []
+            for pi, key in enumerate(("lv_y", "lv_cb", "lv_cr")):
+                if of[pi]:  # rare: a |level| > 127 -> exact int16 fetch
+                    lvs.append(np.asarray(res_dev[key][j]))
+                else:
+                    lvs.append(res["lv8_" + key[3:]][j])
             subs = native.entropy_slice_native(
                 sp, qp_y, qp_cb, qp_cr, depth, mode,
-                res["lv_y"][j], res["lv_cb"][j], res["lv_cr"][j],
-                ContextSet(0, qp),
+                lvs[0], lvs[1], lvs[2], ContextSet(0, qp),
                 sao_params=res["sao"][j] if sao_on else None,
                 sdh=sp.sign_data_hiding)
             sh = SliceHeader(
@@ -256,12 +280,21 @@ class TpuEncoder:
             for s_bytes in subs:
                 w.append_bytes(s_bytes)
             planes = Planes.__new__(Planes)
-            planes.y = res["rec_y"][j].astype(np.int32)
-            planes.cb = res["rec_cb"][j].astype(np.int32)
-            planes.cr = res["rec_cr"][j].astype(np.int32)
+            if cksum_hash:
+                # lazy recon: device arrays; fetched only if a caller
+                # actually touches the pixels (np coercion)
+                planes.y = res_dev["rec_y"][j]
+                planes.cb = res_dev["rec_cb"][j]
+                planes.cr = res_dev["rec_cr"][j]
+                md5s = [int(v).to_bytes(4, "big")
+                        for v in np.asarray(res["cksum"][j])]
+            else:
+                planes.y = res["rec_y"][j].astype(np.int32)
+                planes.cb = res["rec_cb"][j].astype(np.int32)
+                planes.cr = res["rec_cr"][j].astype(np.int32)
+                md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                                    cfg.hash_type)
             nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
-            md5s = picture_hash((planes.y, planes.cb, planes.cr),
-                                cfg.hash_type)
             nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
                                 write_picture_hash_sei(md5s, cfg.hash_type))
             return nal, planes
@@ -273,11 +306,12 @@ class TpuEncoder:
             for ci in range(min(2, len(starts))):  # stay 2 groups ahead
                 dispatch(ci)
             for ci, s in enumerate(starts):
-                res_np = jax.tree.map(np.asarray, chunk_dev.pop(ci))
+                res_dev = chunk_dev.pop(ci)
+                res_np = {k: np.asarray(res_dev[k]) for k in eager}
                 if ci + 2 < len(starts):
                     dispatch(ci + 2)
                 for j in range(res_np["packed"].shape[0]):
-                    futs.append(ex.submit(emit_frame, res_np, j))
+                    futs.append(ex.submit(emit_frame, res_np, res_dev, j))
             for i, fut in enumerate(futs):
                 results[i] = fut.result()
         recons = []
@@ -340,7 +374,8 @@ class TpuEncoder:
                 sp_.coded_width, sp_.coded_height,
                 cnn_params=self.partition_params, qp=self.cfg.qp,
                 use_cnn=use_cnn, cb_u8_batch=jnp.asarray(cbs),
-                cr_u8_batch=jnp.asarray(crs))
+                cr_u8_batch=jnp.asarray(crs),
+                rd_cands=self.cfg.num_intra_rd_candidates)
 
         import os
         workers = max(2, min(4, (os.cpu_count() or 2)))
@@ -386,7 +421,8 @@ class TpuEncoder:
         up_dtype = np.uint8 if sp.bit_depth == 8 else np.int32
         lam = jnp.float32(self._lambda_sqrt(qp))
         kw = dict(cnn_params=self.partition_params, qp=qp,
-                  use_cnn=use_cnn)
+                  use_cnn=use_cnn,
+                  rd_cands=cfg.num_intra_rd_candidates)
         y_dev = jnp.asarray(y_pad.astype(up_dtype))
         if is_idr or not refs[0]:
             if src is not None:

@@ -99,11 +99,11 @@ def _intra_mode_bits(best_mode: jnp.ndarray, gy: int, gx: int,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "mpm_edge_x"))
+                                   "mpm_edge_x", "rd_cands"))
 def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                        log2_ctu: int = 5, log2_min_cu: int = 3,
                        cb_plane=None, cr_plane=None, mpm_edge_x: int = 0,
-                       mpm_edge_on=None):
+                       mpm_edge_on=None, rd_cands: int = 3):
     """Decide the CU quadtree + luma mode for every CTU of a frame.
 
     y_plane: [H, W] int32 luma (coded dims, multiples of CTU).
@@ -150,8 +150,9 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                                      mpm_edge_on)           # [B,35]
         cost_rmd = d.astype(jnp.float32) + lambda_sqrt * mode_bits
         # stage 2: true RD over the RMD top-k shortlist (HM keeps 3-8
-        # full-RD candidates; SATD-best alone is frequently not RD-best)
-        k = 3
+        # full-RD candidates; SATD-best alone is frequently not RD-best).
+        # k = cfg.num_intra_rd_candidates (SURVEY.md E7 RMD shortlist).
+        k = max(1, min(rd_cands, 35))
         b = src.shape[0]
         with jax.named_scope(f"intra_rd_{n}"):
             _, top_idx = jax.lax.top_k(-cost_rmd, k)         # [B,k]
@@ -219,10 +220,11 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "search_range"))
+                                   "search_range", "rd_cands"))
 def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                    lambda_sqrt: jnp.ndarray, log2_ctu: int = 5,
-                   log2_min_cu: int = 3, search_range: int = 8):
+                   log2_min_cu: int = 3, search_range: int = 8,
+                   rd_cands: int = 3):
     """P-frame search: intra + inter candidates for every block, then the
     quadtree DP over the per-block minimum.
 
@@ -237,7 +239,7 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
-                                   log2_min_cu)
+                                   log2_min_cu, rd_cands=rd_cands)
     me = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
                             log2_ctu, log2_min_cu, search_range)
 
@@ -289,11 +291,11 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "search_range"))
+                                   "search_range", "rd_cands"))
 def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
                    ref1_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                    log2_ctu: int = 5, log2_min_cu: int = 3,
-                   search_range: int = 8):
+                   search_range: int = 8, rd_cands: int = 3):
     """B-frame search: intra + L0 + L1 + BI candidates per block.
 
     Adds to the intra outputs: inter{n}, dir{n} (1/2/3), mv0{n}, mv1{n}.
@@ -308,7 +310,7 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
-                                   log2_min_cu)
+                                   log2_min_cu, rd_cands=rd_cands)
     me0 = search_inter_costs(y_plane, ref0_plane, lambda_sqrt, log2_ctu,
                              log2_min_cu, search_range)
     me1 = search_inter_costs(y_plane, ref1_plane, lambda_sqrt, log2_ctu,
@@ -451,12 +453,12 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
 def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
                             coded_w, coded_h, cnn_params, qp, use_cnn,
                             cb_u8=None, cr_u8=None, mpm_edge_x=0,
-                            mpm_edge_on=None):
+                            mpm_edge_on=None, rd_cands=3):
     y = y_u8.astype(jnp.int32)
     cb = cb_u8.astype(jnp.int32) if cb_u8 is not None else None
     cr = cr_u8.astype(jnp.int32) if cr_u8 is not None else None
     dec = search_intra_frame(y, lambda_sqrt, log2_ctu, log2_min_cu, cb, cr,
-                             mpm_edge_x, mpm_edge_on)
+                             mpm_edge_x, mpm_edge_on, rd_cands=rd_cands)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -466,27 +468,29 @@ def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
-                                   "coded_h", "use_cnn"))
+                                   "coded_h", "use_cnn", "rd_cands"))
 def search_intra_maps(y_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                       log2_ctu: int, log2_min_cu: int,
                       coded_w: int, coded_h: int,
                       cnn_params=None, qp: int = 0, use_cnn: bool = False,
-                      cb_u8=None, cr_u8=None):
+                      cb_u8=None, cr_u8=None, rd_cands: int = 3):
     """Intra search + decision packing in one dispatch; y_u8 is the padded
     luma plane as uint8 (4x less tunnel upload than int32)."""
     return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
                                    coded_w, coded_h, cnn_params, qp, use_cnn,
-                                   cb_u8=cb_u8, cr_u8=cr_u8)
+                                   cb_u8=cb_u8, cr_u8=cr_u8,
+                                   rd_cands=rd_cands)
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
-                                   "coded_h", "use_cnn"))
+                                   "coded_h", "use_cnn", "rd_cands"))
 def search_intra_maps_batch(y_u8_batch: jnp.ndarray,
                             lambda_sqrt: jnp.ndarray, log2_ctu: int,
                             log2_min_cu: int, coded_w: int, coded_h: int,
                             cnn_params=None, qp: int = 0,
                             use_cnn: bool = False,
-                            cb_u8_batch=None, cr_u8_batch=None):
+                            cb_u8_batch=None, cr_u8_batch=None,
+                            rd_cands: int = 3):
     """Multi-frame intra search: [F, H, W] uint8 -> [F, gh, gw, 7] packed.
 
     One dispatch + ONE device->host fetch for F frames: the axon tunnel
@@ -498,26 +502,30 @@ def search_intra_maps_batch(y_u8_batch: jnp.ndarray,
             return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu,
                                            log2_min_cu, coded_w, coded_h,
                                            cnn_params, qp, use_cnn,
-                                           cb_u8=cb_u8, cr_u8=cr_u8)
+                                           cb_u8=cb_u8, cr_u8=cr_u8,
+                                           rd_cands=rd_cands)
         return jax.vmap(one_c)(y_u8_batch, cb_u8_batch, cr_u8_batch)
 
     def one(y_u8):
         return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu,
                                        log2_min_cu, coded_w, coded_h,
-                                       cnn_params, qp, use_cnn)
+                                       cnn_params, qp, use_cnn,
+                                       rd_cands=rd_cands)
     return jax.vmap(one)(y_u8_batch)
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
-                                   "coded_h", "search_range", "use_cnn"))
+                                   "coded_h", "search_range", "use_cnn",
+                                   "rd_cands"))
 def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                   lambda_sqrt: jnp.ndarray, log2_ctu: int, log2_min_cu: int,
                   coded_w: int, coded_h: int, search_range: int,
-                  cnn_params=None, qp: int = 0, use_cnn: bool = False):
+                  cnn_params=None, qp: int = 0, use_cnn: bool = False,
+                  rd_cands: int = 3):
     y = y_u8.astype(jnp.int32)
     ref = ref_u8.astype(jnp.int32)
     dec = search_p_frame(y, ref, lambda_sqrt, log2_ctu, log2_min_cu,
-                         search_range)
+                         search_range, rd_cands=rd_cands)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -527,17 +535,19 @@ def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
-                                   "coded_h", "search_range", "use_cnn"))
+                                   "coded_h", "search_range", "use_cnn",
+                                   "rd_cands"))
 def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
                   ref1_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                   log2_ctu: int, log2_min_cu: int,
                   coded_w: int, coded_h: int, search_range: int,
-                  cnn_params=None, qp: int = 0, use_cnn: bool = False):
+                  cnn_params=None, qp: int = 0, use_cnn: bool = False,
+                  rd_cands: int = 3):
     y = y_u8.astype(jnp.int32)
     r0 = ref0_u8.astype(jnp.int32)
     r1 = ref1_u8.astype(jnp.int32)
     dec = search_b_frame(y, r0, r1, lambda_sqrt, log2_ctu, log2_min_cu,
-                         search_range)
+                         search_range, rd_cands=rd_cands)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device

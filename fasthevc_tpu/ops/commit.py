@@ -8,16 +8,35 @@ SURVEY.md E6/§3.1) and this repo's C++ commit pass
     left, top-left, top and top-right CTUs of every wave member are
     complete — all cross-CTU intra references are final.
   * Within a wave, each CTU runs 16 unrolled z-order granule steps on a
-    LOCAL 32x32 buffer; inner references are static slices of that buffer,
-    so the global planes are touched once per wave (strip gathers in,
-    block scatters out) instead of per block.
+    LOCAL 32x32 buffer; inner references are static slices of that buffer.
   * Reference availability follows the DECODING order (tile-major CTU
     raster + z-order within CTU, spec 6.4.1) — computed arithmetically
     from coordinates, never from the schedule.
-  * All reconstruction math is exact int32 (transforms/quant from
-    ops.transform, prediction from ops.intra which is the tested spec
-    twin); sign-data hiding is applied with an overflow-free integer
-    residue key (see _sdh_adjust_device).
+
+Performance architecture (measured on the target platform): inside a
+lax.scan a scatter into a full plane costs ~3 ms and a gather/take ~60 us,
+while elementwise ops, static slices, dynamic_update_slice and small MXU
+matmuls are essentially free.  The wave body therefore contains NO
+scatters and almost no gathers:
+
+  * Per-wave recon/level blocks leave the loop through scan's stacked
+    outputs (in-place by construction) and are reassembled into planes by
+    ONE gather after the scan.
+  * Cross-wave state is three compact boundary buffers per plane — the
+    bottom row of the most recent CTU per CTU-column (row_buf), the right
+    column of the most recent CTU per CTU-row (col_buf), and a
+    two-row-parity ring of bottom-right corner pixels (corner_buf).  All
+    reads and writes of these buffers are one-hot f32 matmuls with
+    host-precomputed static selection tensors (exact: one-hot x <=10-bit
+    samples stays far inside f32's 24-bit significand).
+  * Reference availability AND the spec 8.4.4.2.2 substitution
+    forward-fill depend only on static geometry, so both are precomputed
+    on the host per (wave, z-step, size); substitution becomes a single
+    take_along_axis from a reference vector extended with a constant
+    half-range slot.
+  * Intra prediction uses the one-hot-folded MXU form
+    (ops.intra.predict_selected_mm); sign-data hiding uses permutation
+    matmuls + one-hot reductions instead of dynamic takes/scatters.
 
 Output levels/recon are bit-identical to the C++ engine's commit pass for
 the same decision maps — enforced by tests/test_device_commit.py.
@@ -34,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.residual import get_scan
-from .intra import predict_selected
+from .intra import predict_selected_mm
 from .transform import dequantize, fwd_transform, inv_transform, quantize
 
 CTU = 32
@@ -74,35 +93,170 @@ def wave_tables(nctux: int, nctuy: int):
 
 
 # ---------------------------------------------------------------------------
-# Reference assembly + substitution
+# Static host-side precomputation (numpy)
 # ---------------------------------------------------------------------------
 
-def _tile_idx(coord, bounds):
-    """Tile index of a sample coordinate given static boundary list
-    (sample units). bounds: inner boundaries only."""
-    t = jnp.zeros_like(coord)
+def _np_tile_idx(coord, bounds):
+    t = np.zeros_like(coord)
     for b in bounds:
         t = t + (coord >= b).astype(coord.dtype)
     return t
 
 
-def _gather_refs(local, top_strip, left_strip, lx, ly, n, half):
+def _np_avail(x0, y0, lx, ly, n, sub, coded_w, coded_h, nctux,
+              tile_bounds_x, tile_bounds_y):
+    """Numpy twin of the decoding-order availability rule (spec 6.4.1).
+
+    x0/y0: [A] CTU luma origins (static). Returns bool [A, 4n+1]."""
+    offs_x, offs_y = [], []
+    for j in range(2 * n - 1, -1, -1):
+        offs_x.append(lx - 1)
+        offs_y.append(ly + j)
+    offs_x.append(lx - 1)
+    offs_y.append(ly - 1)
+    for j in range(2 * n):
+        offs_x.append(lx + j)
+        offs_y.append(ly - 1)
+    ox = np.asarray(offs_x, np.int64) << sub   # luma units
+    oy = np.asarray(offs_y, np.int64) << sub
+    px = x0[:, None].astype(np.int64) + ox[None, :]
+    py = y0[:, None].astype(np.int64) + oy[None, :]
+    in_pic = (px >= 0) & (py >= 0) & (px < coded_w) & (py < coded_h)
+    pa, pb = px >> 3, py >> 3
+    cx_l = (x0.astype(np.int64) + (lx << sub))
+    cy_l = (y0.astype(np.int64) + (ly << sub))
+    ca, cb = cx_l >> 3, cy_l >> 3
+    ctu_p = (pb >> 2) * nctux + (pa >> 2)
+    ctu_c = ((cb >> 2) * nctux + (ca >> 2))[:, None]
+    z_p = _z_of(pa & 3, pb & 3)
+    z_c = _z_of(ca & 3, cb & 3)[:, None]
+    earlier = (ctu_p < ctu_c) | ((ctu_p == ctu_c) & (z_p < z_c))
+    ok = in_pic & earlier
+    if tile_bounds_x:
+        ok = ok & (_np_tile_idx(px, tile_bounds_x)
+                   == _np_tile_idx(cx_l, tile_bounds_x)[:, None])
+    if tile_bounds_y:
+        ok = ok & (_np_tile_idx(py, tile_bounds_y)
+                   == _np_tile_idx(cy_l, tile_bounds_y)[:, None])
+    return ok
+
+
+def _np_sub_take(avail):
+    """Substitution (spec 8.4.4.2.2) as static take indices.
+
+    avail: bool [..., L]. Returns int [..., L] in [0, L]; index L selects
+    the constant half-range slot appended to the reference vector."""
+    L = avail.shape[-1]
+    idx = np.where(avail, np.arange(L), -1)
+    ff = np.maximum.accumulate(idx, axis=-1)
+    first = np.argmax(avail, axis=-1)
+    take = np.where(ff >= 0, ff, first[..., None])
+    none = ~avail.any(axis=-1)
+    return np.where(none[..., None], L, take).astype(np.int32)
+
+
+# group schedule: mirrors the exact interleaved commit order of the C++
+# engine's z-order recursion (8x8 at every z-step; 16x16 when the step
+# enters a new 16-quadrant; 32x32 at step 0).  (kind, lx, ly, n)
+def _group_schedule():
+    groups = []
+    for g, (gx, gy) in enumerate(_ZXY):
+        groups.append(("l", gx * 8, gy * 8, 8, 2))    # d >= 2
+        groups.append(("c", gx * 4, gy * 4, 4, 2))
+        if g % 4 == 0:
+            groups.append(("l", gx * 8, gy * 8, 16, 1))  # d == 1
+            groups.append(("c", gx * 4, gy * 4, 8, 1))
+        if g == 0:
+            groups.append(("l", 0, 0, 32, 0))            # d == 0
+            groups.append(("c", 0, 0, 16, 0))
+    return groups
+
+
+_GROUPS = _group_schedule()
+
+_PRE_CACHE: dict = {}
+
+
+def _precompute(nctux, nctuy, coded_w, coded_h, tbx, tby):
+    """All static per-wave tensors (numpy), cached per geometry."""
+    key = (nctux, nctuy, coded_w, coded_h, tbx, tby)
+    if key in _PRE_CACHE:
+        return _PRE_CACHE[key]
+    wx, wy, wvalid = wave_tables(nctux, nctuy)
+    n_waves, a_max = wx.shape
+    x0 = wx * CTU
+    y0 = wy * CTU
+
+    # substitution take tables per group: dict idx -> [n_waves, A, L]
+    takes = []
+    for kind, lx, ly, n, _d in _GROUPS:
+        sub = 0 if kind == "l" else 1
+        t = np.zeros((n_waves, a_max, 4 * n + 1), np.int32)
+        for w in range(n_waves):
+            av = _np_avail(x0[w], y0[w], lx, ly, n, sub, coded_w, coded_h,
+                           nctux, tbx, tby)
+            t[w] = _np_sub_take(av)
+        takes.append(t)
+
+    # one-hot strip-read selectors (f32; zero rows where out of range
+    # or slot invalid — those samples are unavailable anyway)
+    def onehot(idx, size, ok):
+        oh = np.zeros(idx.shape + (size,), np.float32)
+        ii = np.clip(idx, 0, size - 1)
+        np.put_along_axis(oh, ii[..., None], 1.0, axis=-1)
+        oh[~ok] = 0.0
+        return oh
+
+    cxm1_ok = (wx - 1 >= 0) & wvalid
+    cxp1_ok = (wx + 1 < nctux) & wvalid
+    toh = np.stack([onehot(wx - 1, nctux, cxm1_ok),
+                    onehot(wx, nctux, wvalid),
+                    onehot(wx + 1, nctux, cxp1_ok)], axis=2)
+    # [n_waves, A, 3, nctux]
+    # col_buf is per CTU-ROW: read row cy (valid only when cx-1 exists)
+    loh = onehot(wy, nctuy, cxm1_ok)
+    coh = onehot(((wy - 1) & 1) * nctux + (wx - 1), 2 * nctux,
+                 (wx - 1 >= 0) & (wy - 1 >= 0) & wvalid)
+    # write-back one-hots (valid slots only)
+    w_row = onehot(wx, nctux, wvalid)                     # [W, A, nctux]
+    w_col = onehot(wy, nctuy, wvalid)
+    w_cor = onehot((wy & 1) * nctux + wx, 2 * nctux, wvalid)
+    keep_row = 1.0 - w_row.sum(axis=1)                    # [W, nctux]
+    keep_col = 1.0 - w_col.sum(axis=1)
+    keep_cor = 1.0 - w_cor.sum(axis=1)
+
+    # reassembly: (cy, cx) -> flat block index w * A + a
+    blk_idx = np.zeros((nctuy, nctux), np.int32)
+    for w in range(n_waves):
+        for a in range(a_max):
+            if wvalid[w, a]:
+                blk_idx[wy[w, a], wx[w, a]] = w * a_max + a
+
+    pre = dict(wx=wx, wy=wy, wvalid=wvalid, n_waves=n_waves, a_max=a_max,
+               takes=takes, toh=toh, loh=loh, coh=coh,
+               w_row=w_row, w_col=w_col, w_cor=w_cor,
+               keep_row=keep_row, keep_col=keep_col, keep_cor=keep_cor,
+               blk_idx=blk_idx)
+    _PRE_CACHE[key] = pre
+    return pre
+
+
+# ---------------------------------------------------------------------------
+# Reference assembly from local buffer + strips
+# ---------------------------------------------------------------------------
+
+def _gather_refs(local, top_strip, left_strip, lx, ly, n):
     """Raw reference array r[0..4n] for a block at LOCAL (lx, ly), size n.
 
     Order: r[0] = bottom-most below-left (lx-1, ly+2n-1) ... r[2n-1] =
     (lx-1, ly), r[2n] = corner, r[2n+1+j] = top (lx+j, ly-1).
-    local: [A, S, S] current component's local buffer (S = 32 or 16).
-    top_strip/left_strip: [A, 2S+1] rows/cols just outside the CTU,
-    index 0 = corner position (x0-1 / y0-1).
-    Built from 3 strided slices (lx/ly/n are static); positions that are
-    never available (below the CTU / right of the CTU for inner rows)
-    take a zero placeholder the substitution ignores."""
+    local: [A, S, S]; top_strip/left_strip: [A, 2S+1], index 0 = the
+    corner position (x0-1 / y0-1).  All slicing is static."""
     a, s, _ = local.shape
 
     def zeros(k):
         return jnp.zeros((a, k), local.dtype)
 
-    # left column, bottom to top: (lx-1, ly+2n-1) .. (lx-1, ly)
     if lx >= 1:
         in_rows = min(2 * n, s - ly)
         seg = local[:, ly:ly + in_rows, lx - 1]
@@ -112,7 +266,6 @@ def _gather_refs(local, top_strip, left_strip, lx, ly, n, half):
                                          left_part], axis=1)
     else:
         left_part = left_strip[:, 1 + ly:1 + ly + 2 * n][:, ::-1]
-    # corner (lx-1, ly-1)
     if lx >= 1 and ly >= 1:
         corner = local[:, ly - 1, lx - 1][:, None]
     elif ly >= 1:
@@ -121,7 +274,6 @@ def _gather_refs(local, top_strip, left_strip, lx, ly, n, half):
         corner = top_strip[:, lx:lx + 1]
     else:
         corner = top_strip[:, 0:1]
-    # top row, left to right: (lx, ly-1) .. (lx+2n-1, ly-1)
     if ly >= 1:
         in_cols = min(2 * n, s - lx)
         top_part = local[:, ly - 1, lx:lx + in_cols]
@@ -133,96 +285,61 @@ def _gather_refs(local, top_strip, left_strip, lx, ly, n, half):
     return jnp.concatenate([left_part, corner, top_part], axis=1)
 
 
-def _avail_mask(x0, y0, lx, ly, n, sub, coded_w, coded_h, nctux,
-                tile_bounds_x, tile_bounds_y):
-    """Availability of each ref sample (decoding-order rule, spec 6.4.1).
-
-    x0/y0: [A] CTU LUMA origins; lx/ly/n static LOCAL coords in the
-    component's sample units; sub = 1 for chroma (4:2:0), 0 for luma.
-    coded_w/h: LUMA coded dims. Returns bool [A, 4n+1]."""
-    # positions in component units, then scale to luma for order checks
-    offs_x, offs_y = [], []
-    for j in range(2 * n - 1, -1, -1):
-        offs_x.append(lx - 1)
-        offs_y.append(ly + j)
-    offs_x.append(lx - 1)
-    offs_y.append(ly - 1)
-    for j in range(2 * n):
-        offs_x.append(lx + j)
-        offs_y.append(ly - 1)
-    ox = np.asarray(offs_x, np.int32) << sub   # luma units
-    oy = np.asarray(offs_y, np.int32) << sub
-    px = x0[:, None] + ox[None, :]             # [A, L] luma coords
-    py = y0[:, None] + oy[None, :]
-    in_pic = (px >= 0) & (py >= 0) & (px < coded_w) & (py < coded_h)
-    # decoding order: tile-major CTU raster, z-order within CTU. Within a
-    # tile, global raster preserves the order; cross-tile reads are simply
-    # unavailable (intra never crosses tiles).
-    pa, pb = px >> 3, py >> 3                  # granule coords
-    cx_l = (x0 + (np.int32(lx) << sub))        # current block luma coords
-    cy_l = (y0 + (np.int32(ly) << sub))
-    ca, cb = cx_l >> 3, cy_l >> 3
-    ctu_p = (pb >> 2) * nctux + (pa >> 2)
-    ctu_c = ((cb >> 2) * nctux + (ca >> 2))[:, None]
-    z_p = _z_of(pa & 3, pb & 3)
-    z_c = _z_of(ca & 3, cb & 3)[:, None]
-    earlier = (ctu_p < ctu_c) | ((ctu_p == ctu_c) & (z_p < z_c))
-    ok = in_pic & earlier
-    if tile_bounds_x:
-        ok = ok & (_tile_idx(px, tile_bounds_x)
-                   == _tile_idx(cx_l, tile_bounds_x)[:, None])
-    if tile_bounds_y:
-        ok = ok & (_tile_idx(py, tile_bounds_y)
-                   == _tile_idx(cy_l, tile_bounds_y)[:, None])
-    return ok
-
-
-def _substitute(refs: jnp.ndarray, avail: jnp.ndarray, bit_depth: int):
-    """Spec 8.4.4.2.2 reference substitution, vectorized.
-
-    refs/avail: [A, L]. Unavailable samples take the previous (lower-index)
-    available value; leading unavailables take the first available; all
-    unavailable -> 1 << (bit_depth - 1)."""
-    a, L = refs.shape
-    idx = jnp.where(avail, jnp.arange(L)[None, :], -1)
-    ff = jax.lax.associative_scan(jnp.maximum, idx, axis=1)  # cummax
-    first = jnp.argmax(avail, axis=1)                        # first True
-    take = jnp.where(ff >= 0, ff, first[:, None])
-    out = jnp.take_along_axis(refs, take, axis=1)
-    none_avail = ~jnp.any(avail, axis=1)
-    return jnp.where(none_avail[:, None], 1 << (bit_depth - 1), out)
-
-
 # ---------------------------------------------------------------------------
-# Sign-data hiding (device twin of spec.residual.sdh_adjust)
+# Sign-data hiding (device twin of spec.residual.sdh_adjust) — gather-free
 # ---------------------------------------------------------------------------
 
-def _scan_perms(lg: int):
-    """[3, n*n] flat scan permutations (diag/hor/ver)."""
+def _scan_perm_mats(lg: int):
+    """[n_scans, nn, nn] permutation matrices P with P[s, j, k] = 1 iff
+    scan position j of scan s reads raster position k."""
     n = 1 << lg
-    perms = []
-    for si in range(3):
-        sc = get_scan(lg, si)                 # [(x, y)] in scan order
-        perms.append(sc[:, 1] * n + sc[:, 0])
-    return np.asarray(perms, np.int32)
+    n_scans = 3 if (lg == 2 or lg == 3) else 1
+    mats = np.zeros((n_scans, n * n, n * n), np.float32)
+    for si in range(n_scans):
+        sc = get_scan(lg, si)
+        flat = sc[:, 1] * n + sc[:, 0]
+        mats[si, np.arange(n * n), flat] = 1.0
+    return mats
+
+
+def _onehot_take(x, k):
+    """x: [..., K], k: [...] int — x[..., k] via one-hot reduce (no
+    gather)."""
+    kk = x.shape[-1]
+    oh = (jnp.arange(kk) == k[..., None])
+    return jnp.sum(jnp.where(oh, x, 0), axis=-1)
 
 
 def _sdh_adjust_device(levels, coeffs, qp, lg, scan_sel, bit_depth):
     """Encoder-side SDH parity fix, batched (twin of spec sdh_adjust).
 
     levels/coeffs: [A, n, n] int32; scan_sel: [A] in {0 diag,1 hor,2 ver};
-    qp: scalar. The residue key a - (la << qbits) is computed overflow-free
-    as ((a >> qbits) - la) << qbits | (a & (2^qbits - 1)) — exact because
-    levels come straight from the quantizer, so |residue| < 2^(qbits+1).
-    """
+    qp: scalar.  Permutations are f32 matmuls with static matrices (exact:
+    |values| <= 32767 < 2^24); the per-group extremum picks use one-hot
+    reductions — no take_along_axis/scatter anywhere.  The residue key
+    a - (la << qbits) is computed overflow-free as
+    ((a >> qbits) - la) << qbits | (a & (2^qbits - 1))."""
     from ..spec.tables import QUANT_SCALES
 
     a_n, n = levels.shape[0], levels.shape[-1]
     nn = n * n
-    perms = jnp.asarray(_scan_perms(lg))       # [3, nn]
-    perm = perms[scan_sel]                     # [A, nn]
-    lv = jnp.take_along_axis(levels.reshape(a_n, nn), perm, axis=1)
-    cf = jnp.take_along_axis(coeffs.reshape(a_n, nn), perm, axis=1)
+    P = _scan_perm_mats(lg)                    # [S, nn, nn] static
+    n_scans = P.shape[0]
+    lv_f = levels.reshape(a_n, nn).astype(jnp.float32)
+    cf_f = coeffs.reshape(a_n, nn).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    if n_scans == 1:
+        Pm = jnp.asarray(P[0])
+        lv = jnp.dot(lv_f, Pm.T, precision=hi).astype(jnp.int32)
+        cf = jnp.dot(cf_f, Pm.T, precision=hi).astype(jnp.int32)
+    else:
+        oh = (jnp.arange(n_scans)[None, :]
+              == scan_sel[:, None]).astype(jnp.float32)    # [A, S]
+        Pc = jnp.asarray(P)                                # [S, nn, nn]
+        lv = jnp.einsum("bk,sjk,bs->bj", lv_f, Pc, oh,
+                        precision=hi).astype(jnp.int32)
+        cf = jnp.einsum("bk,sjk,bs->bj", cf_f, Pc, oh,
+                        precision=hi).astype(jnp.int32)
     qbits = 14 + qp // 6 + (15 - bit_depth - lg)
     scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
 
@@ -234,7 +351,7 @@ def _sdh_adjust_device(levels, coeffs, qp, lg, scan_sel, bit_depth):
     pos = jnp.arange(16)
     first = jnp.argmax(nzm, axis=-1)
     last = 15 - jnp.argmax(nzm[..., ::-1], axis=-1)
-    lv_first = jnp.take_along_axis(lvg, first[..., None], axis=-1)[..., 0]
+    lv_first = _onehot_take(lvg, first)
     want = (lv_first < 0).astype(jnp.int32)
     parity = jnp.sum(jnp.abs(lvg), axis=-1) & 1
     need = any_nz & ((last - first) > 3) & (parity != want)
@@ -250,18 +367,18 @@ def _sdh_adjust_device(levels, coeffs, qp, lg, scan_sel, bit_depth):
     r = jnp.where(in_span, r, big)
     k = jnp.argmax(r, axis=-1)                 # [A, g]
     sel = pos[None, None, :] == k[..., None]
-    cur = jnp.take_along_axis(lvg, k[..., None], axis=-1)[..., 0]
-    cf_k = jnp.take_along_axis(cfg, k[..., None], axis=-1)[..., 0]
+    cur = _onehot_take(lvg, k)
+    cf_k = _onehot_take(cfg, k)
     bump = jnp.where(cur > 0, cur + 1,
                      jnp.where(cur < 0, cur - 1,
                                jnp.where(cf_k < 0, -1, 1)))
     lvg = jnp.where(need[..., None] & sel, bump[..., None], lvg)
-    lv = lvg.reshape(a_n, nn)
-    # scatter back through the inverse permutation
-    inv = jnp.zeros_like(perm).at[
-        jnp.arange(a_n)[:, None], perm].set(
-        jnp.broadcast_to(jnp.arange(nn)[None, :], (a_n, nn)))
-    out = jnp.take_along_axis(lv, inv, axis=1)
+    lv_sc = lvg.reshape(a_n, nn).astype(jnp.float32)
+    if n_scans == 1:
+        out = jnp.dot(lv_sc, Pm, precision=hi).astype(jnp.int32)
+    else:
+        out = jnp.einsum("bj,sjk,bs->bk", lv_sc, Pc, oh,
+                         precision=hi).astype(jnp.int32)
     return out.reshape(a_n, n, n)
 
 
@@ -301,31 +418,30 @@ def _write_local(st, recon, levels, active, lx, ly, n):
                   st["lv"][:, ly:ly + n, lx:lx + n]))
 
 
-def _commit_luma(state, lx, ly, n, modes, active, qp, x0, y0, meta):
-    """Commit luma blocks of size n at local (lx, ly), masked."""
-    coded_w, coded_h, nctux, tb_x, tb_y, bit_depth, sdh = meta
+def _commit_luma(state, take, lx, ly, n, modes, active, qp, bit_depth,
+                 sdh):
     st = state["y"]
     lg = n.bit_length() - 1
-    refs = _gather_refs(st["local"], st["top"], st["left"], lx, ly, n, 0)
-    avail = _avail_mask(x0, y0, lx, ly, n, 0, coded_w, coded_h, nctux,
-                        tb_x, tb_y)
-    refs = _substitute(refs, avail, bit_depth)
+    refs = _gather_refs(st["local"], st["top"], st["left"], lx, ly, n)
+    refs_ext = jnp.concatenate(
+        [refs, jnp.full(refs.shape[:-1] + (1,), 1 << (bit_depth - 1),
+                        refs.dtype)], axis=-1)
+    refs = jnp.take_along_axis(refs_ext, take, axis=-1)
     L = 2 * n
     left_arr = refs[:, L::-1]
     top_arr = refs[:, L:]
-    pred = predict_selected(top_arr, left_arr, lg, modes, True, bit_depth)
+    pred = predict_selected_mm(top_arr, left_arr, lg, modes, True,
+                               bit_depth)
     src = st["src"][:, ly:ly + n, lx:lx + n]
     recon, levels = _tq_recon(pred, src, lg, qp, 0, modes, bit_depth, sdh)
     _write_local(st, recon, levels, active, lx, ly, n)
     return state
 
 
-def _commit_chroma_pair(state, lx, ly, n, modes, active, qp_c, x0, y0,
-                        meta):
+def _commit_chroma_pair(state, take, lx, ly, n, modes, active, qp_c,
+                        bit_depth, sdh):
     """Commit the cb AND cr blocks of size n at local chroma (lx, ly) in
-    one fused batch [2A] (same geometry, same chroma QP — the encoder
-    codes zero cb/cr QP offsets)."""
-    coded_w, coded_h, nctux, tb_x, tb_y, bit_depth, sdh = meta
+    one fused batch [2A] (same geometry, same chroma QP)."""
     scb, scr = state["cb"], state["cr"]
     lg = n.bit_length() - 1
     local2 = jnp.concatenate([scb["local"], scr["local"]])
@@ -333,16 +449,17 @@ def _commit_chroma_pair(state, lx, ly, n, modes, active, qp_c, x0, y0,
     left2 = jnp.concatenate([scb["left"], scr["left"]])
     src2 = jnp.concatenate([scb["src"], scr["src"]])
     modes2 = jnp.concatenate([modes, modes])
-    refs = _gather_refs(local2, top2, left2, lx, ly, n, 0)
-    avail = _avail_mask(x0, y0, lx, ly, n, 1, coded_w, coded_h, nctux,
-                        tb_x, tb_y)
-    avail = jnp.concatenate([avail, avail])
-    refs = _substitute(refs, avail, bit_depth)
+    refs = _gather_refs(local2, top2, left2, lx, ly, n)
+    refs_ext = jnp.concatenate(
+        [refs, jnp.full(refs.shape[:-1] + (1,), 1 << (bit_depth - 1),
+                        refs.dtype)], axis=-1)
+    take2 = jnp.concatenate([take, take])
+    refs = jnp.take_along_axis(refs_ext, take2, axis=-1)
     L = 2 * n
     left_arr = refs[:, L::-1]
     top_arr = refs[:, L:]
-    pred = predict_selected(top_arr, left_arr, lg, modes2, False,
-                            bit_depth)
+    pred = predict_selected_mm(top_arr, left_arr, lg, modes2, False,
+                               bit_depth)
     src = src2[:, ly:ly + n, lx:lx + n]
     recon, levels = _tq_recon(pred, src, lg, qp_c, 1, modes2, bit_depth,
                               sdh)
@@ -355,6 +472,18 @@ def _commit_chroma_pair(state, lx, ly, n, modes, active, qp_c, x0, y0,
 # ---------------------------------------------------------------------------
 # The wavefront scan
 # ---------------------------------------------------------------------------
+
+_HI = jax.lax.Precision.HIGHEST  # one-hot matmuls must be f32-exact
+# (default TPU matmul precision is bf16-mantissa; samples/levels exceed
+# 8 bits, so every exactness-bearing einsum here pins HIGHEST)
+
+
+def _oh_mm(oh, buf):
+    """One-hot f32 'gather': oh [..., K] x buf [K, W] -> [..., W] int32."""
+    out = jnp.einsum("...k,kw->...w", oh, buf.astype(jnp.float32),
+                     precision=_HI)
+    return out.astype(jnp.int32)
+
 
 @partial(jax.jit, static_argnames=("coded_w", "coded_h", "bit_depth",
                                    "sdh", "tile_bounds_x", "tile_bounds_y"))
@@ -375,26 +504,19 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
     nctux = -(-coded_w // CTU)
     nctuy = -(-coded_h // CTU)
     pw, ph = nctux * CTU, nctuy * CTU
-    # recon planes carry a 1-sample top/left border (so the (y0-1, x0-1)
-    # strip slices never clamp) and a CTU+1 right/bottom pad (top-right
-    # strip overhang + scratch area for invalid wave slots)
-    pad_rb = CTU + 1
+    pre = _precompute(nctux, nctuy, coded_w, coded_h, tile_bounds_x,
+                      tile_bounds_y)
+    a_max = pre["a_max"]
+    H = CTU // 2
 
-    def pad_plane(p, full_h, full_w):
+    def pad_to(p, full_h, full_w):
         return jnp.pad(p.astype(jnp.int32),
-                       ((0, full_h + pad_rb - p.shape[0]),
-                        (0, full_w + pad_rb - p.shape[1])))
+                       ((0, full_h - p.shape[0]),
+                        (0, full_w - p.shape[1])))
 
-    rec_y = jnp.zeros((1 + ph + pad_rb, 1 + pw + pad_rb), jnp.int32)
-    rec_cb = jnp.zeros((1 + ph // 2 + pad_rb, 1 + pw // 2 + pad_rb),
-                       jnp.int32)
-    rec_cr = jnp.zeros_like(rec_cb)
-    lv_y = jnp.zeros((ph + pad_rb, pw + pad_rb), jnp.int16)
-    lv_cb = jnp.zeros((ph // 2 + pad_rb, pw // 2 + pad_rb), jnp.int16)
-    lv_cr = jnp.zeros_like(lv_cb)
-    sy = pad_plane(src_y, ph, pw)
-    scb = pad_plane(src_cb, ph // 2, pw // 2)
-    scr = pad_plane(src_cr, ph // 2, pw // 2)
+    sy = pad_to(src_y, ph, pw)
+    scb = pad_to(src_cb, ph // 2, pw // 2)
+    scr = pad_to(src_cr, ph // 2, pw // 2)
     dm = jnp.pad(depth_map.astype(jnp.int32),
                  ((0, ph // 8 - depth_map.shape[0]),
                   (0, pw // 8 - depth_map.shape[1])), constant_values=2)
@@ -402,49 +524,97 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
                  ((0, ph // 8 - mode_map.shape[0]),
                   (0, pw // 8 - mode_map.shape[1])))
 
-    wx, wy, wvalid = wave_tables(nctux, nctuy)
-    n_waves, a_max = wx.shape
-    meta = (coded_w, coded_h, nctux, tile_bounds_x, tile_bounds_y,
-            bit_depth, sdh)
+    xs = dict(
+        toh=jnp.asarray(pre["toh"]), loh=jnp.asarray(pre["loh"]),
+        coh=jnp.asarray(pre["coh"]), w_row=jnp.asarray(pre["w_row"]),
+        w_col=jnp.asarray(pre["w_col"]), w_cor=jnp.asarray(pre["w_cor"]),
+        keep_row=jnp.asarray(pre["keep_row"]),
+        keep_col=jnp.asarray(pre["keep_col"]),
+        keep_cor=jnp.asarray(pre["keep_cor"]),
+        cx=jnp.asarray(pre["wx"]), cy=jnp.asarray(pre["wy"]),
+        valid=jnp.asarray(pre["wvalid"]),
+        takes={str(i): jnp.asarray(t) for i, t in enumerate(pre["takes"])},
+    )
 
-    def slice_block(plane, ys, xs, h, wdt):
+    def boundary_bufs(width):
+        return dict(row=jnp.zeros((nctux, width), jnp.int32),
+                    col=jnp.zeros((nctuy, width), jnp.int32),
+                    cor=jnp.zeros((2 * nctux,), jnp.int32))
+
+    carry0 = dict(y=boundary_bufs(CTU), cb=boundary_bufs(H),
+                  cr=boundary_bufs(H))
+
+    def strips(bufs, oh_top, oh_col, oh_cor, width):
+        """Assemble [A, 2*width+1] top and left strips from the compact
+        boundary buffers via one-hot matmuls (corner-first layout).
+
+        oh_top selects n_seg CTU columns whose row_buf segments tile
+        x0 - (n_seg-2)*width .. x0 + 2*width - 1; the body slice keeps
+        exactly x0 .. x0+2*width-1 (luma: 3 segments, chroma: 2 — a
+        chroma CTU half-row is 16 wide so columns cx, cx+1 suffice)."""
+        n_seg = oh_top.shape[1]
+        segs = _oh_mm(oh_top, bufs["row"])         # [A, n_seg, width]
+        flat = segs.reshape(segs.shape[0], n_seg * width)
+        off = (n_seg - 2) * width
+        body = flat[:, off:off + 2 * width]        # x0 .. x0+2w-1
+        corner = jnp.einsum("ak,k->a", oh_cor,
+                            bufs["cor"].astype(jnp.float32),
+                            precision=_HI)
+        corner = corner.astype(jnp.int32)[:, None]
+        top = jnp.concatenate([corner, body], axis=1)
+        colv = _oh_mm(oh_col, bufs["col"])         # [A, width]
+        left = jnp.concatenate(
+            [corner, colv,
+             jnp.zeros((colv.shape[0], width), jnp.int32)], axis=1)
+        return top, left
+
+    def slice_block(plane, ys_, xs_, h, wdt):
         return jax.vmap(
             lambda yy, xx: jax.lax.dynamic_slice(plane, (yy, xx),
-                                                 (h, wdt)))(ys, xs)
+                                                 (h, wdt)))(ys_, xs_)
 
-    def wave_body(carry, inputs):
-        rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = carry
-        cx, cy, valid = inputs                       # [A] each
+    def update_bufs(bufs, local, w_row, w_col, w_cor, keep_row, keep_col,
+                    keep_cor, width):
+        bottom = local[:, width - 1, :].astype(jnp.float32)   # [A, width]
+        right = local[:, :, width - 1].astype(jnp.float32)
+        corner = local[:, width - 1, width - 1].astype(jnp.float32)
+        row = (jnp.einsum("ac,aw->cw", w_row, bottom, precision=_HI)
+               + bufs["row"].astype(jnp.float32)
+               * keep_row[:, None]).astype(jnp.int32)
+        col = (jnp.einsum("ac,aw->cw", w_col, right, precision=_HI)
+               + bufs["col"].astype(jnp.float32)
+               * keep_col[:, None]).astype(jnp.int32)
+        cor = (jnp.einsum("ac,a->c", w_cor, corner, precision=_HI)
+               + bufs["cor"].astype(jnp.float32)
+               * keep_cor).astype(jnp.int32)
+        return dict(row=row, col=col, cor=cor)
+
+    def wave_body(carry, x):
+        cx, cy, valid = x["cx"], x["cy"], x["valid"]
         x0, y0 = cx * CTU, cy * CTU
         x0c, y0c = x0 // 2, y0 // 2
-        # strips: recon planes have a (1,1) origin offset, so slicing at
-        # (y0, x0) reads the true (y0-1, x0-1) row/column — top row
-        # (y0-1, x0-1 .. x0+2*CTU-1) and left col (y0-1 .. y0+2*CTU-1)
-        top_y = slice_block(rec_y, y0, x0, 1, 2 * CTU + 1)[:, 0]
-        left_y = slice_block(rec_y, y0, x0, 2 * CTU + 1, 1)[..., 0]
-        top_cb = slice_block(rec_cb, y0c, x0c, 1, CTU + 1)[:, 0]
-        left_cb = slice_block(rec_cb, y0c, x0c, CTU + 1, 1)[..., 0]
-        top_cr = slice_block(rec_cr, y0c, x0c, 1, CTU + 1)[:, 0]
-        left_cr = slice_block(rec_cr, y0c, x0c, CTU + 1, 1)[..., 0]
-        # (the y0==0 / x0==0 strips read the zero border — every sample
-        # they would feed is unavailable by the in-picture rule anyway)
+        top_y, left_y = strips(carry["y"], x["toh"], x["loh"], x["coh"],
+                               CTU)
+        top_cb, left_cb = strips(carry["cb"], x["toh"][:, 1:3], x["loh"],
+                                 x["coh"], H)
+        top_cr, left_cr = strips(carry["cr"], x["toh"][:, 1:3], x["loh"],
+                                 x["coh"], H)
+        # chroma top strips must start at x0c: luma 'toh' rows select CTU
+        # columns (cx-1, cx, cx+1); chroma body spans columns (cx, cx+1)
+        # -> slice [1:3] above, body starts at offset 0 of that pair
         state = {
             "y": dict(local=jnp.zeros((a_max, CTU, CTU), jnp.int32),
                       src=slice_block(sy, y0, x0, CTU, CTU),
                       top=top_y, left=left_y,
                       lv=jnp.zeros((a_max, CTU, CTU), jnp.int16)),
-            "cb": dict(local=jnp.zeros((a_max, CTU // 2, CTU // 2),
-                                       jnp.int32),
-                       src=slice_block(scb, y0c, x0c, CTU // 2, CTU // 2),
+            "cb": dict(local=jnp.zeros((a_max, H, H), jnp.int32),
+                       src=slice_block(scb, y0c, x0c, H, H),
                        top=top_cb, left=left_cb,
-                       lv=jnp.zeros((a_max, CTU // 2, CTU // 2),
-                                    jnp.int16)),
-            "cr": dict(local=jnp.zeros((a_max, CTU // 2, CTU // 2),
-                                       jnp.int32),
-                       src=slice_block(scr, y0c, x0c, CTU // 2, CTU // 2),
+                       lv=jnp.zeros((a_max, H, H), jnp.int16)),
+            "cr": dict(local=jnp.zeros((a_max, H, H), jnp.int32),
+                       src=slice_block(scr, y0c, x0c, H, H),
                        top=top_cr, left=left_cr,
-                       lv=jnp.zeros((a_max, CTU // 2, CTU // 2),
-                                    jnp.int16)),
+                       lv=jnp.zeros((a_max, H, H), jnp.int16)),
         }
         dloc = slice_block(dm, cy * NG, cx * NG, NG, NG)   # [A, 4, 4]
         mloc = slice_block(mm, cy * NG, cx * NG, NG, NG)
@@ -454,59 +624,59 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
                             & (yy * 8 + jnp.arange(NG)[:, None] * 8
                                < coded_h)))(cx * NG, cy * NG)
 
-        for g, (gx, gy) in enumerate(_ZXY):
+        for gi, (kind, lx, ly, n, dcond) in enumerate(_GROUPS):
+            gx, gy = (lx // 8, ly // 8) if kind == "l" else (lx // 4,
+                                                             ly // 4)
             inside = in_pic_g[:, gy, gx] & valid
             modes = mloc[:, gy, gx]
             d = dloc[:, gy, gx]
-            # --- 8x8 CU (luma 8 + chroma 4) ---
-            act8 = inside & (d >= 2)
-            state = _commit_luma(state, gx * 8, gy * 8, 8, modes, act8,
-                                 qp_y, x0, y0, meta)
-            state = _commit_chroma_pair(state, gx * 4, gy * 4, 4, modes,
-                                        act8, qp_cb, x0, y0, meta)
-            if g % 4 == 0:
-                act16 = inside & (d == 1)
-                state = _commit_luma(state, gx * 8, gy * 8, 16, modes,
-                                     act16, qp_y, x0, y0, meta)
-                state = _commit_chroma_pair(state, gx * 4, gy * 4, 8,
-                                            modes, act16, qp_cb, x0, y0,
-                                            meta)
-            if g == 0:
-                act32 = inside & (d == 0)
-                state = _commit_luma(state, 0, 0, 32, modes, act32, qp_y,
-                                     x0, y0, meta)
-                state = _commit_chroma_pair(state, 0, 0, 16, modes, act32,
-                                            qp_cb, x0, y0, meta)
+            act = inside & ((d >= 2) if dcond == 2 else (d == dcond))
+            take = x["takes"][str(gi)]
+            if kind == "l":
+                state = _commit_luma(state, take, lx, ly, n, modes, act,
+                                     qp_y, bit_depth, sdh)
+            else:
+                state = _commit_chroma_pair(state, take, lx, ly, n,
+                                            modes, act, qp_cb, bit_depth,
+                                            sdh)
 
-        # invalid wave slots write into the right/bottom scratch pad
-        x0w = jnp.where(valid, x0, pw)
-        y0w = jnp.where(valid, y0, ph)
-        x0cw, y0cw = x0w // 2, y0w // 2
+        new_carry = dict(
+            y=update_bufs(carry["y"], state["y"]["local"], x["w_row"],
+                          x["w_col"], x["w_cor"], x["keep_row"],
+                          x["keep_col"], x["keep_cor"], CTU),
+            cb=update_bufs(carry["cb"], state["cb"]["local"], x["w_row"],
+                           x["w_col"], x["w_cor"], x["keep_row"],
+                           x["keep_col"], x["keep_cor"], H),
+            cr=update_bufs(carry["cr"], state["cr"]["local"], x["w_row"],
+                           x["w_col"], x["w_cor"], x["keep_row"],
+                           x["keep_col"], x["keep_cor"], H),
+        )
+        ys_out = dict(
+            rec_y=state["y"]["local"].astype(jnp.int16),
+            rec_cb=state["cb"]["local"].astype(jnp.int16),
+            rec_cr=state["cr"]["local"].astype(jnp.int16),
+            lv_y=state["y"]["lv"], lv_cb=state["cb"]["lv"],
+            lv_cr=state["cr"]["lv"])
+        return new_carry, ys_out
 
-        def scatter(plane, blocks, ys, xs, n):
-            rows = ys[:, None] + jnp.arange(n)[None, :]   # [A, n]
-            cols = xs[:, None] + jnp.arange(n)[None, :]
-            return plane.at[rows[:, :, None], cols[:, None, :]].set(
-                blocks.astype(plane.dtype))
+    _, blocks = jax.lax.scan(wave_body, carry0, xs)
 
-        rec_y = scatter(rec_y, state["y"]["local"], y0w + 1, x0w + 1, CTU)
-        rec_cb = scatter(rec_cb, state["cb"]["local"], y0cw + 1, x0cw + 1,
-                         CTU // 2)
-        rec_cr = scatter(rec_cr, state["cr"]["local"], y0cw + 1, x0cw + 1,
-                         CTU // 2)
-        lv_y = scatter(lv_y, state["y"]["lv"], y0w, x0w, CTU)
-        lv_cb = scatter(lv_cb, state["cb"]["lv"], y0cw, x0cw, CTU // 2)
-        lv_cr = scatter(lv_cr, state["cr"]["lv"], y0cw, x0cw, CTU // 2)
-        return (rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr), None
+    blk_idx = jnp.asarray(pre["blk_idx"].reshape(-1))
 
-    carry = (rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr)
-    carry, _ = jax.lax.scan(
-        wave_body, carry,
-        (jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wvalid)))
-    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = carry
+    def assemble(b, s, out_dtype):
+        flat = b.reshape(pre["n_waves"] * a_max, s, s)
+        sel = flat[blk_idx].reshape(nctuy, nctux, s, s)
+        return (sel.transpose(0, 2, 1, 3)
+                .reshape(nctuy * s, nctux * s).astype(out_dtype))
+
+    rec_y = assemble(blocks["rec_y"], CTU, jnp.int32)
+    rec_cb = assemble(blocks["rec_cb"], H, jnp.int32)
+    rec_cr = assemble(blocks["rec_cr"], H, jnp.int32)
+    lv_y = assemble(blocks["lv_y"], CTU, jnp.int16)
+    lv_cb = assemble(blocks["lv_cb"], H, jnp.int16)
+    lv_cr = assemble(blocks["lv_cr"], H, jnp.int16)
     ch, cw = coded_h, coded_w
-    return (rec_y[1:1 + ch, 1:1 + cw],
-            rec_cb[1:1 + ch // 2, 1:1 + cw // 2],
-            rec_cr[1:1 + ch // 2, 1:1 + cw // 2],
+    return (rec_y[:ch, :cw], rec_cb[:ch // 2, :cw // 2],
+            rec_cr[:ch // 2, :cw // 2],
             lv_y[:ch, :cw], lv_cb[:ch // 2, :cw // 2],
             lv_cr[:ch // 2, :cw // 2])

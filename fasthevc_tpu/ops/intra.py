@@ -297,6 +297,76 @@ def predict_selected(top: jnp.ndarray, left: jnp.ndarray, log2_size: int,
     return jnp.where((modes == 1)[:, None, None], dcp, pred)
 
 
+def predict_selected_mm(top: jnp.ndarray, left: jnp.ndarray,
+                        log2_size: int, modes: jnp.ndarray,
+                        is_luma: bool = True,
+                        bit_depth: int = 8) -> jnp.ndarray:
+    """ONE intra prediction per block, gather-free (wavefront-commit twin
+    of predict_selected).
+
+    The per-block mode select is folded into the reference vector as a
+    one-hot outer product, so the whole call is elementwise ops plus one
+    MXU matmul — no take_along_axis/gather (those cost ~60us each inside
+    a lax.scan on this platform and dominated the old commit kernel).
+    Exact: one-hot entries are 0/1, samples <= 10 bits, every product and
+    accumulation below 2^24 stays exact in f32 (same argument as
+    predict_all_modes).
+
+    top, left: [B, 2N+1] int32 corner-first; modes: [B] int32 in 0..34.
+    Returns [B, N, N] int32.
+    """
+    n = 1 << log2_size
+    t = _tables(n)
+    b = top.shape[0]
+    max_val = (1 << bit_depth) - 1
+    top = top.astype(jnp.int32)
+    left = left.astype(jnp.int32)
+    if is_luma and n > 4:
+        top_f, left_f = _filter_refs(top, left)
+    else:
+        top_f, left_f = top, left
+    refcat2 = jnp.concatenate([top, left, top_f, left_f],
+                              axis=1).astype(jnp.float32)   # [B, 2L]
+    m2 = np.concatenate([t.mat_u[is_luma], t.mat_v[is_luma]], axis=0)
+    ln2 = m2.shape[0]
+    # [34*2L, nn]: slot 0 = planar, slots 1..33 = angular 2..34
+    m3 = (m2.reshape(ln2, 34, n * n).transpose(1, 0, 2)
+          .reshape(34 * ln2, n * n))
+    # mode -> slot one-hot (DC = mode 1 has no linear slot; handled below)
+    slot = jnp.where(modes == 0, 0, modes - 1)
+    oh = ((jnp.arange(34)[None, :] == slot[:, None])
+          & (modes != 1)[:, None]).astype(jnp.float32)      # [B, 34]
+    refsel = (refcat2[:, None, :] * oh[:, :, None]).reshape(b, 34 * ln2)
+    lin = jnp.dot(refsel, m3, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    pred = jnp.floor(lin + 0.5).astype(jnp.int32).reshape(b, n, n)
+
+    col0 = (jnp.arange(n) == 0)
+    if is_luma and n < 32:
+        v_col = jnp.clip(top[:, 1:2] + ((left[:, 1:n + 1] - left[:, :1])
+                                        >> 1), 0, max_val)
+        h_row = jnp.clip(left[:, 1:2] + ((top[:, 1:n + 1] - top[:, :1])
+                                         >> 1), 0, max_val)
+        is26 = (modes == 26)[:, None, None]
+        is10 = (modes == 10)[:, None, None]
+        pred = jnp.where(is26 & col0[None, None, :], v_col[:, :, None],
+                         pred)
+        pred = jnp.where(is10 & col0[None, :, None], h_row[:, None, :],
+                         pred)
+    dc = (jnp.sum(top[:, 1:n + 1], axis=1)
+          + jnp.sum(left[:, 1:n + 1], axis=1) + n) >> (log2_size + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (b, n, n))
+    if is_luma and n < 32:
+        first_row = (top[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
+        first_col = (left[:, 1:n + 1] + 3 * dc[:, None] + 2) >> 2
+        corner = (left[:, 1] + 2 * dc + top[:, 1] + 2) >> 2
+        dcp = jnp.where(col0[None, :, None], first_row[:, None, :], dcp)
+        dcp = jnp.where(col0[None, None, :], first_col[:, :, None], dcp)
+        dcp = jnp.where(col0[None, :, None] & col0[None, None, :],
+                        corner[:, None, None], dcp)
+    return jnp.where((modes == 1)[:, None, None], dcp, pred)
+
+
 # ---------------------------------------------------------------------------
 # Grid reference extraction (search stage: source-pixel references)
 # ---------------------------------------------------------------------------

@@ -37,14 +37,15 @@ def _edge_cats(plane: jnp.ndarray) -> jnp.ndarray:
     oracle's in-picture rule."""
     h, w = plane.shape
     p = plane.astype(jnp.int32)
-    remap = jnp.asarray([1, 2, 0, 3, 4], jnp.int32)
     outs = []
     for (y0, x0, y1, x1) in EO_NEIGHBORS:
         pad = jnp.pad(p, 1, mode="edge")
         n0 = pad[1 + y0:1 + y0 + h, 1 + x0:1 + x0 + w]
         n1 = pad[1 + y1:1 + y1 + h, 1 + x1:1 + x1 + w]
         raw = 2 + jnp.sign(p - n0) + jnp.sign(p - n1)
-        cat = remap[raw]
+        # remap [1,2,0,3,4][raw] arithmetically — a per-element table
+        # gather on a full plane costs ~80 ms/frame on this platform
+        cat = jnp.where(raw == 2, 0, jnp.where(raw < 2, raw + 1, raw))
         # zero out picture-boundary rows/cols where a neighbor is missing
         ty, by = max(0, -y0, -y1), max(0, y0, y1)
         lx, rx = max(0, -x0, -x1), max(0, x0, x1)

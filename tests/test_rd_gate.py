@@ -11,6 +11,8 @@ clip, 4 CTC QPs. Ratchet GATE_PCT down as the search improves.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fasthevc_tpu.codec.encoder import TpuEncoder
 from fasthevc_tpu.config import EncoderConfig
 from fasthevc_tpu.config.config import GopEntry

@@ -17,6 +17,7 @@ from fasthevc_tpu.spec.decoder import SpecDecoder
 from fasthevc_tpu.utils import synthesize_yuv
 
 pytestmark = [
+    pytest.mark.slow,
     pytest.mark.skipif(not cabac_cpp.available(),
                        reason="C++ engine unavailable"),
     pytest.mark.skipif(len(jax.devices()) < 8,
