@@ -86,6 +86,31 @@ def bench_encode(width: int, height: int, frames: int, qp: int = 32,
     return fps, len(stream) * 8 / frames, p
 
 
+def bench_encode_ra(width: int, height: int, frames: int, qp: int = 32):
+    """Random-access hierarchical-B GOP-16 encode throughput (the CTC
+    headline config — BASELINE config #3 class).  Uses the temporal-layer
+    coding order so device batches hold whole layers."""
+    from fasthevc_tpu.codec.encoder import TpuEncoder
+    from fasthevc_tpu.config import random_access_gop16_layered
+    from fasthevc_tpu.config.config import auto_tile_grid
+
+    from fasthevc_tpu.utils import synthesize_yuv
+
+    clip = synthesize_yuv(width, height, frames, seed=2)
+    tc, tr = auto_tile_grid(width, height)
+    cfg = random_access_gop16_layered(
+        width=width, height=height, qp=qp, frames=frames,
+        tile_cols=tc, tile_rows=tr, hash_type=2)
+    cfg.intra_period = 64
+    enc = TpuEncoder(cfg)
+    warm = min(17, frames)  # IDR + one GOP covers every batch shape
+    enc.encode(clip[:warm])
+    t0 = time.time()
+    stream, _ = enc.encode(clip)
+    dt = time.time() - t0
+    return frames / dt, len(stream) * 8 / frames
+
+
 def verify_conformance(width=96, height=64, qp=32) -> bool:
     from fasthevc_tpu.codec.encoder import TpuEncoder
     from fasthevc_tpu.config import EncoderConfig
@@ -137,9 +162,18 @@ def main() -> int:
         detail[f"fps_{w}x{h}"] = round(fps, 3)
         print(f"{w}x{h}: {fps:.2f} fps, {bits / 1000:.0f} kbit/frame, "
               f"Y-PSNR {p:.2f} dB", file=sys.stderr)
-    fps, bits, p = bench_encode(1920, 1080, 8)
+    # 24 frames = 3 device groups, so the steady-state pipeline overlap
+    # (device compute vs fetch vs host CABAC) is what gets measured
+    fps, bits, p = bench_encode(1920, 1080, 24)
     print(f"1920x1080: {fps:.2f} fps, {bits / 1000:.0f} kbit/frame, "
           f"Y-PSNR {p:.2f} dB", file=sys.stderr)
+    try:
+        fps_ra, bits_ra = bench_encode_ra(1920, 1080, 49)
+        print(f"1920x1080 RA-GOP16: {fps_ra:.2f} fps, "
+              f"{bits_ra / 1000:.0f} kbit/frame", file=sys.stderr)
+        detail["fps_1080p_ra"] = round(fps_ra, 3)
+    except Exception as exc:  # RA bench must never mask the primary metric
+        print(f"RA bench failed: {exc!r}", file=sys.stderr)
     _emit(fps, platform, True, detail)
     return 0
 

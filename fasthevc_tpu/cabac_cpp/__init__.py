@@ -110,6 +110,7 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,  # qps
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,  # slice_type, dir/mv
         i16p, i16p, i16p,                    # levels planes
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
         i32p,                                # ctx offsets [22]
@@ -241,15 +242,20 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
 def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
                          lv_y, lv_cb, lv_cr, ctx: ContextSet,
                          sao_params=None, sdh: bool = True,
-                         lossless: bool = False):
+                         lossless: bool = False, slice_type: int = 2,
+                         dir_map=None, mv_map=None):
     """Entropy-only slice emission from device-committed levels (the TPU
     wavefront-commit path, SURVEY.md §2.5): the C++ engine fills its
     decision store from the provided int16 level planes and runs the
     phase-2 CABAC emission per tile on parallel threads.
 
     sao_params: int32 [sao_ny, sao_nx, 3, 7] from ops.sao.sao_device, or
-    None when SAO is off. Returns the list of byte-aligned tile
-    substreams."""
+    None when SAO is off.  For P/B slices pass slice_type (1=P, 0=B) and
+    the per-8x8-granule dir_map (int8, 0=intra/1=L0/2=L1/3=BI) + mv_map
+    (int16 [gh, gw, 4]); the engine replays the merge/AMVP syntax
+    derivation in decode order (store_inter_syntax) from the maps — the
+    pixel work already happened on device.  Returns the list of
+    byte-aligned tile substreams."""
     lib = _load()
     w, h = sp.coded_width, sp.coded_height
     states = np.zeros(N_CTX, dtype=np.uint8)
@@ -277,10 +283,18 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
     else:
         sao_ptr = None
         sao_on = 0
+    if dir_map is not None:
+        dir_arr = np.ascontiguousarray(dir_map, dtype=np.int8)
+        mv_arr = np.ascontiguousarray(mv_map, dtype=np.int16)
+        dir_ptr = dir_arr.ctypes.data_as(ctypes.c_void_p)
+        mv_ptr = mv_arr.ctypes.data_as(ctypes.c_void_p)
+    else:
+        dir_ptr = mv_ptr = None
     total = lib.hevc_entropy_slice_tiled(
         w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
-        dm.shape[1], lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
+        dm.shape[1], int(slice_type), dir_ptr, mv_ptr,
+        lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b, sao_on, sao_ptr,
         int(sdh), payload, sizes)
     subs = []

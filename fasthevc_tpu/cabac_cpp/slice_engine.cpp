@@ -173,52 +173,6 @@ bool quantize(const int32_t *coeff, int lg, int qp, int bit_depth,
   return any;
 }
 
-// RDOQ-lite (HM TComTrQuant::xRateDistOptQuant essence, SURVEY.md C5):
-// per coefficient choose level in {round(q), round(q)-1, 0} minimizing
-// (q-l)^2 + lambda_q * R(l) in quantizer units. With HEVC's lambda(QP) =
-// 0.57*2^((QP-12)/3) and Qstep^2 = 2^((QP-4)/3), lambda/Qstep^2 =
-// 0.57*2^(-8/3) ~= 0.0897 is QP-independent, so the whole decision runs in
-// q-units with one constant. R(l) approximates the residual-coding bits
-// (sig + gt1 + gt2 + Golomb remainder).
-inline double rdoq_rate(int l) {
-  if (l == 0) return 0.0;
-  if (l == 1) return 1.0;
-  if (l == 2) return 2.0;
-  double v = l - 2;
-  return 3.0 + 2.0 * std::log2(v + 1.0);
-}
-
-bool quantize_rdoq(const int32_t *coeff, int lg, int qp, int bit_depth,
-                   int32_t *levels) {
-  int n = 1 << lg;
-  int tshift = 15 - bit_depth - lg;
-  int qbits = 14 + qp / 6 + tshift;
-  int64_t scale = kQuantScales[qp % 6];
-  double inv = 1.0 / (double)(1ll << qbits);
-  const double lam = 0.0897;
-  bool any = false;
-  for (int i = 0; i < n * n; i++) {
-    int64_t c = coeff[i];
-    int64_t a = c < 0 ? -c : c;
-    double q = (double)(a * scale) * inv;
-    int l0 = (int)(q + 0.5);
-    if (l0 > 32767) l0 = 32767;
-    int best = 0;
-    double bestj = q * q;  // level 0
-    for (int cand = l0; cand >= l0 - 1 && cand >= 1; cand--) {
-      double d = q - cand;
-      double j = d * d + lam * rdoq_rate(cand);
-      if (j < bestj) {
-        bestj = j;
-        best = cand;
-      }
-    }
-    levels[i] = (int32_t)(c < 0 ? -best : best);
-    any |= best != 0;
-  }
-  return any;
-}
-
 // Sign-data-hiding parity fix (encoder side of spec 7.4.9.11 / HM
 // xSignBitHidingHDQ essence): per 4x4 sub-block whose significant-coeff
 // scan span exceeds 3, force (sum of abs levels) & 1 == sign of the
@@ -661,6 +615,238 @@ struct SliceEnc {
   TrBuf trbuf;
 };
 
+// ---- trellis RDOQ (HM TComTrQuant::xRateDistOptQuant class) --------------
+// Port of fasthevc_tpu/spec/rdoq.py (see its module docstring for the
+// distortion/Parseval derivation and the deliberate differences from HM:
+// slice-start context states for the rate model, exact encode_residual
+// context schedule evaluated greedily in coding order).
+struct FracBits {
+  int32_t t[64][2];
+  FracBits() {
+    double alpha = std::pow(0.01875 / 0.5, 1.0 / 63.0);
+    for (int st = 0; st < 64; st++) {
+      double pl = 0.5 * std::pow(alpha, st);
+      t[st][0] = (int32_t)std::llround(-std::log2(1.0 - pl) * 32768.0);
+      t[st][1] = (int32_t)std::llround(-std::log2(pl) * 32768.0);
+    }
+  }
+};
+
+inline int32_t rdoq_ctx_bits(const Encoder *e, int lin_idx, int b) {
+  static const FracBits fb;
+  int st = e->state[lin_idx];
+  int mps = e->mps[lin_idx];
+  return fb.t[st][b != mps ? 1 : 0];
+}
+
+inline int32_t rdoq_rem_bits(int value, int rice) {
+  if (value < (3 << rice)) return ((value >> rice) + 1 + rice) * 32768;
+  int length = rice;
+  int v = value - (3 << rice);
+  while (v >= (1 << length)) { v -= 1 << length; length++; }
+  return ((3 + length + 1 - rice) + length) * 32768;
+}
+
+inline void rdoq_last_prefix(int pos, int *prefix, int *suffix_len) {
+  if (pos <= 3) { *prefix = pos; *suffix_len = 0; return; }
+  int sl = 0;
+  { int p = pos; while (p >> (sl + 2)) sl++; }  // bit_length-2
+  *suffix_len = sl;
+  *prefix = 2 + sl * 2 + ((pos >> sl) & 1);
+}
+
+inline int32_t rdoq_last_bits(const Encoder *e, int px_, int py_, int lg,
+                              int c_idx) {
+  int g_max = (lg << 1) - 1;
+  int offset, shift;
+  last_ctx_params(lg, c_idx, &offset, &shift);
+  int32_t total = 0;
+  int pos[2] = {px_, py_};
+  for (int t = 0; t < 2; t++) {
+    int p, sl;
+    rdoq_last_prefix(pos[t], &p, &sl);
+    for (int i = 0; i < p; i++)
+      total += rdoq_ctx_bits(e, e->off.last_prefix + offset + (i >> shift),
+                             1);
+    if (p < g_max)
+      total += rdoq_ctx_bits(e, e->off.last_prefix + offset + (p >> shift),
+                             0);
+    if (p > 3) total += sl * 32768;
+  }
+  return total;
+}
+
+inline int32_t rdoq_level_bits(const Encoder *e, int lvl, int k, int c1,
+                               int ctx_set, bool gt2_open, int rice,
+                               int c_idx) {
+  int32_t total = 32768;  // sign (bypass)
+  if (k < 8) {
+    int base = (c_idx ? 16 : 0) + 4 * ctx_set + c1;
+    if (lvl > 1) {
+      total += rdoq_ctx_bits(e, e->off.gt1 + base, 1);
+      if (gt2_open) {
+        int ctx2 = (c_idx ? 4 : 0) + ctx_set;
+        total += rdoq_ctx_bits(e, e->off.gt2 + ctx2, lvl > 2 ? 1 : 0);
+        if (lvl > 2) total += rdoq_rem_bits(lvl - 3, rice);
+      } else {
+        total += rdoq_rem_bits(lvl - 2, rice);
+      }
+    } else {
+      total += rdoq_ctx_bits(e, e->off.gt1 + base, 0);
+    }
+  } else {
+    total += rdoq_rem_bits(lvl - 1, rice);
+  }
+  return total;
+}
+
+// Returns true if any level nonzero. coeff/levels: [n*n] raster.
+bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
+                   int bit_depth, int c_idx, int scan_idx,
+                   int32_t *levels_out) {
+  const Encoder *e = s->e;
+  const Scan &sc = g_scans[lg - 2][scan_idx];
+  int size = 1 << lg;
+  int n_coeffs = size * size;
+  int tshift = 15 - bit_depth - lg;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t q_scale = kQuantScales[qp % 6];
+  double err_scale =
+      1.0 / ((double)q_scale * (double)q_scale * (double)(1ll << (2 * tshift)));
+  double lam = 0.57 * std::pow(2.0, (qp - 12) / 3.0);
+  double lam_frac = lam / 32768.0;
+
+  static thread_local std::vector<int64_t> ld_v;
+  static thread_local std::vector<int> m_v, lv_v, sgn_v;
+  static thread_local std::vector<double> cost_lv, cost_zero, sig1_v;
+  ld_v.assign(n_coeffs, 0);
+  m_v.assign(n_coeffs, 0);
+  lv_v.assign(n_coeffs, 0);
+  sgn_v.assign(n_coeffs, 0);
+  cost_lv.assign(n_coeffs, 0.0);
+  cost_zero.assign(n_coeffs, 0.0);
+  sig1_v.assign(n_coeffs, 0.0);
+  int last_init = -1;
+  for (int i = 0; i < n_coeffs; i++) {
+    int32_t cc = coeff[sc.y[i] * size + sc.x[i]];
+    sgn_v[i] = cc < 0 ? -1 : 1;
+    int64_t a = cc < 0 ? -(int64_t)cc : (int64_t)cc;
+    ld_v[i] = a * q_scale;
+    int64_t mm = (ld_v[i] + (1ll << (qbits - 1))) >> qbits;
+    if (mm > 32767) mm = 32767;
+    m_v[i] = (int)mm;
+    if (mm) last_init = i;
+  }
+  std::memset(levels_out, 0, sizeof(int32_t) * n_coeffs);
+  if (last_init < 0) return false;
+
+  int n_cgs = (last_init >> 4) + 1;
+  int nsb = size / 4 > 0 ? size / 4 : 1;
+  static thread_local std::vector<int> csbf;
+  csbf.assign(nsb * nsb, 0);
+  int c1 = 1;
+  for (int ci = n_cgs - 1; ci >= 0; ci--) {
+    int sx = sc.x[ci * 16] >> 2, sy = sc.y[ci * 16] >> 2;
+    int right = sx + 1 < nsb ? csbf[sy * nsb + sx + 1] : 0;
+    int below = sy + 1 < nsb ? csbf[(sy + 1) * nsb + sx] : 0;
+    bool is_last_cg = ci == n_cgs - 1;
+    int ctx_set = ((ci > 0 && c_idx == 0) ? 2 : 0) + (c1 ? 0 : 1);
+    c1 = 1;
+    int k = 0;
+    bool gt2_open = true;
+    int rice = 0;
+    double cg_keep = 0.0, cg_zero = 0.0;
+    int start = last_init - ci * 16;
+    if (start > 15) start = 15;
+    for (int n = start; n >= 0; n--) {
+      int p = ci * 16 + n;
+      int x = sc.x[p], y = sc.y[p];
+      double d0 = (double)ld_v[p] * (double)ld_v[p] * err_scale;
+      cost_zero[p] = d0;
+      int sctx = sig_ctx_inc(lg, c_idx, x, y, scan_idx, right, below);
+      int32_t s0 = rdoq_ctx_bits(e, e->off.sig + sctx, 0);
+      int32_t s1 = rdoq_ctx_bits(e, e->off.sig + sctx, 1);
+      double best_cost = d0 + lam_frac * s0;
+      int best_lvl = 0;
+      if (m_v[p] > 0) {
+        int lo = m_v[p] - 1 >= 1 ? m_v[p] - 1 : 1;
+        for (int lvl = m_v[p]; lvl >= lo; lvl--) {
+          double eq = (double)(ld_v[p] - ((int64_t)lvl << qbits));
+          double d = eq * eq * err_scale;
+          double r = s1 + rdoq_level_bits(e, lvl, k, c1, ctx_set,
+                                          gt2_open, rice, c_idx);
+          double cst = d + lam_frac * r;
+          if (cst < best_cost) { best_cost = cst; best_lvl = lvl; }
+        }
+      }
+      lv_v[p] = best_lvl;
+      cost_lv[p] = best_cost;
+      sig1_v[p] = lam_frac * s1;
+      cg_keep += best_cost;
+      cg_zero += d0;
+      if (best_lvl) {
+        if (k < 8) {
+          if (best_lvl > 1) {
+            gt2_open = false;
+            c1 = 0;
+          } else if (c1 > 0 && c1 < 3) {
+            c1++;
+          }
+        }
+        if (best_lvl > (3 << rice) && rice < 4) rice++;
+        k++;
+      }
+    }
+    bool cg_nz = false;
+    for (int n = 0; n <= start; n++) cg_nz |= lv_v[ci * 16 + n] != 0;
+    if (!is_last_cg && ci > 0) {
+      int cctx = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
+      double b0 = lam_frac * rdoq_ctx_bits(e, e->off.csbf + cctx, 0);
+      double b1 = lam_frac * rdoq_ctx_bits(e, e->off.csbf + cctx, 1);
+      if (!cg_nz || cg_zero + b0 < cg_keep + b1) {
+        for (int n = 0; n < 16; n++) lv_v[ci * 16 + n] = 0;
+        cg_nz = false;
+      }
+    }
+    csbf[sy * nsb + sx] = cg_nz ? 1 : 0;
+  }
+
+  // last-position optimization
+  static thread_local std::vector<int> nzp;
+  nzp.clear();
+  for (int i = 0; i < n_coeffs; i++)
+    if (lv_v[i]) nzp.push_back(i);
+  if (nzp.empty()) return false;
+  double best_total = 0.0;
+  int best_j = (int)nzp.size() - 1;
+  bool have_best = false;
+  double drop = 0.0;
+  for (int j = (int)nzp.size() - 1; j >= 0; j--) {
+    int p = nzp[j];
+    int lx = sc.x[p], ly = sc.y[p];
+    if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
+    double total = drop + lam_frac * rdoq_last_bits(e, lx, ly, lg, c_idx) -
+                   sig1_v[p];
+    if (!have_best || total < best_total) {
+      best_total = total;
+      best_j = j;
+      have_best = true;
+    }
+    drop += cost_zero[p] - cost_lv[p];
+    int lo = j > 0 ? nzp[j - 1] + 1 : 0;
+    for (int q = lo; q < p; q++) drop -= cost_lv[q] - cost_zero[q];
+  }
+  int new_last = nzp[best_j];
+  for (int i = new_last + 1; i < n_coeffs; i++) lv_v[i] = 0;
+
+  bool any = false;
+  for (int i = 0; i < n_coeffs; i++) {
+    levels_out[sc.y[i] * size + sc.x[i]] = (int32_t)(lv_v[i] * sgn_v[i]);
+    any |= lv_v[i] != 0;
+  }
+  return any;
+}
+
 // Context/MPM neighbor checks use coding-order availability (f.avail) so
 // they are valid BOTH during the single-pass flow and in the two-phase
 // emit pass, where every granule map is already fully populated: avail()
@@ -903,7 +1089,8 @@ bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
     int qp = c_idx == 0 ? s->qp_y : c_idx == 1 ? s->qp_cb : s->qp_cr;
     int32_t coeff[32 * 32];
     fwd_transform(res, lg, dst, f.bit_depth, coeff, &s->trbuf);
-    cbf = s->rdoq ? quantize_rdoq(coeff, lg, qp, f.bit_depth, levels_out)
+    cbf = s->rdoq ? quantize_rdoq(s, coeff, lg, qp, f.bit_depth, c_idx,
+                                  scan_for(lg, c_idx, mode), levels_out)
                   : quantize(coeff, lg, qp, f.bit_depth, levels_out);
     if (cbf && s->sdh)
       sdh_adjust(levels_out, coeff, lg, qp, f.bit_depth,
@@ -945,6 +1132,9 @@ int skip_ctx(SliceEnc *s, int x, int y) {
     ctx++;
   return ctx;
 }
+
+void store_inter_syntax(SliceEnc *s, int x, int y, int lg, int depth,
+                        const MotionCu &m, bool cbf_any, bool cbf_y_any);
 
 // Commit one inter CU (P/B, 2Nx2N, one ref per list): MC + TQ + recon +
 // merge/AMVP decisions into the store; no bits are emitted (phase 1).
@@ -1033,7 +1223,8 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       fwd_transform(res.data(), blg, false, f.bit_depth, coeff.data(),
                     &s->trbuf);
       if (s->rdoq) {
-        any = quantize_rdoq(coeff.data(), blg, qp, f.bit_depth, levels);
+        any = quantize_rdoq(s, coeff.data(), blg, qp, f.bit_depth, ci, 0,
+                            levels);
       } else {
         // inter dead-zone offset (85/512)
         int nn = 1 << blg;
@@ -1097,6 +1288,23 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
   }
 
   // ---- merge/AMVP decision (mirror of the Python commit) ---------------
+  store_inter_syntax(s, x, y, lg, depth, m, cbf_any, cbf_y_any);
+}
+
+// Merge/AMVP syntax decisions + motion-field bookkeeping for one inter CU
+// (the non-pixel tail of commit_inter_cu) — shared with the entropy-only
+// path, where levels/recon were already committed ON DEVICE and only the
+// syntax derivation must replay in decode order.
+void store_inter_syntax(SliceEnc *s, int x, int y, int lg, int depth,
+                        const MotionCu &m, bool cbf_any, bool cbf_y_any) {
+  Frame &f = *s->f;
+  Stored &st = *s->st;
+  int n = 1 << lg;
+  static const bool dbg = std::getenv("FASTHEVC_DBG_INTER") != nullptr;
+  if (dbg)
+    fprintf(stderr, "SIS xy=%d,%d n=%d dir=%d mv0=%d,%d mv1=%d,%d cbf=%d/%d\n",
+            x, y, n, m.dir, m.mv0x, m.mv0y, m.mv1x, m.mv1y,
+            (int)cbf_any, (int)cbf_y_any);
   MotionCu cands[5];
   merge_list(s, x, y, n, cands);
   int merge_idx = -1;
@@ -2184,6 +2392,7 @@ int hevc_entropy_slice_tiled(
     int coded_w, int coded_h, int log2_ctu, int bit_depth, int qp_y,
     int qp_cb, int qp_cr, int lossless, int bypass_enabled,
     const int8_t *depth_map, const int8_t *mode_map, int dm_w,
+    int slice_type, const int8_t *dir_map, const int16_t *mv_map,
     const int16_t *lv_y, const int16_t *lv_cb, const int16_t *lv_cr,
     const uint8_t *ctx_states, const uint8_t *ctx_mps, int n_ctx,
     const int32_t *ctx_offsets, int n_tile_cols, int n_tile_rows,
@@ -2257,6 +2466,7 @@ int hevc_entropy_slice_tiled(
       int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
       int tn = 1 << tlg;
       int half = 1 << (lg - 1);
+      bool cbf_any = false, cbf_y_any = false;
       for (int i = 0; i < n_tus; i++) {
         int tx = n_tus == 1 ? x : x + (i & 1) * half;
         int ty = n_tus == 1 ? y : y + (i >> 1) * half;
@@ -2268,6 +2478,16 @@ int hevc_entropy_slice_tiled(
         bool ccr = copy_tb(st.lv_cr, f.coded_w / 2, lv_cr, tx >> 1,
                            ty >> 1, tn / 2);
         st.set_cbf(st.cbf_cr, tx, ty, tn, ccr);
+        cbf_any |= cy_f | ccb | ccr;
+        cbf_y_any |= cy_f;
+      }
+      if (s->slice_type != 2) {
+        int dir;
+        MotionCu m = cu_motion_from_maps(s, x, y, &dir);
+        if (dir > 0) {
+          store_inter_syntax(s, x, y, lg, depth, m, cbf_any, cbf_y_any);
+          return;
+        }
       }
       set_cu(s, x, y, size, depth, mode);
       set_intra_motion(s, x, y, size, false);
@@ -2321,7 +2541,9 @@ int hevc_entropy_slice_tiled(
     se.off_mvd = ctx_offsets[17];
     se.off_mvp = ctx_offsets[18];
     se.off_rqt_root = ctx_offsets[19];
-    se.slice_type = 2;
+    se.slice_type = slice_type;
+    se.dir_map = dir_map;
+    se.mv_map = mv_map;
     if (n_tiles > 1) {
       se.tx0 = tile_col_bounds[tc] * cs;
       se.ty0 = tile_row_bounds[tr] * cs;

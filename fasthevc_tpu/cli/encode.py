@@ -59,7 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", default="spec", choices=["spec", "tpu"])
     ap.add_argument("--preset", default="all_intra",
                     choices=["all_intra", "low_delay_p",
-                             "random_access_gop16"])
+                             "random_access_gop16",
+                             "random_access_gop16_layered"])
     ap.add_argument("--tiles", default="1x1",
                     help="tile columns x rows, e.g. 4x2")
     ap.add_argument("--bitrate", type=int, default=0,
@@ -89,9 +90,12 @@ def main(argv=None) -> int:
     else:
         ap.error("need --synth WxH or (-i FILE --size WxH)")
 
-    from ..config import all_intra, low_delay_p, random_access_gop16
+    from ..config import (all_intra, low_delay_p, random_access_gop16,
+                          random_access_gop16_layered)
     preset_fn = {"all_intra": all_intra, "low_delay_p": low_delay_p,
-                 "random_access_gop16": random_access_gop16}[args.preset]
+                 "random_access_gop16": random_access_gop16,
+                 "random_access_gop16_layered":
+                     random_access_gop16_layered}[args.preset]
     try:
         tc, tr = map(int, args.tiles.lower().split("x"))
     except ValueError:

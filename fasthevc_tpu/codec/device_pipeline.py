@@ -32,8 +32,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.commit import wavefront_commit_intra
-from ..ops.deblock import deblock_device
+from ..ops.commit import wavefront_commit_intra, wavefront_commit_mixed
+from ..ops.deblock import deblock_device, inter_bs_maps, tu_cbf_map
 from ..ops.sao import sao_device
 from .search import _search_intra_maps_impl
 
@@ -139,3 +139,128 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
                     cksum=cksum, sao=sao_params)
 
     return jax.vmap(one)(y_u8, cb_u8, cr_u8, packed)
+
+
+def _lax_map_frames(fn, args, f_total, mb):
+    """Apply a per-micro-batch fn over [F, ...] leading-dim args in chunks
+    of mb (HBM cap for the search's all-modes tensors)."""
+    if f_total <= mb or f_total % mb:
+        return fn(args)
+    nmb = f_total // mb
+    r = jax.lax.map(fn, jax.tree.map(
+        lambda a: a.reshape((nmb, mb) + a.shape[1:]), args))
+    return jax.tree.map(
+        lambda a: a.reshape((f_total,) + a.shape[2:]), r)
+
+
+@partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
+                                   "coded_h", "sdh", "deblock_on", "sao_on",
+                                   "search_range", "is_b",
+                                   "tile_bounds_x", "tile_bounds_y",
+                                   "use_cnn", "rd_cands"))
+def encode_inter_group_device(y_u8, cb_u8, cr_u8,
+                              r0_y, r0_cb, r0_cr,
+                              r1_y, r1_cb, r1_cr,
+                              lambda_sqrt, qp_y, qp_cb, qp_cr,
+                              qp_for_deblock, log2_ctu: int,
+                              log2_min_cu: int, coded_w: int, coded_h: int,
+                              sdh: bool, deblock_on: bool, sao_on: bool,
+                              search_range: int, is_b: bool,
+                              tile_bounds_x: tuple = (),
+                              tile_bounds_y: tuple = (),
+                              cnn_params=None, qp: int = 0,
+                              use_cnn: bool = False, rd_cands: int = 3):
+    """Search + MC + mixed exact commit + filters for F same-type P/B
+    frames in one dispatch (frames of one temporal layer batch: refs come
+    from the on-device DPB, so reference pixels never cross the tunnel).
+
+    y_u8: [F, PH, PW] uint8 CTU-padded sources; r0_*/r1_*: [F, coded]
+    uint8 reference planes per frame (r1_* ignored unless is_b).
+    Returns the same output dict as encode_group_device.
+    """
+    from .search import search_b_maps, search_p_maps
+
+    gh, gw = coded_h >> 3, coded_w >> 3
+    f_total = y_u8.shape[0]
+    ph, pw = y_u8.shape[1], y_u8.shape[2]
+
+    def pad_ref(r):
+        return jnp.pad(r, ((0, 0), (0, ph - r.shape[1]),
+                           (0, pw - r.shape[2])), mode="edge")
+
+    r0_y_pad = pad_ref(r0_y)
+    r1_y_pad = pad_ref(r1_y) if is_b else r0_y_pad
+
+    def search_mb(args):
+        if is_b:
+            ym, re0, re1 = args
+            return jax.vmap(lambda y, a, b: search_b_maps(
+                y, a, b, lambda_sqrt, log2_ctu, log2_min_cu, coded_w,
+                coded_h, search_range, cnn_params=cnn_params, qp=qp,
+                use_cnn=use_cnn, rd_cands=rd_cands))(ym, re0, re1)
+        ym, re0 = args
+        return jax.vmap(lambda y, a: search_p_maps(
+            y, a, lambda_sqrt, log2_ctu, log2_min_cu, coded_w, coded_h,
+            search_range, cnn_params=cnn_params, qp=qp, use_cnn=use_cnn,
+            rd_cands=rd_cands))(ym, re0)
+
+    args = (y_u8, r0_y_pad, r1_y_pad) if is_b else (y_u8, r0_y_pad)
+    packed = _lax_map_frames(search_mb, args, f_total,
+                             max(1, SEARCH_MICRO_BATCH // 2))
+
+    def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr):
+        from ..ops.me import inter_pred_planes
+
+        dm = pk[:gh, :gw, 0].astype(jnp.int32)
+        mm = pk[:gh, :gw, 1].astype(jnp.int32)
+        im = pk[:gh, :gw, 2].astype(jnp.int32)
+        mv = pk[:gh, :gw, 3:7].astype(jnp.int32)
+        sy = y[:coded_h, :coded_w].astype(jnp.int32)
+        scb = cbp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
+        scr = crp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
+        ref0 = (q0y.astype(jnp.int32), q0cb.astype(jnp.int32),
+                q0cr.astype(jnp.int32))
+        ref1 = ((q1y.astype(jnp.int32), q1cb.astype(jnp.int32),
+                 q1cr.astype(jnp.int32)) if is_b else None)
+        ipy, ipcb, ipcr = inter_pred_planes(ref0, ref1, im, mv)
+        ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_mixed(
+            sy, scb, scr, dm, mm, im, ipy, ipcb, ipcr,
+            qp_y, qp_cb, qp_cr, coded_w, coded_h, 8, sdh,
+            tile_bounds_x, tile_bounds_y)
+        if deblock_on:
+            cbf = tu_cbf_map(lv_y, dm, log2_ctu)
+            # normalize: merge-candidate MVs of unused lists are zeroed
+            bs_v, bs_h = inter_bs_maps(dm, im, mv, cbf)
+            ry, rcb, rcr = deblock_device(ry, rcb, rcr, dm,
+                                          qp_for_deblock, qp_cb, qp_cr,
+                                          log2_ctu, bs_vert=bs_v,
+                                          bs_horz=bs_h)
+        if sao_on:
+            ry, rcb, rcr, sao_params = sao_device(sy, scb, scr, ry, rcb,
+                                                  rcr, log2_ctu)
+        else:
+            ny = -(-coded_h // (1 << log2_ctu))
+            nx = -(-coded_w // (1 << log2_ctu))
+            sao_params = jnp.zeros((ny, nx, 3, 7), jnp.int32)
+        ry8 = ry.astype(jnp.uint8)
+        rcb8 = rcb.astype(jnp.uint8)
+        rcr8 = rcr.astype(jnp.uint8)
+        cksum = jnp.stack([_device_checksum(ry8), _device_checksum(rcb8),
+                           _device_checksum(rcr8)])
+
+        def to8(lv):
+            return (jnp.clip(lv, -128, 127).astype(jnp.int8),
+                    jnp.any(jnp.abs(lv.astype(jnp.int32)) > 127))
+
+        lv8_y, of_y = to8(lv_y)
+        lv8_cb, of_cb = to8(lv_cb)
+        lv8_cr, of_cr = to8(lv_cr)
+        return dict(packed=pk,
+                    lv8_y=lv8_y, lv8_cb=lv8_cb, lv8_cr=lv8_cr,
+                    overflow=jnp.stack([of_y, of_cb, of_cr]),
+                    lv_y=lv_y, lv_cb=lv_cb, lv_cr=lv_cr,
+                    rec_y=ry8, rec_cb=rcb8, rec_cr=rcr8,
+                    cksum=cksum, sao=sao_params)
+
+    return jax.vmap(one)(y_u8, cb_u8, cr_u8, packed, r0_y, r0_cb, r0_cr,
+                         r1_y, r1_cb, r1_cr)

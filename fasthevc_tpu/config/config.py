@@ -159,3 +159,37 @@ def random_access_gop16(width=1920, height=1080, qp=32, frames=128,
     ]
     return EncoderConfig(width=width, height=height, qp=qp, frames=frames,
                          intra_period=32, gop=gop, **kw)
+
+
+def random_access_gop16_layered(width=1920, height=1080, qp=32, frames=128,
+                                **kw) -> EncoderConfig:
+    """Random-access GOP-16 in TEMPORAL-LAYER coding order: all frames of
+    a layer are coded consecutively (16; 8; 4,12; 2,6,10,14; odd).
+
+    Same hierarchical references and QP cascade as random_access_gop16 —
+    a legal alternative coding order (signaled explicitly via the per-
+    slice ST-RPS) that lets the device pipeline dispatch every layer as
+    ONE batch: the wavefront commit's per-wave cost is frame-count-
+    invariant, so layer batches of 4-8 frames cut the per-frame cost ~4x
+    versus the interleaved HM order (SURVEY.md §2.4 P4/P5).  Costs a
+    deeper DPB (up to 9 held pictures vs HM's 5)."""
+    gop = [
+        GopEntry(16, 1, "B", (-16, -32), 0),
+        GopEntry(8, 1, "B", (-8, 8), 1),
+        GopEntry(4, 4, "B", (-4, 4, 12), 2),
+        GopEntry(12, 4, "B", (-4, -12, 4), 2),
+        GopEntry(2, 5, "B", (-2, 2, 6, 14), 3),
+        GopEntry(6, 5, "B", (-2, -6, 2, 10), 3),
+        GopEntry(10, 5, "B", (-2, -10, 2, 6), 3),
+        GopEntry(14, 5, "B", (-2, -14, 2), 3),
+        GopEntry(1, 6, "B", (-1, 1, 3, 7), 4),
+        GopEntry(3, 6, "B", (-1, -3, 1, 5), 4),
+        GopEntry(5, 6, "B", (-1, -5, 1, 3), 4),
+        GopEntry(7, 6, "B", (-1, -7, 1, 9), 4),
+        GopEntry(9, 6, "B", (-1, -9, 1, 7), 4),
+        GopEntry(11, 6, "B", (-1, -11, 1, 5), 4),
+        GopEntry(13, 6, "B", (-1, -13, 1, 3), 4),
+        GopEntry(15, 6, "B", (-1, -15, 1), 4),
+    ]
+    return EncoderConfig(width=width, height=height, qp=qp, frames=frames,
+                         intra_period=32, gop=gop, **kw)

@@ -54,7 +54,8 @@ import numpy as np
 
 from ..spec.residual import get_scan
 from .intra import predict_selected_mm
-from .transform import dequantize, fwd_transform, inv_transform, quantize
+from .transform import (dequantize, fwd_transform, inv_transform,
+                        quantize_mixed)
 
 CTU = 32
 GR = 8          # granule (min CU) size
@@ -395,14 +396,17 @@ def _scan_sel(lg: int, c_idx: int, modes: jnp.ndarray) -> jnp.ndarray:
 # One CU commit (size n at a static local granule position)
 # ---------------------------------------------------------------------------
 
-def _tq_recon(pred, src, lg, qp, c_idx, modes, bit_depth, sdh):
+def _tq_recon(pred, src, lg, qp, c_idx, modes, bit_depth, sdh,
+              intra_mask):
     """Exact T/Q/SDH/IQ/IT + clip for a batch of blocks; returns
-    (recon, levels)."""
+    (recon, levels).  intra_mask: [B] bool — selects the intra/inter
+    dead-zone offset and forces the diagonal scan for inter blocks (SDH
+    scan choice, spec residual semantics)."""
     res = src - pred
     coeffs = fwd_transform(res, lg, bit_depth, False)
-    levels = quantize(coeffs, qp, lg, bit_depth, True)
+    levels = quantize_mixed(coeffs, qp, lg, bit_depth, intra_mask)
     if sdh:
-        sel = _scan_sel(lg, c_idx, modes)
+        sel = jnp.where(intra_mask, _scan_sel(lg, c_idx, modes), 0)
         levels = _sdh_adjust_device(levels, coeffs, qp, lg, sel, bit_depth)
     deq = dequantize(levels, qp, lg, bit_depth)
     rres = inv_transform(deq, lg, bit_depth, False)
@@ -419,7 +423,7 @@ def _write_local(st, recon, levels, active, lx, ly, n):
 
 
 def _commit_luma(state, take, lx, ly, n, modes, active, qp, bit_depth,
-                 sdh):
+                 sdh, inter=None):
     st = state["y"]
     lg = n.bit_length() - 1
     refs = _gather_refs(st["local"], st["top"], st["left"], lx, ly, n)
@@ -432,14 +436,21 @@ def _commit_luma(state, take, lx, ly, n, modes, active, qp, bit_depth,
     top_arr = refs[:, L:]
     pred = predict_selected_mm(top_arr, left_arr, lg, modes, True,
                                bit_depth)
+    if inter is None:
+        intra_mask = jnp.ones(modes.shape, bool)
+    else:
+        intra_mask = ~inter
+        pred = jnp.where(inter[:, None, None],
+                         st["ipred"][:, ly:ly + n, lx:lx + n], pred)
     src = st["src"][:, ly:ly + n, lx:lx + n]
-    recon, levels = _tq_recon(pred, src, lg, qp, 0, modes, bit_depth, sdh)
+    recon, levels = _tq_recon(pred, src, lg, qp, 0, modes, bit_depth, sdh,
+                              intra_mask)
     _write_local(st, recon, levels, active, lx, ly, n)
     return state
 
 
 def _commit_chroma_pair(state, take, lx, ly, n, modes, active, qp_c,
-                        bit_depth, sdh):
+                        bit_depth, sdh, inter=None):
     """Commit the cb AND cr blocks of size n at local chroma (lx, ly) in
     one fused batch [2A] (same geometry, same chroma QP)."""
     scb, scr = state["cb"], state["cr"]
@@ -460,9 +471,17 @@ def _commit_chroma_pair(state, take, lx, ly, n, modes, active, qp_c,
     top_arr = refs[:, L:]
     pred = predict_selected_mm(top_arr, left_arr, lg, modes2, False,
                                bit_depth)
+    if inter is None:
+        intra_mask2 = jnp.ones(modes2.shape, bool)
+    else:
+        inter2 = jnp.concatenate([inter, inter])
+        intra_mask2 = ~inter2
+        ipred2 = jnp.concatenate([scb["ipred"], scr["ipred"]])
+        pred = jnp.where(inter2[:, None, None],
+                         ipred2[:, ly:ly + n, lx:lx + n], pred)
     src = src2[:, ly:ly + n, lx:lx + n]
     recon, levels = _tq_recon(pred, src, lg, qp_c, 1, modes2, bit_depth,
-                              sdh)
+                              sdh, intra_mask2)
     a = scb["local"].shape[0]
     _write_local(scb, recon[:a], levels[:a], active, lx, ly, n)
     _write_local(scr, recon[a:], levels[a:], active, lx, ly, n)
@@ -501,6 +520,42 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
     Returns (rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr) — recon int32 in
     coded dims (pre-loop-filter), levels int16 at plane positions.
     """
+    return _wavefront_commit_impl(src_y, src_cb, src_cr, depth_map,
+                                  mode_map, None, None, None, None,
+                                  qp_y, qp_cb, qp_cr, coded_w, coded_h,
+                                  bit_depth, sdh, tile_bounds_x,
+                                  tile_bounds_y)
+
+
+@partial(jax.jit, static_argnames=("coded_w", "coded_h", "bit_depth",
+                                   "sdh", "tile_bounds_x", "tile_bounds_y"))
+def wavefront_commit_mixed(src_y, src_cb, src_cr, depth_map, mode_map,
+                           dir_map, pred_y, pred_cb, pred_cr,
+                           qp_y, qp_cb, qp_cr, coded_w: int, coded_h: int,
+                           bit_depth: int = 8, sdh: bool = True,
+                           tile_bounds_x: tuple = (),
+                           tile_bounds_y: tuple = ()):
+    """Mixed intra/inter exact reconstruction of a P/B frame on device.
+
+    dir_map: int32 [coded_h/8, coded_w/8], 0 = intra CU, 1/2/3 = L0/L1/BI;
+    pred_*: int32 MC prediction planes from ops.me.inter_pred_planes
+    (coded dims). Inter blocks take their prediction from pred_* and the
+    inter dead-zone quantizer offset; intra blocks run the wavefront
+    reference path — which may (correctly) read reconstructed inter
+    neighbors, since every earlier-decode-order granule is committed
+    before it is referenced (intra in inter slices, spec 8.4.4.2.1)."""
+    return _wavefront_commit_impl(src_y, src_cb, src_cr, depth_map,
+                                  mode_map, dir_map, pred_y, pred_cb,
+                                  pred_cr, qp_y, qp_cb, qp_cr, coded_w,
+                                  coded_h, bit_depth, sdh, tile_bounds_x,
+                                  tile_bounds_y)
+
+
+def _wavefront_commit_impl(src_y, src_cb, src_cr, depth_map, mode_map,
+                           dir_map, pred_y, pred_cb, pred_cr,
+                           qp_y, qp_cb, qp_cr, coded_w: int, coded_h: int,
+                           bit_depth: int, sdh: bool,
+                           tile_bounds_x: tuple, tile_bounds_y: tuple):
     nctux = -(-coded_w // CTU)
     nctuy = -(-coded_h // CTU)
     pw, ph = nctux * CTU, nctuy * CTU
@@ -523,6 +578,14 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
     mm = jnp.pad(mode_map.astype(jnp.int32),
                  ((0, ph // 8 - mode_map.shape[0]),
                   (0, pw // 8 - mode_map.shape[1])))
+    has_inter = dir_map is not None
+    if has_inter:
+        im = jnp.pad(dir_map.astype(jnp.int32),
+                     ((0, ph // 8 - dir_map.shape[0]),
+                      (0, pw // 8 - dir_map.shape[1])))
+        ipy = pad_to(pred_y, ph, pw)
+        ipcb = pad_to(pred_cb, ph // 2, pw // 2)
+        ipcr = pad_to(pred_cr, ph // 2, pw // 2)
 
     xs = dict(
         toh=jnp.asarray(pre["toh"]), loh=jnp.asarray(pre["loh"]),
@@ -616,8 +679,14 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
                        top=top_cr, left=left_cr,
                        lv=jnp.zeros((a_max, H, H), jnp.int16)),
         }
+        if has_inter:
+            state["y"]["ipred"] = slice_block(ipy, y0, x0, CTU, CTU)
+            state["cb"]["ipred"] = slice_block(ipcb, y0c, x0c, H, H)
+            state["cr"]["ipred"] = slice_block(ipcr, y0c, x0c, H, H)
         dloc = slice_block(dm, cy * NG, cx * NG, NG, NG)   # [A, 4, 4]
         mloc = slice_block(mm, cy * NG, cx * NG, NG, NG)
+        iloc = (slice_block(im, cy * NG, cx * NG, NG, NG) if has_inter
+                else None)
         in_pic_g = jax.vmap(
             lambda xx, yy: ((xx * 8 + jnp.arange(NG)[None, :] * 8
                              < coded_w)
@@ -631,14 +700,15 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
             modes = mloc[:, gy, gx]
             d = dloc[:, gy, gx]
             act = inside & ((d >= 2) if dcond == 2 else (d == dcond))
+            inter_g = (iloc[:, gy, gx] > 0) if has_inter else None
             take = x["takes"][str(gi)]
             if kind == "l":
                 state = _commit_luma(state, take, lx, ly, n, modes, act,
-                                     qp_y, bit_depth, sdh)
+                                     qp_y, bit_depth, sdh, inter=inter_g)
             else:
                 state = _commit_chroma_pair(state, take, lx, ly, n,
                                             modes, act, qp_cb, bit_depth,
-                                            sdh)
+                                            sdh, inter=inter_g)
 
         new_carry = dict(
             y=update_bufs(carry["y"], state["y"]["local"], x["w_row"],

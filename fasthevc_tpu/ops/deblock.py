@@ -151,6 +151,74 @@ def _filter_vert_chroma(plane: jnp.ndarray, seg_mask: jnp.ndarray,
     return x.transpose(0, 2, 1, 3).reshape(h, w)
 
 
+def tu_cbf_map(lv_y: jnp.ndarray, depth_map: jnp.ndarray,
+               log2_ctu: int) -> jnp.ndarray:
+    """Per-8x8-granule luma TU cbf from a level plane: any nonzero level
+    within the TU (TU == CU in this pipeline), replicated to granules.
+
+    lv_y: [H, W] int; depth_map: [H/8, W/8]. Returns bool [H/8, W/8]."""
+    h, w = lv_y.shape
+    gh, gw = h // 8, w // 8
+    nz8 = ((lv_y != 0).reshape(gh, 8, gw, 8).any(axis=(1, 3)))
+    size = (1 << log2_ctu) >> depth_map.astype(jnp.int32)
+    cbf = nz8
+    n = 16
+    while n <= (1 << log2_ctu):
+        r = n // 8
+        red = (nz8[:gh - gh % r, :gw - gw % r]
+               .reshape(gh // r, r, gw // r, r).any(axis=(1, 3)))
+        up = jnp.repeat(jnp.repeat(red, r, axis=0), r, axis=1)
+        up = jnp.pad(up, ((0, gh - up.shape[0]), (0, gw - up.shape[1])))
+        cbf = jnp.where(size == n, up, cbf)
+        n *= 2
+    return cbf
+
+
+def inter_bs_maps(depth_map: jnp.ndarray, dir_map: jnp.ndarray,
+                  mv_map: jnp.ndarray, cbf_y_g: jnp.ndarray):
+    """Boundary strengths for a P/B picture (spec 8.7.2.4; device twin of
+    spec.deblock._segment_bs).
+
+    depth_map/dir_map/cbf_y_g: [gh, gw] granule (8x8) maps; mv_map:
+    [gh, gw, 4] quarter-pel (mv0x, mv0y, mv1x, mv1y) — unused-list MVs
+    are zeroed here, matching MotionCu.normalize().
+    Returns (bs_vert [h/4, w/8], bs_horz [w/4, h/8]) int32; positions
+    without a CU/TU edge carry garbage strengths that the edge masks in
+    deblock_device suppress."""
+    d = dir_map.astype(jnp.int32)
+    mv = mv_map.astype(jnp.int32)
+    mv = jnp.concatenate(
+        [jnp.where((d[..., None] & 1) > 0, mv[..., 0:2], 0),
+         jnp.where((d[..., None] & 2) > 0, mv[..., 2:4], 0)], axis=-1)
+
+    def up2(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+
+    intra4 = up2(d == 0)
+    dir4 = up2(d)
+    cbf4 = up2(cbf_y_g.astype(jnp.bool_))
+    mv4 = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)
+
+    def bs_pairs(i4, dr4, cb4, m4):
+        """p = left 4-col, q = right 4-col of each vertical edge."""
+        shift = lambda a: jnp.concatenate(  # noqa: E731
+            [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+        pi, qi = shift(i4)[:, 0::2], i4[:, 0::2]
+        pd, qd = shift(dr4)[:, 0::2], dr4[:, 0::2]
+        pc, qc = shift(cb4)[:, 0::2], cb4[:, 0::2]
+        pm = shift(m4)[:, 0::2]
+        qm = m4[:, 0::2]
+        dref = pd != qd
+        dmv = (jnp.abs(pm - qm) >= 4).any(axis=-1)
+        return jnp.where(pi | qi, 2,
+                         jnp.where(pc | qc | dref | dmv, 1, 0))
+
+    bs_vert = bs_pairs(intra4, dir4, cbf4, mv4)            # [h/4, w/8]
+    bs_horz = bs_pairs(intra4.T, dir4.T, cbf4.T,
+                       mv4.transpose(1, 0, 2))             # [w/4, h/8]
+    return bs_vert.astype(jnp.int32), bs_horz.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_max_tu", "bit_depth"))
 def deblock_device(rec_y: jnp.ndarray, rec_cb: jnp.ndarray,
                    rec_cr: jnp.ndarray, depth_map: jnp.ndarray,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..spec.mc import LUMA_FILTERS
+from ..spec.mc import CHROMA_FILTERS, LUMA_FILTERS
 
 
 def _sad_grid(src: jnp.ndarray, shifted: jnp.ndarray, gy: int, gx: int,
@@ -251,6 +251,98 @@ def mc_blocks(ref_plane: jnp.ndarray, mvq: jnp.ndarray, n: int,
                          dtype=jnp.float32)
     return jnp.einsum("bp,bpyx->byx", sel, stacked.astype(jnp.float32),
                       preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _mc_raw_blocks(ref: jnp.ndarray, mv: jnp.ndarray, n: int,
+                   taps_table: np.ndarray, frac_bits: int,
+                   bit_depth: int = 8) -> jnp.ndarray:
+    """Spec-exact 14-bit intermediate prediction of every aligned n-block
+    for arbitrary per-block MVs (uniform two-stage filtering; the
+    zero-phase filter row reproduces the spec's copy/h-only/v-only paths
+    exactly at any bit depth, since all shifts compose losslessly).
+
+    ref: [H, W] int32 plane (component resolution); mv: [B, 2] in the
+    component's sub-pel units scaled by 2^frac_bits; taps_table:
+    [n_phases, n_taps]. Returns raw [B, n, n] int32 (14-bit scale).
+
+    Per-block filter taps are selected with one-hot matmuls (no gathers);
+    the filter itself is a static unrolled multiply-add over the window.
+    """
+    h, w = ref.shape
+    oy, ox = _block_origins(h, w, n)
+    n_taps = taps_table.shape[1]
+    half_t = n_taps // 2 - 1                 # 3 for 8-tap, 1 for 4-tap
+    mvi = mv >> frac_bits
+    frac = mv & ((1 << frac_bits) - 1)
+    W = n + n_taps - 1
+    win = _gather_windows(ref, oy + mvi[:, 1] - half_t,
+                          ox + mvi[:, 0] - half_t, W)
+    tt = jnp.asarray(taps_table, jnp.float32)          # [P, T]
+    ohx = jax.nn.one_hot(frac[:, 0], tt.shape[0], dtype=jnp.float32)
+    ohy = jax.nn.one_hot(frac[:, 1], tt.shape[0], dtype=jnp.float32)
+    fx = jnp.einsum("bp,pt->bt", ohx, tt).astype(jnp.int32)  # [B, T]
+    fy = jnp.einsum("bp,pt->bt", ohy, tt).astype(jnp.int32)
+    shift1 = bit_depth - 8
+    hacc = jnp.zeros((win.shape[0], W, n), jnp.int32)
+    for k in range(n_taps):
+        hacc = hacc + fx[:, k, None, None] * win[:, :, k:k + n]
+    if shift1:
+        hacc = hacc >> shift1
+    acc = jnp.zeros((win.shape[0], n, n), jnp.int32)
+    for k in range(n_taps):
+        acc = acc + fy[:, k, None, None] * hacc[:, k:k + n, :]
+    return acc >> 6
+
+
+def _blocks_to_plane(blocks: jnp.ndarray, gy: int, gx: int) -> jnp.ndarray:
+    b, n, _ = blocks.shape
+    return (blocks.reshape(gy, gx, n, n).transpose(0, 2, 1, 3)
+            .reshape(gy * n, gx * n))
+
+
+def inter_pred_planes(ref0, ref1, dir_map, mv_map, bit_depth: int = 8):
+    """Exact whole-frame MC prediction planes for decided per-granule
+    motion (the inter half of the device commit; reference parity:
+    spec.mc.mc_cu_motion — MC is position-invariant, so per-8x8-granule
+    filtering with the CU's MV equals per-CU filtering exactly).
+
+    ref0/ref1: (y, cb, cr) int32 planes (ref1 may be None for P);
+    dir_map: [gh, gw] int32 (0 intra, 1 L0, 2 L1, 3 BI);
+    mv_map: [gh, gw, 4] int32 quarter-pel (mv0x, mv0y, mv1x, mv1y).
+    Returns (pred_y, pred_cb, pred_cr) int32 planes; intra granules hold
+    arbitrary values (the commit masks them out).
+    """
+    gh, gw = dir_map.shape
+    d = dir_map.reshape(-1)
+    mv0 = mv_map.reshape(-1, 4)[:, 0:2]
+    mv1 = mv_map.reshape(-1, 4)[:, 2:4]
+    shift = 14 - bit_depth
+    off_u, off_b = 1 << (shift - 1), 1 << shift
+    max_val = (1 << bit_depth) - 1
+
+    def comp(ci, n):
+        r0 = ref0[ci]
+        taps = (LUMA_FILTERS if ci == 0 else CHROMA_FILTERS)
+        fb = 2 if ci == 0 else 3
+        raw0 = _mc_raw_blocks(r0, mv0, n, np.asarray(taps), fb, bit_depth)
+        if ref1 is not None:
+            raw1 = _mc_raw_blocks(ref1[ci], mv1, n, np.asarray(taps), fb,
+                                  bit_depth)
+        else:
+            raw1 = raw0
+        dd = d[:, None, None]
+        uni = jnp.where(dd == 2, raw1, raw0)
+        pred = jnp.where(
+            dd == 3,
+            (raw0 + raw1 + off_b) >> (shift + 1),
+            (uni + off_u) >> shift)
+        pred = jnp.clip(pred, 0, max_val)
+        return _blocks_to_plane(pred, gh, gw)
+
+    pred_y = comp(0, 8)
+    pred_cb = comp(1, 4)
+    pred_cr = comp(2, 4)
+    return pred_y, pred_cb, pred_cr
 
 
 def search_inter_costs(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,

@@ -96,6 +96,26 @@ def quantize(coeffs: jnp.ndarray, qp: jnp.ndarray, log2_size: int,
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
+def quantize_mixed(coeffs: jnp.ndarray, qp: jnp.ndarray, log2_size: int,
+                   bit_depth: int, intra_mask: jnp.ndarray) -> jnp.ndarray:
+    """Forward quantization with a PER-BLOCK intra/inter dead-zone offset
+    (171/512 vs 85/512) — the mixed-slice wavefront commit quantizes intra
+    and inter blocks of one batch together.  Exact int32: |coeff| <=
+    32767, scale <= 26214 -> products < 2^31; f <= 171 << 18.
+
+    coeffs: [B, N, N] int32; intra_mask: [B] bool."""
+    qp = jnp.asarray(qp, jnp.int32)
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + qp // 6 + transform_shift
+    scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+    dz = jnp.where(intra_mask, 171, 85).astype(jnp.int32)[:, None, None]
+    f = dz << (qbits - 9)
+    c = coeffs.astype(jnp.int32)
+    level = (jnp.abs(c) * scale + f) >> qbits
+    level = jnp.clip(level, 0, 32767)
+    return jnp.sign(c) * level
+
+
 @partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
 def dequantize(levels: jnp.ndarray, qp: jnp.ndarray, log2_size: int,
                bit_depth: int = 8) -> jnp.ndarray:

@@ -18,6 +18,7 @@ from . import bitstream as bs
 from . import ctu as ctu_mod
 from . import residual, transform
 from .cabac import CabacEncoder, CabacEstimator, ContextSet
+from .rdoq import rdoq_quantize
 from .ctu import CHROMA_DM, CuDecision, FrameMaps, Planes, TuData
 from .syntax import (
     SLICE_I,
@@ -567,11 +568,13 @@ class SpecEncoder:
         for ts in variants:
             if ts:
                 coeffs = transform.forward_transform_skip(res, sp.bit_depth)
+                levels = transform.quantize(coeffs, qp, sp.bit_depth,
+                                            is_intra=True)
             else:
                 coeffs = transform.forward_transform(res, sp.bit_depth,
                                                      use_dst)
-            levels = transform.quantize(coeffs, qp, sp.bit_depth,
-                                        is_intra=True)
+                levels = self._quantize_tb(coeffs, qp, True, blog2, c_idx,
+                                           scan)
             if sp.sign_data_hiding and levels.any():
                 levels = residual.sdh_adjust(levels, coeffs, qp,
                                              sp.bit_depth, blog2, scan)
@@ -588,6 +591,22 @@ class SpecEncoder:
             if best is None or cost < best[0]:
                 best = (cost, levels if levels.any() else None, ts)
         return best[1], best[2]
+
+    _rdoq_ctx_cache: dict = {}
+
+    def _quantize_tb(self, coeffs, qp, is_intra, blog2, c_idx, scan):
+        """Quantize one TB: trellis RDOQ (spec/rdoq.py) when cfg.rdoq,
+        else the HM dead-zone quantizer (SURVEY.md C5)."""
+        if not getattr(self.cfg, "rdoq", False):
+            return transform.quantize(coeffs, qp, self.sp.bit_depth,
+                                      is_intra=is_intra)
+        key = (0 if is_intra else 2, qp)
+        ctx = self._rdoq_ctx_cache.get(key)
+        if ctx is None:
+            ctx = self._rdoq_ctx_cache[key] = ContextSet(*key)
+        return rdoq_quantize(coeffs, qp, self.sp.bit_depth, blog2,
+                             0 if c_idx == 0 else 1, scan,
+                             self.lambda_mode, ctx)
 
     def _build_luma_tb(self, x, y, blog2, mode, bypass):
         """TQ + reconstruct one luma TB; returns (sse_dist, levels|None,
@@ -766,9 +785,8 @@ class SpecEncoder:
                 else:
                     coeffs = transform.forward_transform(res, sp.bit_depth,
                                                          False)
-                    levels = transform.quantize(coeffs, qps[ci],
-                                                sp.bit_depth,
-                                                is_intra=False)
+                    levels = self._quantize_tb(coeffs, qps[ci], False,
+                                               tlg - sub, ci, 0)
                     if sp.sign_data_hiding and levels.any():
                         levels = residual.sdh_adjust(levels, coeffs,
                                                      qps[ci], sp.bit_depth,
