@@ -2562,11 +2562,15 @@ int hevc_entropy_slice_tiled(
   };
 
   for (int t = 0; t < n_tiles; t++) setup_tile(t);
-  {  // fill pass (cheap, single thread)
-    Filler fill{&ses[0], lv_y, lv_cb, lv_cr};
-    for (int cy = 0; cy < coded_h; cy += cs)
-      for (int cx = 0; cx < coded_w; cx += cs)
-        fill.cu(cx, cy, log2_ctu, 0);
+  {  // fill pass (cheap, single thread) — TILE-MAJOR decode order with
+     // each tile's own availability rect: the inter merge/AMVP replay is
+     // order- and tile-availability-dependent (spec 6.4.1)
+    for (int t = 0; t < n_tiles; t++) {
+      Filler fill{&ses[t], lv_y, lv_cb, lv_cr};
+      for (int cy = ses[t].ty0; cy < ses[t].ty1; cy += cs)
+        for (int cx = ses[t].tx0; cx < ses[t].tx1; cx += cs)
+          fill.cu(cx, cy, log2_ctu, 0);
+    }
   }
 
   auto tile_emit = [&](int t) {

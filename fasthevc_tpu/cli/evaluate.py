@@ -116,9 +116,12 @@ def config5(quick=False):
     processes (jax.distributed loopback on one machine when no cluster)."""
     from ..parallel.multiproc import gop_parallel_encode_check
 
-    w, h, n = (256, 128, 4) if quick else (3840, 2160, 8)
+    # closed GOPs WITH P frames (intra_period-led segments, LDP inside):
+    # each process owns whole GOPs where DPB state matters (VERDICT r2 #7)
+    w, h, n = (256, 128, 8) if quick else (3840, 2160, 16)
     out = gop_parallel_encode_check(w, h, n, n_procs=2,
-                                    tile_cols=2, tile_rows=2)
+                                    tile_cols=2, tile_rows=2,
+                                    intra_period=4 if quick else 8)
     print(json.dumps(out))
     return out
 

@@ -51,11 +51,22 @@ def _mv_rate_bits(mv: jnp.ndarray) -> jnp.ndarray:
     return 4.0 + 2.0 * jnp.log2(1.0 + mag)
 
 
-def _neighbor_mvs(mv: jnp.ndarray, gy: int, gx: int):
+def _neighbor_mvs(mv: jnp.ndarray, gy: int, gx: int, edge_col: int = 0,
+                  edge_on=None):
     """Left and top same-size-grid neighbor MVs ([B, 2] each, zero at the
-    frame edge) — the search-stage stand-ins for merge candidates A1/B1."""
+    frame edge) — the search-stage stand-ins for merge candidates A1/B1.
+
+    edge_col/edge_on: grid column that is the TRUE picture left edge on
+    halo-extended tile shards (same mechanism as _intra_mode_bits) — the
+    zero left-candidate must appear at the same place the full-frame
+    search puts it, or sharded byte-identity breaks."""
     m = mv.reshape(gy, gx, 2)
     left = jnp.concatenate([jnp.zeros((gy, 1, 2), mv.dtype), m[:, :-1]], 1)
+    if edge_col:
+        cond = (jnp.arange(gx) == edge_col)[None, :, None]
+        if edge_on is not None:
+            cond = cond & edge_on
+        left = jnp.where(cond, jnp.asarray(0, mv.dtype), left)
     top = jnp.concatenate([jnp.zeros((1, gx, 2), mv.dtype), m[:-1, :]], 0)
     return left.reshape(-1, 2), top.reshape(-1, 2)
 
@@ -220,11 +231,13 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "search_range", "rd_cands"))
+                                   "search_range", "rd_cands",
+                                   "mpm_edge_x"))
 def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                    lambda_sqrt: jnp.ndarray, log2_ctu: int = 5,
                    log2_min_cu: int = 3, search_range: int = 8,
-                   rd_cands: int = 3):
+                   rd_cands: int = 3, cb_plane=None, cr_plane=None,
+                   mpm_edge_x: int = 0, mpm_edge_on=None):
     """P-frame search: intra + inter candidates for every block, then the
     quadtree DP over the per-block minimum.
 
@@ -239,7 +252,9 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
-                                   log2_min_cu, rd_cands=rd_cands)
+                                   log2_min_cu, cb_plane, cr_plane,
+                                   mpm_edge_x, mpm_edge_on,
+                                   rd_cands=rd_cands)
     me = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
                             log2_ctu, log2_min_cu, search_range)
 
@@ -265,7 +280,8 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
         # ~2 bits (merge_idx) — steers the field toward coherent motion
         # the exact commit then codes as merge/skip (HM merge estimation,
         # SURVEY.md E7)
-        for cand in _neighbor_mvs(mv, h // n, w // n):
+        for cand in _neighbor_mvs(mv, h // n, w // n, mpm_edge_x // n,
+                                  mpm_edge_on):
             predc = mc_blocks(ref_plane, cand, n, h, w)
             costc = inter_rd(n, predc, 2.0)
             better = costc < icost
@@ -516,16 +532,21 @@ def search_intra_maps_batch(y_u8_batch: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
                                    "coded_h", "search_range", "use_cnn",
-                                   "rd_cands"))
+                                   "rd_cands", "mpm_edge_x"))
 def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                   lambda_sqrt: jnp.ndarray, log2_ctu: int, log2_min_cu: int,
                   coded_w: int, coded_h: int, search_range: int,
                   cnn_params=None, qp: int = 0, use_cnn: bool = False,
-                  rd_cands: int = 3):
+                  rd_cands: int = 3, cb_u8=None, cr_u8=None,
+                  mpm_edge_x: int = 0, mpm_edge_on=None):
     y = y_u8.astype(jnp.int32)
     ref = ref_u8.astype(jnp.int32)
+    cb = cb_u8.astype(jnp.int32) if cb_u8 is not None else None
+    cr = cr_u8.astype(jnp.int32) if cr_u8 is not None else None
     dec = search_p_frame(y, ref, lambda_sqrt, log2_ctu, log2_min_cu,
-                         search_range, rd_cands=rd_cands)
+                         search_range, rd_cands=rd_cands, cb_plane=cb,
+                         cr_plane=cr, mpm_edge_x=mpm_edge_x,
+                         mpm_edge_on=mpm_edge_on)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device

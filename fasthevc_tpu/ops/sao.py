@@ -114,9 +114,15 @@ def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
                        jnp.maximum(off_e[:, 1], 0),
                        jnp.minimum(off_e[:, 2], 0),
                        jnp.minimum(off_e[:, 3], 0)], axis=1)
-    off_ef = off_e.astype(jnp.float32)
-    gain_e = (2.0 * off_ef * sum_e - off_ef * off_ef * cnt_e).sum(axis=1)
-    # [4, ny, nx]
+    # gains in int32: every term is an exact integer < 2^24 in f32, but
+    # the 4-way sums reach ~2^26 — int32 keeps them exact and therefore
+    # identical under ANY compiler reassociation (the multi-process
+    # byte-identity checks compile under jax.distributed, which may fuse
+    # float reductions differently)
+    off_ei = off_e.astype(jnp.int32)
+    gain_e = (2 * off_ei * sum_e.astype(jnp.int32)
+              - off_ei * off_ei * cnt_e.astype(jnp.int32)).sum(axis=1)
+    # [4, ny, nx] int32
 
     # ---- band stats ------------------------------------------------------
     band = jnp.where(valid, recp >> (bit_depth - 5), 32)   # pad -> bin 32
@@ -125,8 +131,8 @@ def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
     cnt_b = _ctb_sum(onehot_b, ctb)                  # [32, ny, nx]
     sum_b = _ctb_sum(onehot_b * diff[None], ctb)
     off_b = _round_div(sum_b, cnt_b)                 # [32, ny, nx]
-    off_bf = off_b.astype(jnp.float32)
-    gain_b = 2.0 * off_bf * sum_b - off_bf * off_bf * cnt_b
+    gain_b = (2 * off_b * sum_b.astype(jnp.int32)
+              - off_b * off_b * cnt_b.astype(jnp.int32))   # int32
     # best run of 4 consecutive bands (positions 0..28)
     run = (gain_b[0:29] + gain_b[1:30] + gain_b[2:31] + gain_b[3:32])
     band_pos = jnp.argmax(run, axis=0).astype(jnp.int32)   # [ny, nx]
@@ -136,8 +142,8 @@ def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
         # pick: OFF (gain 0) vs best EO class vs band
         eo_cls = jnp.argmax(gain_e, axis=0).astype(jnp.int32)  # [ny, nx]
         eo_gain = jnp.max(gain_e, axis=0)
-        use_band = band_gain > jnp.maximum(eo_gain, 0.0)
-        use_edge = (~use_band) & (eo_gain > 0.0)
+        use_band = band_gain > jnp.maximum(eo_gain, 0)
+        use_edge = (~use_band) & (eo_gain > 0)
         type_map = jnp.where(use_band, 1, jnp.where(use_edge, 2, 0))
         class_map = jnp.where(use_edge, eo_cls, 0)
     else:

@@ -77,21 +77,36 @@ def _worker(rank: int, n_procs: int, coordinator: str, cfg_blob: str,
 
 def gop_parallel_encode_check(width: int, height: int, n_frames: int,
                               n_procs: int = 2, tile_cols: int = 1,
-                              tile_rows: int = 1, qp: int = 32) -> dict:
+                              tile_rows: int = 1, qp: int = 32,
+                              intra_period: int = 8,
+                              inter: bool = True) -> dict:
     """Run the loopback N-process GOP-parallel encode and verify the
     concatenated stream is byte-identical to a single-process encode
-    (and decodes with matching hashes). Returns a result dict."""
+    (and decodes with matching hashes). Returns a result dict.
+
+    Default exercises CLOSED GOPs CONTAINING P FRAMES (intra_period-led
+    IDR segments with an LDP GOP inside) — each process owns whole GOPs
+    whose DPB state is self-contained, the real P4 split (SURVEY.md
+    §2.4); inter=False falls back to all-IDR."""
     import numpy as np
 
     from ..codec.encoder import TpuEncoder
-    from ..config import EncoderConfig
+    from ..config import EncoderConfig, GopEntry
     from ..spec.decoder import SpecDecoder
     from ..utils import synthesize_yuv
 
     clip = synthesize_yuv(width, height, n_frames, seed=5)
-    cfg = EncoderConfig(width=width, height=height, qp=qp,
-                        frames=n_frames, intra_period=1,
-                        tile_cols=tile_cols, tile_rows=tile_rows)
+    if inter:
+        gop = [GopEntry(1, 2, "P", (-1,)), GopEntry(2, 1, "P", (-1, -2)),
+               GopEntry(3, 2, "P", (-1,)), GopEntry(4, 0, "P", (-1, -2))]
+        cfg = EncoderConfig(width=width, height=height, qp=qp,
+                            frames=n_frames, intra_period=intra_period,
+                            gop=gop,
+                            tile_cols=tile_cols, tile_rows=tile_rows)
+    else:
+        cfg = EncoderConfig(width=width, height=height, qp=qp,
+                            frames=n_frames, intra_period=1,
+                            tile_cols=tile_cols, tile_rows=tile_rows)
     tmp = tempfile.mkdtemp(prefix="fasthevc_mp_")
     cfg_blob = os.path.join(tmp, "cfg.pkl")
     clip_path = os.path.join(tmp, "clip.npz")
@@ -116,7 +131,24 @@ def gop_parallel_encode_check(width: int, height: int, n_frames: int,
                 os.path.dirname(os.path.abspath(__file__))))))
     rcs = [p.wait(timeout=900) for p in procs]
     stream = b"".join(open(o, "rb").read() for o in outs)
-    single, _ = TpuEncoder(cfg).encode(clip)
+    # the byte-identity reference is a SINGLE-process worker under the
+    # same jax.distributed runtime: search costs are float-valued, and a
+    # different compilation environment may legally reassociate them into
+    # different (equally conformant) RD decisions — the property under
+    # test is the GOP split/concat mechanism, not cross-environment float
+    # determinism
+    ref_path = os.path.join(tmp, "single.bin")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    rc1 = subprocess.Popen(
+        [sys.executable, "-m", "fasthevc_tpu.parallel.multiproc",
+         "--rank", "0", "--nprocs", "1",
+         "--coordinator", f"127.0.0.1:{port + 7}", "--cfg", cfg_blob,
+         "--clip", clip_path, "--out", ref_path],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))).wait(timeout=900)
+    rcs.append(rc1)
+    single = open(ref_path, "rb").read()
     ok_bytes = stream == single
     pics = SpecDecoder().decode(stream)
     ok_hash = all(p.hash_ok for p in pics) and len(pics) == n_frames

@@ -64,10 +64,15 @@ def _ppermute_halo(x, axis_name, n_shards, width_left, width_right,
 
 
 def _deblock_sharded_cols(rec_y, rec_cb, rec_cr, depth, qp, qp_cb, qp_cr,
-                          axis_name, n_shards, bit_depth=8):
+                          axis_name, n_shards, bit_depth=8,
+                          bs_vert_ext=None, bs_horz=None):
     """Cross-tile deblock for column shards: 8-luma-column halo exchange,
     redundant boundary-edge compute, keep own columns. Bit-identical to
-    deblock_device on the assembled frame."""
+    deblock_device on the assembled frame.
+
+    bs_vert_ext [h/4, (w+16)/8] / bs_horz [w/4, h/8]: P/B boundary
+    strengths on the halo-extended vertical grid and the own-column
+    horizontal grid (ops.deblock.inter_bs_maps); None = all-intra BS 2."""
     h, w = rec_y.shape
     idx = jax.lax.axis_index(axis_name)
     gh, gw = h // 8, w // 8
@@ -95,17 +100,26 @@ def _deblock_sharded_cols(rec_y, rec_cb, rec_cr, depth, qp, qp_cb, qp_cr,
     horz = ((gy % size) == 0) & (gy > 0)
 
     vseg = jnp.repeat(vert, 2, axis=0)
-    bsv = jnp.where(vseg, jnp.int32(2), jnp.int32(0))
+    bsv = jnp.where(vseg, jnp.int32(2) if bs_vert_ext is None
+                    else bs_vert_ext, jnp.int32(0))
     y_f = _filter_vert_luma(ext_y.astype(jnp.int32), vseg, bsv, qp,
                             bit_depth)[:, halo:halo + w]
     # horizontal: column-local, reuse the transpose path on own columns
     hseg = jnp.repeat(horz[:, 1:-1], 2, axis=1).T
-    bsh = jnp.where(hseg, jnp.int32(2), jnp.int32(0))
+    bsh = jnp.where(hseg, jnp.int32(2) if bs_horz is None else bs_horz,
+                    jnp.int32(0))
     y_f = _filter_vert_luma(y_f.T, hseg, bsh, qp, bit_depth).T
 
-    # chroma: edges on the 16-luma grid, BS=2 (intra)
+    # chroma: edges on the 16-luma grid, filtered only at BS 2
     cvert = vert & ((gx_glob % 16) == 0)[None, :]
     chorz = horz & ((jnp.arange(gh) % 2) == 0)[:, None]
+    if bs_vert_ext is not None:
+        cvert = cvert & (bs_vert_ext[0::2] == 2)
+    if bs_horz is not None:
+        # bs_horz[0::2]: [w/8, h/8] -> own columns of chorz ([gh, gw+2])
+        own = chorz[:, 1:-1] & (bs_horz[0::2] == 2).T
+        chorz = jnp.concatenate([chorz[:, :1], own, chorz[:, -1:]],
+                                axis=1)
     ch = halo // 2
     cb_f = _filter_vert_chroma(ext_cb.astype(jnp.int32), cvert, qp_cb,
                                bit_depth)[:, ch:ch + w // 2]
@@ -275,5 +289,274 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
                                 cfg.hash_type)
             out += bs.write_nal(bs.NAL_SUFFIX_SEI,
                                 write_picture_hash_sei(md5s, cfg.hash_type))
+            recons.append(planes)
+    return bytes(out), recons
+
+
+# ---------------------------------------------------------------------------
+# Inter (P) tile sharding with ME-window halo exchange (SURVEY.md §2.4 P6,
+# §5.7; the BASELINE north-star mechanism: "motion estimation reading
+# remote reference windows through halo exchange")
+# ---------------------------------------------------------------------------
+
+def _me_halo_ctus(search_range: int) -> int:
+    """CTU columns of halo each side so that every KEPT block's decision
+    chain is exact: its own ME windows (+-SR, +8 sub-pel/tap margin) and
+    its LEFT-neighbor candidate's ME windows (one 32-block further).
+    Intra needs >=1 left / >=2 right (top-right reference reach 2N)."""
+    need = 32 + search_range + 8
+    return max(2, -(-need // 32))
+
+
+def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
+                             search_range: int, log2_ctu: int = 5,
+                             log2_min_cu: int = 3, deblock_on: bool = True,
+                             sdh: bool = True):
+    """Jitted ("gop","tile")-sharded P-frame search+MC+commit+deblock.
+
+    Each tile shard ppermutes +-halo CTU columns of the REFERENCE recon
+    from its neighbors before motion estimation — remote reference
+    windows ride the mesh interconnect, never the host.  Decisions and
+    reconstruction are byte-identical to the unsharded device pipeline on
+    the same tile grid (tests/test_sharded_pipeline.py)."""
+    from ..codec.search import search_p_maps
+    from ..ops.commit import wavefront_commit_mixed
+    from ..ops.deblock import inter_bs_maps, tu_cbf_map
+    from ..ops.me import inter_pred_planes
+
+    n_tile = mesh.shape["tile"]
+    assert coded_w % (n_tile * (1 << log2_ctu)) == 0
+    tile_w = coded_w // n_tile
+    hc = _me_halo_ctus(search_range)
+    halo = hc * CTU
+    assert tile_w >= halo, (
+        f"tile columns ({tile_w}) must be >= the ME halo ({halo}) — "
+        f"one-neighbor ppermute")
+
+    def per_shard(y, cb, cr, ref_y, ref_cb, ref_cr, lam, qp_y, qp_cb,
+                  qp_cr, qp):
+        def one_frame(yt, cbt, crt, ry_t, rcb_t, rcr_t):
+            # --- halos: current source + REFERENCE windows (P6) --------
+            def ext2(p, wl, wr):
+                left, right = _ppermute_halo(p, "tile", n_tile, wl, wr)
+                return jnp.concatenate([left, p, right], axis=1)
+
+            ext = ext2(yt, halo, halo)
+            ext_cb = ext2(cbt, halo // 2, halo // 2)
+            ext_cr = ext2(crt, halo // 2, halo // 2)
+            ref_ext = ext2(ry_t, halo, halo)
+            ref_ecb = ext2(rcb_t, halo // 2, halo // 2)
+            ref_ecr = ext2(rcr_t, halo // 2, halo // 2)
+            # --- search on the halo-extended planes (exact twin) --------
+            packed_ext = search_p_maps(
+                ext, ref_ext, lam, log2_ctu, log2_min_cu, ext.shape[1],
+                coded_h, search_range, mpm_edge_x=halo,
+                mpm_edge_on=jax.lax.axis_index("tile") == 0)
+            g0 = halo >> 3
+            gt = tile_w >> 3
+            gh = coded_h >> 3
+            packed = packed_ext[:gh, g0:g0 + gt]
+            dm = packed[..., 0].astype(jnp.int32)
+            mm = packed[..., 1].astype(jnp.int32)
+            im = packed[..., 2].astype(jnp.int32)
+            mv = packed[..., 3:7].astype(jnp.int32)
+            # --- MC pred on the extended geometry, cropped to the tile --
+            dm_e = packed_ext[:gh, :, 0].astype(jnp.int32)
+            im_e = packed_ext[:gh, :, 2].astype(jnp.int32)
+            mv_e = packed_ext[:gh, :, 3:7].astype(jnp.int32)
+            ipy, ipcb, ipcr = inter_pred_planes(
+                (ref_ext[:coded_h].astype(jnp.int32),
+                 ref_ecb[:coded_h // 2].astype(jnp.int32),
+                 ref_ecr[:coded_h // 2].astype(jnp.int32)), None,
+                im_e, mv_e)
+            ipy = ipy[:, halo:halo + tile_w]
+            ipcb = ipcb[:, halo // 2:(halo + tile_w) // 2]
+            ipcr = ipcr[:, halo // 2:(halo + tile_w) // 2]
+            # --- per-tile exact mixed commit (tiles are closed) ---------
+            ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_mixed(
+                yt[:coded_h].astype(jnp.int32),
+                cbt[:coded_h // 2].astype(jnp.int32),
+                crt[:coded_h // 2].astype(jnp.int32),
+                dm, mm, im, ipy, ipcb, ipcr,
+                qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh)
+            if deblock_on:
+                cbf = tu_cbf_map(lv_y, dm, log2_ctu)
+                cl, cr_h = _ppermute_halo(cbf.astype(jnp.int32), "tile",
+                                          n_tile, 1, 1)
+                il, ir = _ppermute_halo(im, "tile", n_tile, 1, 1)
+                ml, mr = _ppermute_halo(
+                    mv.reshape(gh, gt * 4), "tile", n_tile, 4, 4)
+                cbf_e = jnp.concatenate([cl, cbf.astype(jnp.int32), cr_h],
+                                        axis=1)
+                im_eh = jnp.concatenate([il, im, ir], axis=1)
+                mv_eh = jnp.concatenate(
+                    [ml.reshape(gh, 1, 4), mv,
+                     mr.reshape(gh, 1, 4)], axis=1)
+                dl, dr = _ppermute_halo(dm, "tile", n_tile, 1, 1)
+                dm_eh = jnp.concatenate([dl, dm, dr], axis=1)
+                bs_v_e, _bs_h_e = inter_bs_maps(dm_eh, im_eh, mv_eh, cbf_e)
+                _bs_v_own, bs_h = inter_bs_maps(dm, im, mv, cbf)
+                ry, rcb, rcr = _deblock_sharded_cols(
+                    ry, rcb, rcr, dm, qp, qp_cb, qp_cr, "tile", n_tile,
+                    bs_vert_ext=bs_v_e, bs_horz=bs_h)
+            return (packed, lv_y, lv_cb, lv_cr,
+                    ry.astype(jnp.uint8), rcb.astype(jnp.uint8),
+                    rcr.astype(jnp.uint8))
+
+        return jax.vmap(one_frame)(y, cb, cr, ref_y, ref_cb, ref_cr)
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("gop", None, "tile"),) * 6 + (P(),) * 5,
+        out_specs=(P("gop", None, "tile", None),
+                   P("gop", None, "tile"), P("gop", None, "tile"),
+                   P("gop", None, "tile"),
+                   P("gop", None, "tile"), P("gop", None, "tile"),
+                   P("gop", None, "tile")),
+        check_rep=False)
+
+    @jax.jit
+    def run(y, cb, cr, ry, rcb, rcr, lam, qp_y, qp_cb, qp_cr, qp):
+        return mapped(y, cb, cr, ry, rcb, rcr, lam, qp_y, qp_cb, qp_cr,
+                      qp)
+
+    return run
+
+
+def sharded_encode_gop(frames, cfg, mesh: Mesh):
+    """Encode on a ("gop","tile") mesh with INTER frames: each gop-axis
+    shard owns an independent IDR-led segment (closed-GOP parallelism,
+    P4) and the tile shards within it cooperate per frame — intra refs,
+    ME reference windows and deblock strips ride the mesh via ppermute
+    halos (P1/P6).  Reference recon stays device-resident and SHARDED
+    between frames (the DPB never crosses the host).
+
+    cfg must describe the equivalent single-device encode: tiles =
+    mesh tile shards, intra_period = len(frames)/n_gop, GOP = plain P
+    chain with ref (-1) and zero QP offsets, SAO off.  The output stream
+    is byte-identical to TpuEncoder(cfg).encode(frames) on such a config
+    (tests/test_sharded_pipeline.py)."""
+    from .. import cabac_cpp
+    from ..spec import bitstream as bs
+    from ..spec.cabac import ContextSet
+    from ..spec.ctu import Planes, tu_qps
+    from ..spec.encoder import config_to_sp
+    from ..spec.syntax import (SliceHeader, write_picture_hash_sei,
+                               write_pps, write_slice_header, write_sps,
+                               write_vps)
+    from ..utils.video import pad_plane, picture_hash
+
+    n_tile = mesh.shape["tile"]
+    n_gop = mesh.shape["gop"]
+    n = len(frames)
+    assert n % n_gop == 0, "frames must split evenly into gop segments"
+    seg = n // n_gop
+    cfg = cfg.replace(sao=False, tile_cols=n_tile, tile_rows=1,
+                      intra_period=seg)
+    sp = config_to_sp(cfg)
+    sp.sao_enabled = False
+    sp.deblocking_disabled = not cfg.deblocking
+    qp = cfg.qp
+    qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
+    lam = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    run_i = build_sharded_intra_pipeline(
+        mesh, sp.coded_width, sp.coded_height, sp.log2_ctu,
+        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding)
+    run_p = build_sharded_p_pipeline(
+        mesh, sp.coded_width, sp.coded_height, cfg.search_range,
+        sp.log2_ctu, sp.log2_min_cu, deblock_on=cfg.deblocking,
+        sdh=sp.sign_data_hiding)
+
+    ph = -(-sp.coded_height // CTU) * CTU
+    gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
+    spec_in = NamedSharding(mesh, P("gop", None, "tile"))
+
+    def upload(step):
+        idx = [r * seg + step for r in range(n_gop)]
+        ys = np.stack([pad_plane(np.asarray(frames[i][0], np.int32), ph,
+                                 sp.coded_width).astype(np.uint8)
+                       for i in idx])
+        cbs = np.stack([pad_plane(np.asarray(frames[i][1], np.int32),
+                                  ph // 2, sp.coded_width // 2)
+                        .astype(np.uint8) for i in idx])
+        crs = np.stack([pad_plane(np.asarray(frames[i][2], np.int32),
+                                  ph // 2, sp.coded_width // 2)
+                        .astype(np.uint8) for i in idx])
+        return (jax.device_put(jnp.asarray(ys), spec_in),
+                jax.device_put(jnp.asarray(cbs), spec_in),
+                jax.device_put(jnp.asarray(crs), spec_in))
+
+    per_frame = {}   # (row, step) -> (nal bytes, planes)
+    ref = None
+    for step in range(seg):
+        yb, cbb, crb = upload(step)
+        if step == 0:
+            res = run_i(yb, cbb, crb, lam, jnp.int32(qp_y),
+                        jnp.int32(qp_cb), jnp.int32(qp_cr), jnp.int32(qp))
+        else:
+            # recon must enter padded to the I/P pipeline height contract
+            ry_pad = jnp.pad(ref[0], ((0, 0), (0, ph - ref[0].shape[1]),
+                                      (0, 0)))
+            rcb_pad = jnp.pad(ref[1],
+                              ((0, 0), (0, ph // 2 - ref[1].shape[1]),
+                               (0, 0)))
+            rcr_pad = jnp.pad(ref[2],
+                              ((0, 0), (0, ph // 2 - ref[2].shape[1]),
+                               (0, 0)))
+            res = run_p(yb, cbb, crb, ry_pad, rcb_pad, rcr_pad, lam,
+                        jnp.int32(qp_y), jnp.int32(qp_cb),
+                        jnp.int32(qp_cr), jnp.int32(qp))
+        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr = res
+        ref = (ry, rcb, rcr)      # stays sharded on the mesh
+        packed_h, lvy_h, lvcb_h, lvcr_h, ry_h, rcb_h, rcr_h = \
+            (np.asarray(r) for r in res)
+        for r in range(n_gop):
+            depth = np.ascontiguousarray(packed_h[r, :gh, :gw, 0]
+                                         .astype(np.int8))
+            mode = np.ascontiguousarray(packed_h[r, :gh, :gw, 1]
+                                        .astype(np.int8))
+            kw = {}
+            if step > 0:
+                kw["slice_type"] = 1
+                kw["dir_map"] = np.ascontiguousarray(
+                    packed_h[r, :gh, :gw, 2].astype(np.int8))
+                kw["mv_map"] = np.ascontiguousarray(
+                    packed_h[r, :gh, :gw, 3:7].astype(np.int16))
+            subs = cabac_cpp.entropy_slice_native(
+                sp, qp_y, qp_cb, qp_cr, depth, mode, lvy_h[r], lvcb_h[r],
+                lvcr_h[r], ContextSet(0 if step == 0 else 1, qp),
+                sao_params=None, sdh=sp.sign_data_hiding, **kw)
+            sh = SliceHeader(
+                slice_type=2 if step == 0 else 1, slice_qp=qp,
+                is_idr=step == 0,
+                poc_lsb=step & ((1 << sp.log2_max_poc_lsb) - 1),
+                ref_pocs_before=() if step == 0 else (1,),
+                sao_luma=False, sao_chroma=False,
+                entry_points=tuple(len(x) for x in subs[:-1]))
+            w = write_slice_header(
+                sh, sp, bs.NAL_IDR_W_RADL if step == 0 else bs.NAL_TRAIL_R)
+            for s_bytes in subs:
+                w.append_bytes(s_bytes)
+            planes = Planes.__new__(Planes)
+            planes.y = ry_h[r].astype(np.int32)
+            planes.cb = rcb_h[r].astype(np.int32)
+            planes.cr = rcr_h[r].astype(np.int32)
+            nal = bs.write_nal(
+                bs.NAL_IDR_W_RADL if step == 0 else bs.NAL_TRAIL_R,
+                w.get_bytes())
+            md5s = picture_hash((planes.y, planes.cb, planes.cr),
+                                cfg.hash_type)
+            nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                                write_picture_hash_sei(md5s, cfg.hash_type))
+            per_frame[(r, step)] = (nal, planes)
+
+    out = bytearray(bs.write_nal(bs.NAL_VPS, write_vps(sp))
+                    + bs.write_nal(bs.NAL_SPS, write_sps(sp))
+                    + bs.write_nal(bs.NAL_PPS, write_pps(sp)))
+    recons = []
+    for r in range(n_gop):
+        for step in range(seg):
+            nal, planes = per_frame[(r, step)]
+            out += nal
             recons.append(planes)
     return bytes(out), recons

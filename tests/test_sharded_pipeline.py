@@ -88,3 +88,63 @@ def test_sharded_encode_deblock_halo_matters():
     # boundary deblock runs
     boundary = rec_on[0, :, 124:132] != rec_off[0, :, 124:132]
     assert boundary.any()
+
+
+def test_sharded_p_frames_me_halo_byte_identical():
+    """P frames on the ("gop","tile") mesh: motion estimation reads
+    remote reference windows through ppermute halo exchange (the BASELINE
+    north-star mechanism) and the stream is byte-identical to the
+    single-device encoder on the same config."""
+    from fasthevc_tpu.config import GopEntry
+    from fasthevc_tpu.parallel.sharded import sharded_encode_gop
+
+    w, h, n = 512, 96, 8
+    clip = synthesize_yuv(w, h, n, seed=21)
+    mesh = _mesh(2, 4)
+    gop = [GopEntry(1, 0, "P", (-1,))]
+    cfg = EncoderConfig(width=w, height=h, qp=32, frames=n,
+                        tile_cols=4, tile_rows=1, sao=False,
+                        intra_period=4, gop=gop, search_range=8)
+    s_sharded, recons = sharded_encode_gop(clip, cfg, mesh)
+    s_single, rec_single = TpuEncoder(cfg).encode(clip)
+    assert s_sharded == s_single, (
+        f"sharded {len(s_sharded)}B != unsharded {len(s_single)}B")
+    pics = SpecDecoder().decode(s_sharded)
+    assert len(pics) == n and all(p.hash_ok for p in pics)
+    for a, b in zip(recons, rec_single):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+
+
+def test_sharded_p_me_halo_is_load_bearing():
+    """Zeroing the ME reference-window halo must change the output —
+    proves remote reference windows are actually read."""
+    import fasthevc_tpu.parallel.sharded as sh
+    from fasthevc_tpu.config import GopEntry
+    from fasthevc_tpu.parallel.sharded import sharded_encode_gop
+
+    w, h, n = 512, 96, 4
+    clip = synthesize_yuv(w, h, n, seed=22)
+    mesh = _mesh(1, 4)
+    gop = [GopEntry(1, 0, "P", (-1,))]
+    cfg = EncoderConfig(width=w, height=h, qp=32, frames=n,
+                        tile_cols=4, tile_rows=1, sao=False,
+                        intra_period=4, gop=gop, search_range=8)
+    s_ok, _ = sharded_encode_gop(clip, cfg, mesh)
+
+    orig = sh._ppermute_halo
+
+    def zeroed(x, axis_name, n_shards, wl, wr, axis=-1):
+        fl, fr = orig(x, axis_name, n_shards, wl, wr, axis)
+        return jnp_zeros_like(fl), jnp_zeros_like(fr)
+
+    import jax.numpy as jnp
+
+    def jnp_zeros_like(a):
+        return jnp.zeros_like(a)
+
+    sh._ppermute_halo = zeroed
+    try:
+        s_dead, _ = sharded_encode_gop(clip, cfg, mesh)
+    finally:
+        sh._ppermute_halo = orig
+    assert s_dead != s_ok
