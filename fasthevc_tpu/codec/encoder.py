@@ -483,6 +483,12 @@ class TpuEncoder:
                 dev_dpb[(e[8], e[1])] = (res["rec_y"][j],
                                          res["rec_cb"][j],
                                          res["rec_cr"][j])
+            # bound device memory: drop pictures too old to be referenced
+            # (GOP structures reach back <= 32 POCs; layered RA holds ~9)
+            cur = batch[-1][1]
+            for key in [k for k in dev_dpb
+                        if k[0] == batch[-1][8] and k[1] < cur - 40]:
+                del dev_dpb[key]
 
         def emit_frame(res, res_dev, j, e):
             poc, cvs_poc, st, _l0, _l1, deltas, qp, is_idr, _li = e
