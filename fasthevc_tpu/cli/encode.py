@@ -11,6 +11,13 @@ summary; exits nonzero on failure.
 
 from __future__ import annotations
 
+import os
+
+# persistent XLA compile cache: the device-pipeline programs take minutes
+# to compile; share them across CLI invocations (bench.py does the same)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fasthevc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import argparse
 import sys
 import time

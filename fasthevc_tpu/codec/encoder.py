@@ -134,8 +134,15 @@ class TpuEncoder:
         order = coding_order(cfg, len(frames), start_poc)
         # device paths run fixed-QP groups; rate control needs per-picture
         # sequential QP feedback, so target_bitrate routes to the classic
-        # loop below (never silently ignored — VERDICT r2 weak #3)
+        # loop below (never silently ignored — VERDICT r2 weak #3).
+        # FASTHEVC_FORCE_CLASSIC: unit-suite escape hatch — the device
+        # programs take minutes to XLA-compile per shape on the 2-core CI
+        # host; the classic path is byte-identical (asserted by the
+        # dedicated device tests, which unset this).
+        import os as _os
+        force_classic = bool(_os.environ.get("FASTHEVC_FORCE_CLASSIC"))
         if (_native_engine() is not None and cfg.target_bitrate == 0
+                and not force_classic
                 and all(st == SLICE_I for _, st, _, _ in order)):
             from .device_pipeline import device_path_ok
             if device_path_ok(cfg, sp):
@@ -149,7 +156,7 @@ class TpuEncoder:
                 return self._encode_all_intra_pipelined(frames, start_poc,
                                                         out, on_frame)
         if (_native_engine() is not None and cfg.target_bitrate == 0
-                and not cfg.lossless):
+                and not cfg.lossless and not force_classic):
             from .device_pipeline import device_path_ok
             if device_path_ok(cfg, sp):
                 # P/B device pipeline: temporal-layer batches, DPB on
@@ -787,9 +794,15 @@ class TpuEncoder:
                                              ref_deltas=ref_deltas, qp=qp)
 
         if is_idr or not refs[0]:
-            dec = search_intra_frame(jnp.asarray(y_pad),
-                                     jnp.float32(self.lambda_sqrt),
-                                     sp.log2_ctu, sp.log2_min_cu)
+            # chroma planes join the partition costing exactly as in the
+            # native dispatch path (_search_dispatch) — the two paths must
+            # make identical decisions (test_slice_engine parity)
+            dec = search_intra_frame(
+                jnp.asarray(y_pad), jnp.float32(self.lambda_sqrt),
+                sp.log2_ctu, sp.log2_min_cu,
+                jnp.asarray(pad_plane(src.cb, ph // 2, pw // 2)),
+                jnp.asarray(pad_plane(src.cr, ph // 2, pw // 2)),
+                rd_cands=cfg.num_intra_rd_candidates)
         elif slice_type == 0 and refs[1]:  # B
             from .search import search_b_frame
             r0 = pad_plane(refs[0][0].y, ph, pw)

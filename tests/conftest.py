@@ -21,3 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The device-pipeline programs take minutes to XLA-compile per shape on
+# this 2-core host; the unit suite exercises the byte-identical classic
+# path by default.  The dedicated device-path tests (test_device_commit,
+# test_device_inter, test_sharded_pipeline) re-enable the device paths.
+os.environ.setdefault("FASTHEVC_FORCE_CLASSIC", "1")

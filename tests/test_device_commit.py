@@ -9,8 +9,18 @@ produce byte-identical bitstreams to the classic path where comparable
 (SAO off — SAO estimation is encoder freedom) and decode-verify always.
 """
 
+import os
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _enable_device_paths(monkeypatch):
+    """This module tests the DEVICE pipeline; the suite-wide classic
+    forcing (conftest) must not apply here."""
+    monkeypatch.delenv("FASTHEVC_FORCE_CLASSIC", raising=False)
+
 
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402

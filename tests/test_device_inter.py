@@ -8,8 +8,18 @@ Covers LDP (P chains), RA hierarchical-B (both GOP orders), and the
 temporal-layer batched dispatch.
 """
 
+import os
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _enable_device_paths(monkeypatch):
+    """This module tests the DEVICE pipeline; the suite-wide classic
+    forcing (conftest) must not apply here."""
+    monkeypatch.delenv("FASTHEVC_FORCE_CLASSIC", raising=False)
+
 
 pytestmark = pytest.mark.slow
 

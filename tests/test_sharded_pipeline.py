@@ -5,8 +5,18 @@ Runs on the 8-virtual-CPU-device mesh (conftest.py). The sharded
 pipeline's halo exchanges (source refs for search, recon strips for
 cross-tile deblock) must reproduce the unsharded encoder exactly."""
 
+import os
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _enable_device_paths(monkeypatch):
+    """This module tests the DEVICE pipeline; the suite-wide classic
+    forcing (conftest) must not apply here."""
+    monkeypatch.delenv("FASTHEVC_FORCE_CLASSIC", raising=False)
+
 
 jax = pytest.importorskip("jax")
 
