@@ -87,16 +87,8 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
             cnn_params, qp, use_cnn, cb_u8=cb, cr_u8=cr,
             rd_cands=rd_cands))(ym, cbm, crm)
 
-    mb = SEARCH_MICRO_BATCH
-    if f_total % mb == 0 and f_total > mb:
-        nmb = f_total // mb
-        packed = jax.lax.map(
-            search_mb, (y_u8.reshape((nmb, mb) + y_u8.shape[1:]),
-                        cb_u8.reshape((nmb, mb) + cb_u8.shape[1:]),
-                        cr_u8.reshape((nmb, mb) + cr_u8.shape[1:])))
-        packed = packed.reshape((f_total,) + packed.shape[2:])
-    else:
-        packed = search_mb((y_u8, cb_u8, cr_u8))
+    packed = _lax_map_frames(search_mb, (y_u8, cb_u8, cr_u8), f_total,
+                             SEARCH_MICRO_BATCH)
 
     def one(y, cbp, crp, pk):
         dm = pk[:gh, :gw, 0].astype(jnp.int32)
@@ -143,14 +135,22 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
 
 def _lax_map_frames(fn, args, f_total, mb):
     """Apply a per-micro-batch fn over [F, ...] leading-dim args in chunks
-    of mb (HBM cap for the search's all-modes tensors)."""
-    if f_total <= mb or f_total % mb:
+    of mb (HBM cap for the search's all-modes tensors).
+
+    A remainder group (f_total % mb) runs as its own tail call of <= mb
+    frames — it must never fall back to one full-batch vmap, which would
+    exceed the documented HBM cap (ADVICE r3 #2)."""
+    if f_total <= mb:
         return fn(args)
-    nmb = f_total // mb
+    nmb, rem = divmod(f_total, mb)
+    head = jax.tree.map(lambda a: a[:nmb * mb], args)
     r = jax.lax.map(fn, jax.tree.map(
-        lambda a: a.reshape((nmb, mb) + a.shape[1:]), args))
-    return jax.tree.map(
-        lambda a: a.reshape((f_total,) + a.shape[2:]), r)
+        lambda a: a.reshape((nmb, mb) + a.shape[1:]), head))
+    r = jax.tree.map(lambda a: a.reshape((nmb * mb,) + a.shape[2:]), r)
+    if rem:
+        tail = fn(jax.tree.map(lambda a: a[nmb * mb:], args))
+        r = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), r, tail)
+    return r
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",

@@ -491,10 +491,13 @@ class TpuEncoder:
                                          res["rec_cb"][j],
                                          res["rec_cr"][j])
             # bound device memory: drop pictures too old to be referenced
-            # (GOP structures reach back <= 32 POCs; layered RA holds ~9)
+            # (GOP structures reach back <= 32 POCs; layered RA holds ~9),
+            # and drop EVERY prior-IDR-period picture — an IDR resets the
+            # DPB, so those can never be referenced again (ADVICE r3 #1)
             cur = batch[-1][1]
+            cur_idr = batch[-1][8]
             for key in [k for k in dev_dpb
-                        if k[0] == batch[-1][8] and k[1] < cur - 40]:
+                        if k[0] != cur_idr or k[1] < cur - 40]:
                 del dev_dpb[key]
 
         def emit_frame(res, res_dev, j, e):
