@@ -171,11 +171,16 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                               cnn_params=None, qp: int = 0,
                               use_cnn: bool = False, rd_cands: int = 3):
     """Search + MC + mixed exact commit + filters for F same-type P/B
-    frames in one dispatch (frames of one temporal layer batch: refs come
+    frames in one dispatch (frames of one dependency-free batch: refs come
     from the on-device DPB, so reference pixels never cross the tunnel).
 
     y_u8: [F, PH, PW] uint8 CTU-padded sources; r0_*/r1_*: [F, coded]
     uint8 reference planes per frame (r1_* ignored unless is_b).
+    lambda_sqrt / qp_y / qp_cb / qp_cr / qp_for_deblock: PER-FRAME [F]
+    arrays — a batch may mix temporal layers (and hence QPs), which is
+    what lets the GOP scheduler pack cross-GOP software-pipelined batches
+    (SURVEY.md §2.4 P4; the wavefront commit's per-wave cost is
+    frame-count-invariant, so batch width == throughput).
     Returns the same output dict as encode_group_device.
     """
     from .search import search_b_maps, search_p_maps
@@ -193,22 +198,24 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
 
     def search_mb(args):
         if is_b:
-            ym, re0, re1 = args
-            return jax.vmap(lambda y, a, b: search_b_maps(
-                y, a, b, lambda_sqrt, log2_ctu, log2_min_cu, coded_w,
+            ym, re0, re1, lamm = args
+            return jax.vmap(lambda y, a, b, lm: search_b_maps(
+                y, a, b, lm, log2_ctu, log2_min_cu, coded_w,
                 coded_h, search_range, cnn_params=cnn_params, qp=qp,
-                use_cnn=use_cnn, rd_cands=rd_cands))(ym, re0, re1)
-        ym, re0 = args
-        return jax.vmap(lambda y, a: search_p_maps(
-            y, a, lambda_sqrt, log2_ctu, log2_min_cu, coded_w, coded_h,
+                use_cnn=use_cnn, rd_cands=rd_cands))(ym, re0, re1, lamm)
+        ym, re0, lamm = args
+        return jax.vmap(lambda y, a, lm: search_p_maps(
+            y, a, lm, log2_ctu, log2_min_cu, coded_w, coded_h,
             search_range, cnn_params=cnn_params, qp=qp, use_cnn=use_cnn,
-            rd_cands=rd_cands))(ym, re0)
+            rd_cands=rd_cands))(ym, re0, lamm)
 
-    args = (y_u8, r0_y_pad, r1_y_pad) if is_b else (y_u8, r0_y_pad)
+    args = ((y_u8, r0_y_pad, r1_y_pad, lambda_sqrt) if is_b
+            else (y_u8, r0_y_pad, lambda_sqrt))
     packed = _lax_map_frames(search_mb, args, f_total,
                              max(1, SEARCH_MICRO_BATCH // 2))
 
-    def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr):
+    def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr,
+            qp_y, qp_cb, qp_cr, qp_for_deblock):
         from ..ops.me import inter_pred_planes
 
         dm = pk[:gh, :gw, 0].astype(jnp.int32)
@@ -263,4 +270,5 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                     cksum=cksum, sao=sao_params)
 
     return jax.vmap(one)(y_u8, cb_u8, cr_u8, packed, r0_y, r0_cb, r0_cr,
-                         r1_y, r1_cb, r1_cr)
+                         r1_y, r1_cb, r1_cr, qp_y, qp_cb, qp_cr,
+                         qp_for_deblock)

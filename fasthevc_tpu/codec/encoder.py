@@ -403,28 +403,57 @@ class TpuEncoder:
             entries.append((poc, cvs_poc, st, l0[:1], l1[:1], deltas, qp,
                             is_idr, last_idr))
             sim_dpb.add(cvs_poc)
-        batches = []
-        i = 0
-        while i < len(entries):
-            e0 = entries[i]
-            batch = [e0]
-            in_batch = {(e0[8], e0[1])}
-            limit = (cfg.frame_group or FRAME_GROUP) if e0[2] == SLICE_I \
-                else 8
-            j = i + 1
-            while (j < len(entries) and len(batch) < limit):
-                e = entries[j]
-                if (e[2] != e0[2] or e[6] != e0[6] or e[7] != e0[7]
-                        or e[8] != e0[8]):
-                    break
-                refs = [(e[8], p) for p in e[3] + e[4]]
-                if any(r in in_batch for r in refs):
-                    break
-                batch.append(e)
-                in_batch.add((e[8], e[1]))
-                j += 1
-            batches.append(batch)
-            i = j
+        # greedy dependency-driven batcher (software-pipelined GOPs): pack
+        # up to 8 same-type frames whose references all live in EARLIER
+        # batches.  Frames of different temporal layers — and hence
+        # different QPs — mix freely (the device program takes per-frame
+        # QP/lambda arrays), so layer k of GOP i rides with layer k+1 of
+        # GOP i-1 instead of paying one frame-count-invariant wavefront
+        # dispatch per 1-2-frame layer (the r3 RA wall).  Reordering stays
+        # within a CVS: the scan stops at the next IDR, and a batch can
+        # only start at the earliest pending entry, so an IDR is emitted
+        # only after every earlier picture (journal resume relies on
+        # this).  Batches pad up to canonical sizes {1,2,4,8} to bound the
+        # compile-shape count; pad slots duplicate the last real frame and
+        # their outputs are discarded.
+        batches = []           # (entries_incl_padding, n_real)
+        pending = list(entries)
+        done: set = set()      # (last_idr, cvs_poc) of dispatched frames
+        while pending:
+            e0 = pending[0]
+            if e0[2] == SLICE_I:
+                # I frames dispatch alone (same-QP intra batching only
+                # matters for all-intra, which has its own path)
+                batch = [e0]
+                pending.pop(0)
+            else:
+                batch = [e0]
+                taken = {0}
+                for idx in range(1, len(pending)):
+                    if len(batch) >= 8:
+                        break
+                    e = pending[idx]
+                    if e[2] == SLICE_I:
+                        break      # never reorder across an IDR
+                    if e[2] != e0[2] or e[8] != e0[8]:
+                        continue   # slice-type/CVS mismatch: later batch
+                    # dependency = the FULL signaled RPS (deltas), not just
+                    # the active refs: every picture a slice's ST-RPS names
+                    # must already be emitted, or the decoder sees a
+                    # reference to a not-yet-decoded POC
+                    refs = ([(e[8], e[1] - d) for d in e[5][0]]
+                            + [(e[8], e[1] + d) for d in e[5][1]])
+                    if any(r not in done for r in refs):
+                        continue   # depends on an undispatched frame
+                    batch.append(e)
+                    taken.add(idx)
+                pending = [e for k, e in enumerate(pending)
+                           if k not in taken]
+            n_real = len(batch)
+            while len(batch) not in (1, 2, 4, 8):
+                batch.append(batch[-1])
+            done.update((e[8], e[1]) for e in batch[:n_real])
+            batches.append((batch, n_real))
 
         qp_cache = {}
 
@@ -451,16 +480,16 @@ class TpuEncoder:
         chunk_dev: dict = {}
 
         def dispatch(bi):
-            batch = batches[bi]
+            batch, n_real = batches[bi]
             e0 = batch[0]
             st = e0[2]
             qp = e0[6]
-            qp_y, qp_cb, qp_cr = qps_of(qp)
             yb, cbb, crb = upload_batch(batch)
-            lam = jnp.float32(self._lambda_sqrt(qp))
             if st == SLICE_I:
+                qp_y, qp_cb, qp_cr = qps_of(qp)
                 chunk_dev[bi] = encode_group_device(
-                    yb, cbb, crb, lam, jnp.int32(qp_y), jnp.int32(qp_cb),
+                    yb, cbb, crb, jnp.float32(self._lambda_sqrt(qp)),
+                    jnp.int32(qp_y), jnp.int32(qp_cb),
                     jnp.int32(qp_cr), jnp.int32(qp), sp.log2_ctu,
                     sp.log2_min_cu, cw, chh, bool(sp.sign_data_hiding),
                     deblock_on, sao_on, tbx, tby,
@@ -477,16 +506,25 @@ class TpuEncoder:
                 r1y = jnp.stack([r[0] for r in r1])
                 r1cb = jnp.stack([r[1] for r in r1])
                 r1cr = jnp.stack([r[2] for r in r1])
+                # per-frame QP/lambda: batches mix temporal layers (the
+                # fast-partition CNN's qp feature stays e0's — a pruning
+                # heuristic input only, deterministic either way)
+                lams = jnp.asarray([self._lambda_sqrt(e[6]) for e in batch],
+                                   jnp.float32)
+                tqps = [qps_of(e[6]) for e in batch]
+                qpys = jnp.asarray([t[0] for t in tqps], jnp.int32)
+                qpcbs = jnp.asarray([t[1] for t in tqps], jnp.int32)
+                qpcrs = jnp.asarray([t[2] for t in tqps], jnp.int32)
+                qpdbs = jnp.asarray([e[6] for e in batch], jnp.int32)
                 chunk_dev[bi] = encode_inter_group_device(
                     yb, cbb, crb, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
-                    lam, jnp.int32(qp_y), jnp.int32(qp_cb),
-                    jnp.int32(qp_cr), jnp.int32(qp), sp.log2_ctu,
+                    lams, qpys, qpcbs, qpcrs, qpdbs, sp.log2_ctu,
                     sp.log2_min_cu, cw, chh, bool(sp.sign_data_hiding),
                     deblock_on, sao_on, cfg.search_range, is_b, tbx, tby,
                     cnn_params=self.partition_params, qp=qp,
                     use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates)
             res = chunk_dev[bi]
-            for j, e in enumerate(batch):
+            for j, e in enumerate(batch[:n_real]):
                 dev_dpb[(e[8], e[1])] = (res["rec_y"][j],
                                          res["rec_cb"][j],
                                          res["rec_cr"][j])
@@ -562,12 +600,15 @@ class TpuEncoder:
             futs = []  # (poc, is_idr, future)
             for bi in range(min(2, len(batches))):
                 dispatch(bi)
-            for bi, batch in enumerate(batches):
+            for bi, (batch, n_real) in enumerate(batches):
                 res_dev = chunk_dev.pop(bi)
-                res_np = {k: np.asarray(res_dev[k]) for k in eager}
+                # pad slots are sliced off BEFORE the fetch: tunnel bytes
+                # are the wall, so never fetch discarded outputs
+                res_np = {k: np.asarray(res_dev[k][:n_real])
+                          for k in eager}
                 if bi + 2 < len(batches):
                     dispatch(bi + 2)
-                for j, e in enumerate(batch):
+                for j, e in enumerate(batch[:n_real]):
                     futs.append((e[0], e[7],
                                  ex.submit(emit_frame, res_np, res_dev, j,
                                            e)))

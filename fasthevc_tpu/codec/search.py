@@ -244,7 +244,7 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     Adds to the intra outputs: inter{n} (bool: inter chosen) and mv{n}
     ([B_n, 2] quarter-pel).
     """
-    from ..ops.me import mc_blocks, search_inter_costs
+    from ..ops.me import mc_raw_from_state, me_state, subpel_from_state
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
@@ -255,8 +255,9 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                                    log2_min_cu, cb_plane, cr_plane,
                                    mpm_edge_x, mpm_edge_on,
                                    rd_cands=rd_cands)
-    me = search_inter_costs(y_plane, ref_plane, lambda_sqrt,
-                            log2_ctu, log2_min_cu, search_range)
+    st = me_state(y_plane, [ref_plane], search_range,
+                  max_size=1 << log2_ctu)
+    sp = subpel_from_state(st, lambda_sqrt)
 
     def inter_rd(n, pred, rate_bits):
         """True-RD leaf cost on the exact sub-pel prediction residual."""
@@ -271,22 +272,35 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
         return scale * (dist + lam * (rate + rate_bits
                                       + INTER_OVERHEAD_BITS))
 
+    from ..ops.cost import satd as satd_blocks
+
     out = {}
     dp = None
     for i, n in enumerate(sizes):
-        _, mv, pred = me[n]
-        icost = inter_rd(n, pred, _mv_rate_bits(mv))
+        me_cost, mv, pred = (x[0] for x in sp[n])
+        src_b = _blocks(y_plane, n)
         # merge-style candidates: the same-size left/top neighbors' MVs at
         # ~2 bits (merge_idx) — steers the field toward coherent motion
         # the exact commit then codes as merge/skip (HM merge estimation,
-        # SURVEY.md E7)
+        # SURVEY.md E7).  Candidate choice runs in the SATD domain (the
+        # same criterion the subpel search used); only the WINNER pays the
+        # full transform round-trip — one TQ per size instead of three.
+        rate_bits = _mv_rate_bits(mv)
+        sel_cost = me_cost
         for cand in _neighbor_mvs(mv, h // n, w // n, mpm_edge_x // n,
                                   mpm_edge_on):
-            predc = mc_blocks(ref_plane, cand, n, h, w)
-            costc = inter_rd(n, predc, 2.0)
-            better = costc < icost
-            icost = jnp.where(better, costc, icost)
+            raw_c, valid = mc_raw_from_state(st, 0, n, cand)
+            predc = jnp.clip((raw_c + 32) >> 6, 0, 255)
+            costc = jnp.where(
+                valid,
+                satd_blocks(src_b - predc).astype(jnp.float32)
+                + lambda_sqrt * 2.0, jnp.inf)
+            better = costc < sel_cost
+            sel_cost = jnp.where(better, costc, sel_cost)
             mv = jnp.where(better[:, None], cand, mv)
+            pred = jnp.where(better[:, None, None], predc, pred)
+            rate_bits = jnp.where(better, 2.0, rate_bits)
+        icost = inter_rd(n, pred, rate_bits)
         raw_intra = intra_dec[f"rawcost{n}"]
         use_inter = icost < raw_intra
         leaf = (jnp.minimum(icost, raw_intra)
@@ -318,7 +332,7 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     BI cost uses the integer average of the two integer-MV predictions
     (commit re-derives the exact 14-bit average).
     """
-    from ..ops.me import mc_blocks, search_inter_costs
+    from ..ops.me import mc_raw_from_state, me_state, subpel_from_state
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
@@ -327,53 +341,80 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
                                    log2_min_cu, rd_cands=rd_cands)
-    me0 = search_inter_costs(y_plane, ref0_plane, lambda_sqrt, log2_ctu,
-                             log2_min_cu, search_range)
-    me1 = search_inter_costs(y_plane, ref1_plane, lambda_sqrt, log2_ctu,
-                             log2_min_cu, search_range)
+    # ONE shared ME state over both lists: the coarse search, the window
+    # gathers (stacked across refs) and the refinement all amortize
+    st = me_state(y_plane, [ref0_plane, ref1_plane], search_range,
+                  max_size=1 << log2_ctu)
+    sp = subpel_from_state(st, lambda_sqrt)
 
-    def rd_of(pred, n, mv_mag):
+    from ..ops.cost import satd as satd_blocks
+
+    def rd_of(pred, n, rate_bits):
+        """Full transform-round-trip leaf cost (run ONCE per size, on the
+        SATD-chosen candidate)."""
         pn = min(n, 32)
         res = (_blocks(y_plane, n) - pred)[:, :pn, :pn]
         levels, rq = tq_roundtrip(res, qp_i, pn.bit_length() - 1,
                                   is_intra=False)
         dist = sse(res, rq).astype(jnp.float32)
         rate = level_rate_proxy(levels)
-        mv_rate = 4.0 + 2.0 * jnp.log2(1.0 + mv_mag.astype(jnp.float32))
         scale = 4.0 if pn != n else 1.0
-        return scale * (dist + lam * (rate + mv_rate
+        return scale * (dist + lam * (rate + rate_bits
                                       + INTER_OVERHEAD_BITS))
 
-    def with_merge_cands(ref_plane, mv, pred, cost, n):
-        """Fold in the left/top neighbor MVs at merge-class rate."""
+    def with_merge_cands(list_idx, mv, pred, cost, rate_bits, n):
+        """Fold in the left/top neighbor MVs at merge-class (~2 bit) rate;
+        selection in the SATD domain (one TQ runs later on the winner)."""
+        src_b = _blocks(y_plane, n)
         for cand in _neighbor_mvs(mv, h // n, w // n):
-            predc = mc_blocks(ref_plane, cand, n, h, w)
-            # rd_of charges mv_rate(0)=4 bits; merge_idx is ~2 bits
-            costc = rd_of(predc, n, jnp.zeros(cand.shape[0])) - lam * 2.0
+            raw_c, valid = mc_raw_from_state(st, list_idx, n, cand)
+            predc = jnp.clip((raw_c + 32) >> 6, 0, 255)
+            costc = jnp.where(
+                valid,
+                satd_blocks(src_b - predc).astype(jnp.float32)
+                + lambda_sqrt * 2.0, jnp.inf)
             better = costc < cost
             cost = jnp.where(better, costc, cost)
             mv = jnp.where(better[:, None], cand, mv)
             pred = jnp.where(better[:, None, None], predc, pred)
-        return mv, pred, cost
+            rate_bits = jnp.where(better, 2.0, rate_bits)
+        return mv, pred, cost, rate_bits
 
     out = {}
     dp = None
     for i, n in enumerate(sizes):
-        _, mv0, p0 = me0[n]
-        _, mv1, p1 = me1[n]
-        c0 = rd_of(p0, n, jnp.abs(mv0).sum(-1))
-        c1 = rd_of(p1, n, jnp.abs(mv1).sum(-1))
-        mv0, p0, c0 = with_merge_cands(ref0_plane, mv0, p0, c0, n)
-        mv1, p1, c1 = with_merge_cands(ref1_plane, mv1, p1, c1, n)
-        mag0 = jnp.abs(mv0).sum(-1)
-        mag1 = jnp.abs(mv1).sum(-1)
-        cbi = rd_of((p0 + p1 + 1) >> 1, n, mag0 + mag1)
+        c0, mv0, p0 = (x[0] for x in sp[n])
+        c1, mv1, p1 = (x[1] for x in sp[n])
+        r0bits = _mv_rate_bits(mv0)
+        r1bits = _mv_rate_bits(mv1)
+        mv0, p0, c0, r0bits = with_merge_cands(0, mv0, p0, c0, r0bits, n)
+        mv1, p1, c1, r1bits = with_merge_cands(1, mv1, p1, c1, r1bits, n)
+        # BI costed with the EXACT 14-bit two-list average (spec
+        # 8.5.4.3.5) — the commit reconstructs the same samples, so the
+        # search no longer misprices BI with a rounded-average proxy
+        raw0, _ = mc_raw_from_state(st, 0, n, mv0)
+        raw1, _ = mc_raw_from_state(st, 1, n, mv1)
+        pbi = jnp.clip((raw0 + raw1 + 64) >> 7, 0, 255)
+        src_b = _blocks(y_plane, n)
+        cbi = (satd_blocks(src_b - pbi).astype(jnp.float32)
+               + lambda_sqrt * (r0bits + r1bits))
+        # direction choice in the SATD domain, then ONE TQ on the winner
+        sat3 = jnp.stack([c0, c1, cbi])                    # [3, B]
+        dchoice = jnp.argmin(sat3, axis=0)                 # 0=L0,1=L1,2=BI
+        dsel = jax.nn.one_hot(dchoice, 3, dtype=jnp.float32)  # [B, 3]
+        pred_sel = jnp.einsum(
+            "bc,cbyx->byx", dsel,
+            jnp.stack([p0, p1, pbi]).astype(jnp.float32),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        rate_sel = (dsel[:, 0] * r0bits + dsel[:, 1] * r1bits
+                    + dsel[:, 2] * (r0bits + r1bits))
+        icost = rd_of(pred_sel, n, rate_sel)
         raw_intra = intra_dec[f"rawcost{n}"]
-        stacked = jnp.stack([raw_intra, c0, c1, cbi])      # [4, B]
-        choice = jnp.argmin(stacked, axis=0)               # 0=intra,1,2,3=bi
-        leaf = jnp.min(stacked, axis=0) + lam * CU_OVERHEAD_BITS
+        use_inter = icost < raw_intra
+        choice = jnp.where(use_inter, dchoice + 1, 0)      # 0=intra,1,2,3=bi
+        leaf = jnp.minimum(icost, raw_intra) + lam * CU_OVERHEAD_BITS
         out[f"mode{n}"] = intra_dec[f"mode{n}"]
-        out[f"inter{n}"] = choice > 0
+        out[f"inter{n}"] = use_inter
         out[f"dir{n}"] = jnp.where(choice == 0, 1, choice).astype(jnp.int32)
         out[f"mv0{n}"] = mv0
         out[f"mv1{n}"] = mv1
