@@ -113,12 +113,15 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,  # slice_type, dir/mv
         i16p, i16p, i16p,                    # levels planes
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [22]
+        i32p,                                # ctx offsets [23]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_void_p,       # sao_enabled, sao_params
         ctypes.c_int,                        # sdh
         u8p,                                 # payload out
-        i32p]                                # per-tile sizes out
+        i32p,                                # per-tile sizes out
+        ctypes.c_void_p, ctypes.c_void_p,    # mctx scalars, col_dir
+        ctypes.c_void_p, ctypes.c_void_p,    # col_mv, col_refpoc
+        ctypes.c_void_p]                     # ref_map
     lib.hevc_encode_slice_tiled.restype = ctypes.c_int
     lib.hevc_encode_slice_tiled.argtypes = [
         u8p, u8p, u8p,                       # src planes
@@ -127,7 +130,7 @@ def _load():
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [22]
+        i32p,                                # ctx offsets [23]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_int,          # deblock_enabled, sao_enabled
         ctypes.c_int,                        # quant_flags (rdoq | sdh<<1)
@@ -136,7 +139,10 @@ def _load():
         i32p, i32p, u8p, u8p,                # motion field export
         i32p, i32p, i32p,                    # rec planes
         u8p,                                 # payload out
-        i32p]                                # per-tile sizes out
+        i32p,                                # per-tile sizes out
+        ctypes.c_void_p, ctypes.c_void_p,    # mctx scalars, col_dir
+        ctypes.c_void_p, ctypes.c_void_p,    # col_mv, col_refpoc
+        ctypes.c_void_p]                     # ref_map
     _lib = lib
     return lib
 
@@ -148,8 +154,40 @@ _OFFSET_ORDER = [
     "prev_intra_luma_pred_flag", "intra_chroma_pred_mode", "cbf_luma",
     "cbf_chroma", "cu_skip_flag", "pred_mode_flag", "merge_flag",
     "merge_idx", "inter_pred_idc", "mvd_flag", "mvp_flag", "rqt_root_cbf",
-    "sao_merge_flag", "sao_type_idx",
+    "sao_merge_flag", "sao_type_idx", "ref_idx",
 ]
+
+
+def _marshal_mctx(mctx, ref_map):
+    """Marshal a spec.inter.MotionCtx (+ per-granule ref map) to the C
+    ABI: (scalar ptr, col_dir ptr, col_mv ptr, col_refpoc ptr, ref_map
+    ptr, keepalive list).  None mctx -> all null (single-ref defaults)."""
+    keep = []
+
+    def vp(arr):
+        keep.append(arr)
+        return arr.ctypes.data_as(ctypes.c_void_p)
+
+    rm_ptr = None
+    if ref_map is not None:
+        rm_ptr = vp(np.ascontiguousarray(ref_map, dtype=np.int8))
+    if mctx is None:
+        return None, None, None, None, rm_ptr, keep
+    l0 = list(mctx.l0_pocs)[:2]
+    l1 = list(mctx.l1_pocs)[:2]
+    sc = np.asarray(
+        [mctx.cur_poc, max(1, len(l0)),
+         l0[0] if l0 else 0, l0[1] if len(l0) > 1 else 0,
+         max(1, len(l1)), l1[0] if l1 else 0,
+         l1[1] if len(l1) > 1 else 0,
+         int(bool(mctx.tmvp)), int(bool(mctx.col_from_l0)),
+         int(mctx.col_poc), int(mctx.no_backward)], dtype=np.int32)
+    cd = cm = cr = None
+    if mctx.col_dir is not None:
+        cd = vp(np.ascontiguousarray(mctx.col_dir, dtype=np.int8))
+        cm = vp(np.ascontiguousarray(mctx.col_mv, dtype=np.int16))
+        cr = vp(np.ascontiguousarray(mctx.col_refpoc, dtype=np.int32))
+    return vp(sc), cd, cm, cr, rm_ptr, keep
 
 
 def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
@@ -157,7 +195,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         slice_type: int = 2, dir_map=None, mv_map=None,
                         refs=((), ()), deblock: bool = False,
                         sao: bool = False, rdoq: bool = False,
-                        sdh: bool = False):
+                        sdh: bool = False, mctx=None, ref_map=None):
     """Run the two-phase C++ slice engine: commit, then in-loop filters
     (deblock + SAO when enabled), then entropy — for one decided slice
     (I/P/B), with tiles executed on parallel threads. The returned recon
@@ -220,6 +258,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     mf_ref = np.full((gh4, gw4, 2), -1, dtype=np.int32)
     mf_cbf = np.zeros((gh4, gw4), dtype=np.uint8)
     mf_inter = np.zeros((gh4, gw4), dtype=np.uint8)
+    mctx_p, cd_p, cm_p, cr_p, rm_p, _keep = _marshal_mctx(mctx, ref_map)
     total = lib.hevc_encode_slice_tiled(
         sy, scb, scr, w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
@@ -228,7 +267,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         int(deblock), int(sao), int(rdoq) | (int(sdh) << 1),
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
-        rec_y, rec_cb, rec_cr, payload, sizes)
+        rec_y, rec_cb, rec_cr, payload, sizes,
+        mctx_p, cd_p, cm_p, cr_p, rm_p)
     subs = []
     off = 0
     for t in range(n_tiles):
@@ -243,7 +283,8 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
                          lv_y, lv_cb, lv_cr, ctx: ContextSet,
                          sao_params=None, sdh: bool = True,
                          lossless: bool = False, slice_type: int = 2,
-                         dir_map=None, mv_map=None):
+                         dir_map=None, mv_map=None, mctx=None,
+                         ref_map=None):
     """Entropy-only slice emission from device-committed levels (the TPU
     wavefront-commit path, SURVEY.md §2.5): the C++ engine fills its
     decision store from the provided int16 level planes and runs the
@@ -290,13 +331,15 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
         mv_ptr = mv_arr.ctypes.data_as(ctypes.c_void_p)
     else:
         dir_ptr = mv_ptr = None
+    mctx_p, cd_p, cm_p, cr_p, rm_p, _keep = _marshal_mctx(mctx, ref_map)
     total = lib.hevc_entropy_slice_tiled(
         w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
         dm.shape[1], int(slice_type), dir_ptr, mv_ptr,
         lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b, sao_on, sao_ptr,
-        int(sdh), payload, sizes)
+        int(sdh), payload, sizes,
+        mctx_p, cd_p, cm_p, cr_p, rm_p)
     subs = []
     off = 0
     for t in range(n_tiles):

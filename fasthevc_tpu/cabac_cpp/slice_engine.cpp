@@ -522,15 +522,16 @@ void mc_raw(const int32_t *ref, int rw, int rh, int x, int y, int w, int h,
 struct MotionCu {
   int dir = 0;               // 0 intra, 1 L0, 2 L1, 3 BI
   int mv0x = 0, mv0y = 0, mv1x = 0, mv1y = 0;
-  // unused-list MVs are zeroed by construction, so full comparison matches
-  // the Python Motion dataclass equality exactly
+  int r0 = -1, r1 = -1;      // per-list reference index (-1 = unused)
+  // unused-list MVs are zeroed / refs -1 by construction, so full
+  // comparison matches the Python Motion dataclass equality exactly
   bool operator==(const MotionCu &o) const {
     return dir == o.dir && mv0x == o.mv0x && mv0y == o.mv0y &&
-           mv1x == o.mv1x && mv1y == o.mv1y;
+           mv1x == o.mv1x && mv1y == o.mv1y && r0 == o.r0 && r1 == o.r1;
   }
   void normalize() {
-    if (!(dir & 1)) { mv0x = 0; mv0y = 0; }
-    if (!(dir & 2)) { mv1x = 0; mv1y = 0; }
+    if (!(dir & 1)) { mv0x = 0; mv0y = 0; r0 = -1; }
+    if (!(dir & 2)) { mv1x = 0; mv1y = 0; r1 = -1; }
   }
 };
 
@@ -542,7 +543,7 @@ struct Stored {
   std::vector<int32_t> lv_y, lv_cb, lv_cr;
   std::vector<uint8_t> cbf_y, cbf_cb, cbf_cr;
   std::vector<uint8_t> skip, merge_flag, rqt_root;
-  std::vector<int8_t> merge_idx, mvp0, mvp1;
+  std::vector<int8_t> merge_idx, mvp0, mvp1, ref0, ref1;
   std::vector<int16_t> mvd0x, mvd0y, mvd1x, mvd1y;
   void init(int w_, int h_) {
     w = w_; h = h_; gw8 = w_ >> 3; gh8 = h_ >> 3;
@@ -553,6 +554,7 @@ struct Stored {
     cbf_y.assign(g, 0); cbf_cb.assign(g, 0); cbf_cr.assign(g, 0);
     skip.assign(g, 0); merge_flag.assign(g, 0); rqt_root.assign(g, 0);
     merge_idx.assign(g, 0); mvp0.assign(g, 0); mvp1.assign(g, 0);
+    ref0.assign(g, 0); ref1.assign(g, 0);
     mvd0x.assign(g, 0); mvd0y.assign(g, 0);
     mvd1x.assign(g, 0); mvd1y.assign(g, 0);
   }
@@ -602,8 +604,18 @@ struct SliceEnc {
   const int32_t *ref1_y = nullptr, *ref1_cb = nullptr, *ref1_cr = nullptr;
   const int8_t *dir_map = nullptr;     // per-8x8 granule: 0..3
   const int16_t *mv_map = nullptr;     // per-8x8 granule: mv0x,mv0y,mv1x,mv1y
+  const int8_t *ref_map = nullptr;     // per-8x8 granule: (ref0, ref1)
+  // motion context (mirror of spec/inter.py MotionCtx): active-list POCs
+  // + collocated-picture arrays for TMVP; defaults = single-ref, no TMVP
+  int cur_poc = 0, n_l0 = 1, n_l1 = 1;
+  int l0_pocs[2] = {0, 0}, l1_pocs[2] = {0, 0};
+  bool tmvp = false, col_from_l0 = true, no_backward = true;
+  int col_poc = 0;
+  const int8_t *col_dir = nullptr;       // [gh8][gw8]
+  const int16_t *col_mv = nullptr;       // [gh8][gw8][4]
+  const int32_t *col_refpoc = nullptr;   // [gh8][gw8][2]
   int off_skip, off_pred_mode, off_merge_flag, off_merge_idx,
-      off_inter_idc, off_mvd, off_mvp, off_rqt_root;
+      off_inter_idc, off_mvd, off_mvp, off_rqt_root, off_ref_idx;
   // extra ctx family offsets
   int off_split, off_bypassflag, off_part, off_prev_intra, off_chroma_mode,
       off_cbf_luma, off_cbf_chroma;
@@ -919,8 +931,8 @@ void set_motion_cu(SliceEnc *s, int x, int y, int size, const MotionCu &m,
       f.gmv[g * 4 + 1] = (m.dir & 1) ? m.mv0y : 0;
       f.gmv[g * 4 + 2] = (m.dir & 2) ? m.mv1x : 0;
       f.gmv[g * 4 + 3] = (m.dir & 2) ? m.mv1y : 0;
-      f.gref[g * 2 + 0] = (m.dir & 1) ? 0 : -1;
-      f.gref[g * 2 + 1] = (m.dir & 2) ? 0 : -1;
+      f.gref[g * 2 + 0] = (m.dir & 1) ? m.r0 : -1;
+      f.gref[g * 2 + 1] = (m.dir & 2) ? m.r1 : -1;
     }
 }
 
@@ -950,12 +962,83 @@ MotionCu motion_at(SliceEnc *s, int xn, int yn, int xc, int yc) {
   m.mv0y = f.gmv[g * 4 + 1];
   m.mv1x = f.gmv[g * 4 + 2];
   m.mv1y = f.gmv[g * 4 + 3];
+  m.r0 = r0;
+  m.r1 = r1;
   m.normalize();
   return m;
 }
 
-// merge candidate list (matches spec/inter.py merge_candidates)
+// ---- TMVP + MV scaling (mirror of spec/inter.py) ---------------------------
+
+inline int clip3i(int lo, int hi, int v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// POC-distance MV scaling (spec 8.5.3.2.8); C division truncates like the
+// spec's tx = (16384 + |td|/2) / td
+inline void mv_scale_cpp(int mvx, int mvy, int tb, int td, int *ox,
+                         int *oy) {
+  td = clip3i(-128, 127, td);
+  tb = clip3i(-128, 127, tb);
+  int tx = (16384 + (std::abs(td) >> 1)) / td;
+  int dsf = clip3i(-4096, 4095, (tb * tx + 32) >> 6);
+  auto s = [&](int c) {
+    int64_t v = (int64_t)dsf * c;
+    int64_t m = (std::llabs(v) + 127) >> 8;
+    return (int)clip3i(-32768, 32767, (int)(v < 0 ? -m : m));
+  };
+  *ox = s(mvx);
+  *oy = s(mvy);
+}
+
+// collocated MV for target list X (spec 8.5.3.2.8); returns false if the
+// sampled col block is intra/absent
+bool derive_col_mv(SliceEnc *s, int xc, int yc, int x_list,
+                   int target_refpoc, int *ox, int *oy) {
+  if (!s->col_dir) return false;
+  int gx = (((xc >> 4) << 4) >> 3), gy = (((yc >> 4) << 4) >> 3);
+  Stored &st = *s->st;
+  if (gy >= st.gh8 || gx >= st.gw8) return false;
+  int g = gy * st.gw8 + gx;
+  int d = s->col_dir[g];
+  if (d == 0) return false;
+  int list_col;
+  if (!(d & 1)) list_col = 1;
+  else if (!(d & 2)) list_col = 0;
+  else if (s->no_backward) list_col = x_list;
+  else list_col = s->col_from_l0 ? 1 : 0;
+  int mvx = s->col_mv[g * 4 + 2 * list_col];
+  int mvy = s->col_mv[g * 4 + 2 * list_col + 1];
+  int col_refpoc = s->col_refpoc[g * 2 + list_col];
+  int td = s->col_poc - col_refpoc;
+  int tb = s->cur_poc - target_refpoc;
+  if (td == tb) { *ox = mvx; *oy = mvy; return true; }
+  mv_scale_cpp(mvx, mvy, tb, td, ox, oy);
+  return true;
+}
+
+// TMVP for (list X, ref_idx) (spec 8.5.3.2.7): C0 bottom-right when in
+// picture and same CTU row, else C1 center
+bool temporal_candidate_cpp(SliceEnc *s, int x, int y, int size,
+                            int x_list, int ref_idx, int *ox, int *oy) {
+  if (!s->tmvp || !s->col_dir) return false;
+  int n_ref = x_list == 0 ? s->n_l0 : s->n_l1;
+  if (ref_idx >= n_ref) return false;
+  int target = x_list == 0 ? s->l0_pocs[ref_idx] : s->l1_pocs[ref_idx];
+  Frame &f = *s->f;
+  int ctb = 1 << f.log2_ctu;
+  int xbr = x + size, ybr = y + size;
+  if ((y / ctb == ybr / ctb) && ybr < f.coded_h && xbr < f.coded_w &&
+      derive_col_mv(s, xbr, ybr, x_list, target, ox, oy))
+    return true;
+  return derive_col_mv(s, x + size / 2, y + size / 2, x_list, target, ox,
+                       oy);
+}
+
+// merge candidate list (matches spec/inter.py merge_candidates):
+// spatial + temporal + combined-bi (B) + zero candidates w/ ref cycling
 int merge_list(SliceEnc *s, int x, int y, int size, MotionCu out[5]) {
+  bool is_b = s->slice_type == 0;
   MotionCu a1 = motion_at(s, x - 1, y + size - 1, x, y);
   MotionCu b1 = motion_at(s, x + size - 1, y - 1, x, y);
   MotionCu b0 = motion_at(s, x + size, y - 1, x, y);
@@ -970,39 +1053,134 @@ int merge_list(SliceEnc *s, int x, int y, int size, MotionCu out[5]) {
   if (n < 4 && n4 < 4 && b2.dir && !(a1.dir && b2 == a1) &&
       !(b1.dir && b2 == b1))
     out[n++] = b2;
-  MotionCu zero;
-  zero.dir = (s->slice_type == 0) ? 3 : 1;
-  while (n < 5) out[n++] = zero;
+  // temporal candidate, refIdx 0 per list (spec 8.5.3.2.3 step 4)
+  if (s->tmvp && n < 5) {
+    int mx0, my0, mx1, my1;
+    bool h0 = temporal_candidate_cpp(s, x, y, size, 0, 0, &mx0, &my0);
+    bool h1 = is_b &&
+              temporal_candidate_cpp(s, x, y, size, 1, 0, &mx1, &my1);
+    if (h0 || h1) {
+      MotionCu t;
+      t.dir = (h0 ? 1 : 0) | (h1 ? 2 : 0);
+      if (h0) { t.mv0x = mx0; t.mv0y = my0; t.r0 = 0; }
+      if (h1) { t.mv1x = mx1; t.mv1y = my1; t.r1 = 0; }
+      out[n++] = t;
+    }
+  }
+  // combined bi-predictive candidates (spec 8.5.3.2.4)
+  int n_orig = n;
+  if (is_b && n_orig > 1 && n < 5) {
+    static const int L0C[12] = {0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3};
+    static const int L1C[12] = {1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2};
+    int kmax = n_orig * (n_orig - 1);
+    if (kmax > 12) kmax = 12;
+    for (int k = 0; k < kmax && n < 5; k++) {
+      const MotionCu &c0 = out[L0C[k]];
+      const MotionCu &c1 = out[L1C[k]];
+      if (!((c0.dir & 1) && (c1.dir & 2))) continue;
+      int p0 = c0.r0 < s->n_l0 ? s->l0_pocs[c0.r0] : 0;
+      int p1 = c1.r1 < s->n_l1 ? s->l1_pocs[c1.r1] : 0;
+      if (p0 != p1 || c0.mv0x != c1.mv1x || c0.mv0y != c1.mv1y) {
+        MotionCu c;
+        c.dir = 3;
+        c.mv0x = c0.mv0x; c.mv0y = c0.mv0y; c.r0 = c0.r0;
+        c.mv1x = c1.mv1x; c.mv1y = c1.mv1y; c.r1 = c1.r1;
+        out[n++] = c;
+      }
+    }
+  }
+  // zero candidates with reference cycling (spec 8.5.3.2.5)
+  int n_ref = is_b ? (s->n_l0 < s->n_l1 ? s->n_l0 : s->n_l1) : s->n_l0;
+  if (n_ref < 1) n_ref = 1;
+  int zero_idx = 0;
+  while (n < 5) {
+    int r = zero_idx < n_ref ? zero_idx : 0;
+    MotionCu zero;
+    zero.dir = is_b ? 3 : 1;
+    zero.r0 = r;
+    if (is_b) zero.r1 = r;
+    out[n++] = zero;
+    zero_idx++;
+  }
   return 5;
 }
 
-// AMVP list for one list (matches spec/inter.py amvp_candidates)
+// AMVP list for (list, ref_idx) (matches spec/inter.py amvp_candidates):
+// spatial A (A0/A1 same-POC then scaled) and B (B0/B1/B2 same-POC;
+// scaled only when no left neighbor exists), dedup, TMVP, zero fill
 void amvp_list(SliceEnc *s, int x, int y, int size, int list_idx,
-               int out[2][2]) {
+               int ref_idx, int out[2][2]) {
+  int target_poc = 0;
+  if (list_idx == 0)
+    target_poc = ref_idx < s->n_l0 ? s->l0_pocs[ref_idx] : 0;
+  else
+    target_poc = ref_idx < s->n_l1 ? s->l1_pocs[ref_idx] : 0;
   MotionCu cands[5] = {motion_at(s, x - 1, y + size, x, y),
                        motion_at(s, x - 1, y + size - 1, x, y),
                        motion_at(s, x + size, y - 1, x, y),
                        motion_at(s, x + size - 1, y - 1, x, y),
                        motion_at(s, x - 1, y - 1, x, y)};
+  auto ref_poc_of = [&](const MotionCu &m, int li) {
+    int r = li == 0 ? m.r0 : m.r1;
+    if (li == 0) return (r >= 0 && r < s->n_l0) ? s->l0_pocs[r] : 0;
+    return (r >= 0 && r < s->n_l1) ? s->l1_pocs[r] : 0;
+  };
+  auto mv_same_poc = [&](const MotionCu &m, int *ox, int *oy) {
+    if (!m.dir) return false;
+    for (int t = 0; t < 2; t++) {
+      int li = t == 0 ? list_idx : 1 - list_idx;
+      if (m.dir & (1 << li)) {
+        if (ref_poc_of(m, li) == target_poc) {
+          *ox = li ? m.mv1x : m.mv0x;
+          *oy = li ? m.mv1y : m.mv0y;
+          return true;
+        }
+      }
+    }
+    return false;
+  };
+  auto mv_scaled = [&](const MotionCu &m, int *ox, int *oy) {
+    if (!m.dir) return false;
+    for (int t = 0; t < 2; t++) {
+      int li = t == 0 ? list_idx : 1 - list_idx;
+      if (m.dir & (1 << li)) {
+        int mvx = li ? m.mv1x : m.mv0x;
+        int mvy = li ? m.mv1y : m.mv0y;
+        int npoc = ref_poc_of(m, li);
+        int td = s->cur_poc - npoc;
+        int tb = s->cur_poc - target_poc;
+        if (td == tb) { *ox = mvx; *oy = mvy; return true; }
+        mv_scale_cpp(mvx, mvy, tb, td, ox, oy);
+        return true;
+      }
+    }
+    return false;
+  };
+  bool is_scaled = cands[0].dir || cands[1].dir;
   int ax = 0, ay = 0, bx = 0, by = 0;
   bool have_a = false, have_b = false;
   for (int i = 0; i < 2 && !have_a; i++)
-    if (cands[i].dir & (1 << list_idx)) {
-      ax = list_idx ? cands[i].mv1x : cands[i].mv0x;
-      ay = list_idx ? cands[i].mv1y : cands[i].mv0y;
-      have_a = true;
-    }
+    have_a = mv_same_poc(cands[i], &ax, &ay);
+  if (!have_a)
+    for (int i = 0; i < 2 && !have_a; i++)
+      have_a = mv_scaled(cands[i], &ax, &ay);
   for (int i = 2; i < 5 && !have_b; i++)
-    if (cands[i].dir & (1 << list_idx)) {
-      bx = list_idx ? cands[i].mv1x : cands[i].mv0x;
-      by = list_idx ? cands[i].mv1y : cands[i].mv0y;
-      have_b = true;
-    }
+    have_b = mv_same_poc(cands[i], &bx, &by);
+  if (!have_b && !is_scaled)
+    for (int i = 2; i < 5 && !have_b; i++)
+      have_b = mv_scaled(cands[i], &bx, &by);
   int n = 0;
   int lst[2][2] = {{0, 0}, {0, 0}};
   if (have_a) { lst[n][0] = ax; lst[n][1] = ay; n++; }
   if (have_b && (!have_a || bx != ax || by != ay)) {
     lst[n][0] = bx; lst[n][1] = by; n++;
+  }
+  if (n < 2 && s->tmvp) {
+    int tx, ty;
+    if (temporal_candidate_cpp(s, x, y, size, list_idx, ref_idx, &tx,
+                               &ty)) {
+      lst[n][0] = tx; lst[n][1] = ty; n++;
+    }
   }
   for (int i = 0; i < 2; i++) {
     out[i][0] = i < n ? lst[i][0] : 0;
@@ -1037,6 +1215,22 @@ void encode_mvd_cpp(SliceEnc *s, int mx, int my) {
       e->encode_bypass_bits(value, k);
     }
     e->encode_bypass(vals[i] < 0 ? 1 : 0);
+  }
+}
+
+// ref_idx_lX (matches spec/inter.py encode_ref_idx): TR cMax =
+// num_active-1, bins 0/1 context-coded, rest bypass
+void encode_ref_idx_cpp(SliceEnc *s, int idx, int num_active) {
+  if (num_active <= 1) return;
+  Encoder *e = s->e;
+  int cmax = num_active - 1;
+  for (int k = 0; k < idx; k++) {
+    if (k < 2) e->encode_bin(s->off_ref_idx + k, 1);
+    else e->encode_bypass(1);
+  }
+  if (idx < cmax) {
+    if (idx < 2) e->encode_bin(s->off_ref_idx + idx, 0);
+    else e->encode_bypass(0);
   }
 }
 
@@ -1320,21 +1514,23 @@ void store_inter_syntax(SliceEnc *s, int x, int y, int lg, int depth,
   if (!merge) {
     if (m.dir & 1) {
       int amvp[2][2];
-      amvp_list(s, x, y, n, 0, amvp);
+      amvp_list(s, x, y, n, 0, m.r0 < 0 ? 0 : m.r0, amvp);
       int c0 = std::abs(m.mv0x - amvp[0][0]) + std::abs(m.mv0y - amvp[0][1]);
       int c1 = std::abs(m.mv0x - amvp[1][0]) + std::abs(m.mv0y - amvp[1][1]);
       int mvp = c0 <= c1 ? 0 : 1;
       st.mvp0[g8] = (int8_t)mvp;
+      st.ref0[g8] = (int8_t)(m.r0 < 0 ? 0 : m.r0);
       st.mvd0x[g8] = (int16_t)(m.mv0x - amvp[mvp][0]);
       st.mvd0y[g8] = (int16_t)(m.mv0y - amvp[mvp][1]);
     }
     if (m.dir & 2) {
       int amvp[2][2];
-      amvp_list(s, x, y, n, 1, amvp);
+      amvp_list(s, x, y, n, 1, m.r1 < 0 ? 0 : m.r1, amvp);
       int c0 = std::abs(m.mv1x - amvp[0][0]) + std::abs(m.mv1y - amvp[0][1]);
       int c1 = std::abs(m.mv1x - amvp[1][0]) + std::abs(m.mv1y - amvp[1][1]);
       int mvp = c0 <= c1 ? 0 : 1;
       st.mvp1[g8] = (int8_t)mvp;
+      st.ref1[g8] = (int8_t)(m.r1 < 0 ? 0 : m.r1);
       st.mvd1x[g8] = (int16_t)(m.mv1x - amvp[mvp][0]);
       st.mvd1y[g8] = (int16_t)(m.mv1y - amvp[mvp][1]);
     }
@@ -1386,10 +1582,12 @@ void emit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
         e->encode_bin(s->off_inter_idc + 4, m.dir == 2 ? 1 : 0);
     }
     if (m.dir & 1) {
+      encode_ref_idx_cpp(s, st.ref0[g8], s->n_l0);
       encode_mvd_cpp(s, st.mvd0x[g8], st.mvd0y[g8]);
       e->encode_bin(s->off_mvp, st.mvp0[g8]);
     }
     if (m.dir & 2) {
+      encode_ref_idx_cpp(s, st.ref1[g8], s->n_l1);
       encode_mvd_cpp(s, st.mvd1x[g8], st.mvd1y[g8]);
       e->encode_bin(s->off_mvp, st.mvp1[g8]);
     }
@@ -1563,6 +1761,8 @@ MotionCu cu_motion_from_maps(SliceEnc *s, int x, int y, int *dir_out) {
     m.mv0y = s->mv_map[g8 * 4 + 1];
     m.mv1x = s->mv_map[g8 * 4 + 2];
     m.mv1y = s->mv_map[g8 * 4 + 3];
+    m.r0 = (dir & 1) ? (s->ref_map ? s->ref_map[g8 * 2 + 0] : 0) : -1;
+    m.r1 = (dir & 2) ? (s->ref_map ? s->ref_map[g8 * 2 + 1] : 0) : -1;
     m.normalize();
   }
   return m;
@@ -2060,6 +2260,26 @@ void emit_sao_ctu(SliceEnc *s, int cx, int cy, int rx, int ry) {
   emit_sao_offsets_only(s, s->sao_cr[i]);
 }
 
+// apply the marshalled motion context (mirror of spec/inter.py MotionCtx)
+// to a tile's SliceEnc; scalars layout: [cur_poc, n_l0, l0_poc0, l0_poc1,
+// n_l1, l1_poc0, l1_poc1, tmvp, col_from_l0, col_poc, no_backward]
+void apply_mctx(SliceEnc &se, const int32_t *m, const int8_t *col_dir,
+                const int16_t *col_mv, const int32_t *col_refpoc,
+                const int8_t *ref_map) {
+  se.ref_map = ref_map;
+  if (!m) return;
+  se.cur_poc = m[0];
+  se.n_l0 = m[1]; se.l0_pocs[0] = m[2]; se.l0_pocs[1] = m[3];
+  se.n_l1 = m[4]; se.l1_pocs[0] = m[5]; se.l1_pocs[1] = m[6];
+  se.tmvp = m[7] != 0;
+  se.col_from_l0 = m[8] != 0;
+  se.col_poc = m[9];
+  se.no_backward = m[10] != 0;
+  se.col_dir = col_dir;
+  se.col_mv = col_mv;
+  se.col_refpoc = col_refpoc;
+}
+
 }  // namespace
 
 extern "C" {
@@ -2154,7 +2374,11 @@ int hevc_encode_slice_tiled(
     // exported 4x4 motion field (for host-side deblock BS): may be null
     int32_t *mf_mv, int32_t *mf_ref, uint8_t *mf_cbf, uint8_t *mf_inter,
     int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr, uint8_t *payload,
-    int32_t *tile_sizes) {
+    int32_t *tile_sizes,
+    // motion context for merge/AMVP derivation (nullable -> single-ref)
+    const int32_t *mctx_scalars, const int8_t *col_dir,
+    const int16_t *col_mv, const int32_t *col_refpoc,
+    const int8_t *ref_map) {
   // concurrent frame commits (the encoder pipelines frames onto a thread
   // pool) must not race the one-time table builds
   static std::once_flag init_once;
@@ -2230,11 +2454,13 @@ int hevc_encode_slice_tiled(
     se.off_mvd = ctx_offsets[17];
     se.off_mvp = ctx_offsets[18];
     se.off_rqt_root = ctx_offsets[19];
+    se.off_ref_idx = ctx_offsets[22];
     se.slice_type = slice_type;
     se.dir_map = dir_map;
     se.mv_map = mv_map;
     se.ref0_y = ref0_y; se.ref0_cb = ref0_cb; se.ref0_cr = ref0_cr;
     se.ref1_y = ref1_y; se.ref1_cb = ref1_cb; se.ref1_cr = ref1_cr;
+    apply_mctx(se, mctx_scalars, col_dir, col_mv, col_refpoc, ref_map);
     if (tiled) {
       se.tx0 = tile_col_bounds[tc] * cs;
       se.ty0 = tile_row_bounds[tr] * cs;
@@ -2398,7 +2624,11 @@ int hevc_entropy_slice_tiled(
     const int32_t *ctx_offsets, int n_tile_cols, int n_tile_rows,
     const int32_t *tile_col_bounds, const int32_t *tile_row_bounds,
     int sao_enabled, const int32_t *sao_params, int sdh,
-    uint8_t *payload, int32_t *tile_sizes) {
+    uint8_t *payload, int32_t *tile_sizes,
+    // motion context for merge/AMVP derivation (nullable -> single-ref)
+    const int32_t *mctx_scalars, const int8_t *col_dir,
+    const int16_t *col_mv, const int32_t *col_refpoc,
+    const int8_t *ref_map) {
   static std::once_flag init_once2;
   std::call_once(init_once2, [] { init_transforms(); init_scans(); });
   Frame f;
@@ -2541,9 +2771,11 @@ int hevc_entropy_slice_tiled(
     se.off_mvd = ctx_offsets[17];
     se.off_mvp = ctx_offsets[18];
     se.off_rqt_root = ctx_offsets[19];
+    se.off_ref_idx = ctx_offsets[22];
     se.slice_type = slice_type;
     se.dir_map = dir_map;
     se.mv_map = mv_map;
+    apply_mctx(se, mctx_scalars, col_dir, col_mv, col_refpoc, ref_map);
     if (n_tiles > 1) {
       se.tx0 = tile_col_bounds[tc] * cs;
       se.ty0 = tile_row_bounds[tr] * cs;

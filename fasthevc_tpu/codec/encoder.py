@@ -45,6 +45,16 @@ from .search import decisions_to_trees, search_intra_frame
 FRAME_GROUP = 8
 
 
+class _NativeMotion:
+    """MotionField-alike view over the C++ engine's 4x4 motion export
+    (duck-typed for spec.inter.col_arrays: .inter, .mv, .ref_idx)."""
+
+    def __init__(self, mf_mv, mf_ref, mf_inter) -> None:
+        self.mv = mf_mv
+        self.ref_idx = mf_ref
+        self.inter = mf_inter.astype(bool)
+
+
 def _native_engine():
     """The C++ slice engine module, or None if the toolchain is missing."""
     try:
@@ -176,7 +186,8 @@ class TpuEncoder:
                 dpb = {}
             cvs_poc = poc - last_idr
             slice_type, refs_l0, refs_l1, deltas = ref_lists(
-                dpb, cvs_poc, slice_type, ref_deltas, is_idr)
+                dpb, cvs_poc, slice_type, ref_deltas, is_idr,
+                cfg.num_ref_per_list)
             if rc is not None:
                 qp = rc.picture_qp(len(frames), is_intra=is_idr)
             else:
@@ -192,7 +203,14 @@ class TpuEncoder:
             recons[poc] = planes
             if on_frame is not None:
                 on_frame(poc, is_idr, bytes(nal_bytes))
-            dpb[cvs_poc] = planes
+            # the DPB holds RefPic records (planes + motion + list POCs)
+            # so later pictures can derive TMVP from this one
+            from ..spec.inter import RefPic
+            mctx = getattr(self, "_last_mctx", None)
+            dpb[cvs_poc] = RefPic(
+                planes, cvs_poc, getattr(self, "_last_motion", None),
+                mctx.l0_pocs if mctx else (),
+                mctx.l1_pocs if mctx else ())
         return bytes(out), [recons[start_poc + i]
                             for i in range(len(frames))]
 
@@ -455,6 +473,23 @@ class TpuEncoder:
             done.update((e[8], e[1]) for e in batch[:n_real])
             batches.append((batch, n_real))
 
+        # exact DPB liveness over the batch schedule: a picture is evicted
+        # right after the last batch that references it has DISPATCHED
+        # (dispatch order is the dependency order).  A POC-distance
+        # heuristic is wrong here — software-pipelined batches dispatch
+        # next-GOP layer-0 frames before the current GOP's leaf layers,
+        # so POC distance says nothing about liveness.
+        last_use: dict = {}
+        for bi, (batch, n_real) in enumerate(batches):
+            for e in batch[:n_real]:
+                last_use[(e[8], e[1])] = bi
+                if e[2] != SLICE_I:
+                    for p in e[3] + e[4]:
+                        last_use[(e[8], p)] = bi
+        evict_lists: dict = {}
+        for k, bi in last_use.items():
+            evict_lists.setdefault(bi, []).append(k)
+
         qp_cache = {}
 
         def qps_of(qp):
@@ -463,6 +498,32 @@ class TpuEncoder:
             return qp_cache[qp]
 
         dev_dpb: dict = {}  # (last_idr, cvs_poc) -> (y, cb, cr) device u8
+        # host-side motion store for TMVP collocation: (last_idr, poc) ->
+        # (dir8 [gh,gw], mv8 [gh,gw,4], refpoc [gh,gw,2]) from the fetched
+        # decision maps (canonical col_arrays form, spec 8.5.3.2.7)
+        motion_dpb: dict = {}
+
+        def device_mctx(e):
+            from ..spec.inter import MotionCtx
+            st_ = e[2]
+            if st_ == SLICE_I:
+                return None
+            l0p = (e[3][0],) if e[3] else ()
+            l1p = (e[4][0],) if e[4] else ()
+            col_from_l0 = st_ != 0  # B collocates from L1 (HM default)
+            m = MotionCtx(cur_poc=e[1], l0_pocs=l0p, l1_pocs=l1p,
+                          tmvp=False, col_from_l0=col_from_l0,
+                          log2_ctu=sp.log2_ctu)
+            if sp.temporal_mvp_enabled:
+                col_poc = e[3][0] if col_from_l0 else (e[4][0] if e[4]
+                                                      else None)
+                col = (motion_dpb.get((e[8], col_poc))
+                       if col_poc is not None else None)
+                if col is not None:
+                    m.tmvp = True
+                    m.col_poc = col_poc
+                    m.col_dir, m.col_mv, m.col_refpoc = col
+            return m
 
         def upload_batch(batch):
             ys, cbs, crs = [], [], []
@@ -528,17 +589,13 @@ class TpuEncoder:
                 dev_dpb[(e[8], e[1])] = (res["rec_y"][j],
                                          res["rec_cb"][j],
                                          res["rec_cr"][j])
-            # bound device memory: drop pictures too old to be referenced
-            # (GOP structures reach back <= 32 POCs; layered RA holds ~9),
-            # and drop EVERY prior-IDR-period picture — an IDR resets the
-            # DPB, so those can never be referenced again (ADVICE r3 #1)
-            cur = batch[-1][1]
-            cur_idr = batch[-1][8]
-            for key in [k for k in dev_dpb
-                        if k[0] != cur_idr or k[1] < cur - 40]:
-                del dev_dpb[key]
+            # exact liveness eviction (computed above): frees every
+            # picture whose last referencing batch just dispatched,
+            # including prior-IDR-period pictures (ADVICE r3 #1)
+            for key in evict_lists.get(bi, ()):
+                dev_dpb.pop(key, None)
 
-        def emit_frame(res, res_dev, j, e):
+        def emit_frame(res, res_dev, j, e, mctx):
             poc, cvs_poc, st, _l0, _l1, deltas, qp, is_idr, _li = e
             qp_y, qp_cb, qp_cr = qps_of(qp)
             depth = np.ascontiguousarray(res["packed"][j, :gh, :gw, 0]
@@ -564,13 +621,15 @@ class TpuEncoder:
                 sp, qp_y, qp_cb, qp_cr, depth, mode,
                 lvs[0], lvs[1], lvs[2], ContextSet(init_type, qp),
                 sao_params=res["sao"][j] if sao_on else None,
-                sdh=sp.sign_data_hiding, **kw)
+                sdh=sp.sign_data_hiding, mctx=mctx, **kw)
             nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
             sh = SliceHeader(
                 slice_type=st, slice_qp=qp, is_idr=is_idr,
                 poc_lsb=cvs_poc & ((1 << sp.log2_max_poc_lsb) - 1),
                 ref_pocs_before=() if is_idr else deltas[0],
                 ref_pocs_after=() if is_idr else deltas[1],
+                temporal_mvp=bool(mctx and mctx.tmvp),
+                collocated_from_l0=(mctx.col_from_l0 if mctx else True),
                 sao_luma=sao_on, sao_chroma=sao_on,
                 entry_points=tuple(len(s) for s in subs[:-1]))
             w = write_slice_header(sh, sp, nal_type)
@@ -608,10 +667,25 @@ class TpuEncoder:
                           for k in eager}
                 if bi + 2 < len(batches):
                     dispatch(bi + 2)
+                pk = res_np["packed"]
                 for j, e in enumerate(batch[:n_real]):
+                    # record this frame's motion (canonical col form) for
+                    # later frames' TMVP BEFORE submitting dependents
+                    d8 = np.ascontiguousarray(
+                        pk[j, :gh, :gw, 2].astype(np.int8))
+                    mv8 = np.ascontiguousarray(
+                        pk[j, :gh, :gw, 3:7].astype(np.int16))
+                    rp = np.zeros((gh, gw, 2), np.int32)
+                    rp[..., 0] = e[3][0] if e[3] else 0
+                    rp[..., 1] = e[4][0] if e[4] else 0
+                    motion_dpb[(e[8], e[1])] = (d8, mv8, rp)
+                    mctx = device_mctx(e)
                     futs.append((e[0], e[7],
                                  ex.submit(emit_frame, res_np, res_dev, j,
-                                           e)))
+                                           e, mctx)))
+                # motion liveness follows the same schedule as dev_dpb
+                for key in evict_lists.get(bi, ()):
+                    motion_dpb.pop(key, None)
             for poc, is_idr, fut in futs:
                 nal_bytes, planes = fut.result()
                 out += nal_bytes
@@ -755,6 +829,7 @@ class TpuEncoder:
         sp = self.sp
         cfg = self.cfg
         from ..spec.ctu import tu_qps
+        from ..spec.inter import build_mctx
 
         qp = cfg.qp if qp is None else qp
         is_idr = slice_type == SLICE_I
@@ -769,19 +844,29 @@ class TpuEncoder:
         mv_map = np.ascontiguousarray(mv_map[:gh, :gw])
         qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
         init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
+        mctx = build_mctx(sp, poc, slice_type, list(refs[0]),
+                          list(refs[1]))
+        self._last_mctx = mctx
         substreams, ry, rcb, rcr, motion = native.encode_slice_native(
             (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
             depth_map, mode_map, ContextSet(init_type, qp),
             cfg.lossless, slice_type=slice_type, dir_map=dir_map,
             mv_map=mv_map, refs=refs,
             deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
-            rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding)
+            rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding,
+            mctx=mctx)
+        self._last_motion = _NativeMotion(motion[0], motion[1], motion[3])
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
                          ref_pocs_after=() if is_idr else ref_deltas[1],
+                         num_ref_idx_l0=max(1, len(refs[0])),
+                         num_ref_idx_l1=max(1, len(refs[1])),
+                         temporal_mvp=bool(mctx and mctx.tmvp),
+                         collocated_from_l0=(mctx.col_from_l0 if mctx
+                                             else True),
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
                                             substreams[:-1]))
@@ -872,14 +957,20 @@ class TpuEncoder:
                                    sp.log2_min_cu)
 
         # ---- 2. exact commit (host) ----------------------------------
+        from ..spec.inter import build_mctx
         planes = Planes(sp)
         maps = FrameMaps(sp)
+        mctx = build_mctx(sp, poc, slice_type, list(refs[0]),
+                          list(refs[1]))
+        maps.mctx = mctx
+        self._last_mctx = mctx
         qp_y, qp_cb, qp_cr = ctu_mod.tu_qps(sp, qp)
         decisions = []
         for x0, y0, tree in trees:
             cu = self._commit_node(src, planes, sp, x0, y0, sp.log2_ctu,
                                    0, tree, maps, qp_y, qp_cb, qp_cr)
             decisions.append((x0, y0, cu))
+        self._last_motion = maps.motion
 
         # ---- 3. entropy (host CABAC; C++ bin engine when available) --
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
@@ -887,11 +978,17 @@ class TpuEncoder:
                          is_idr=is_idr,
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
-                         ref_pocs_after=() if is_idr else ref_deltas[1])
+                         ref_pocs_after=() if is_idr else ref_deltas[1],
+                         num_ref_idx_l0=max(1, len(refs[0])),
+                         num_ref_idx_l1=max(1, len(refs[1])),
+                         temporal_mvp=bool(mctx and mctx.tmvp),
+                         collocated_from_l0=(mctx.col_from_l0 if mctx
+                                             else True))
         w = write_slice_header(sh, sp, nal_type)
         init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
         enc = _make_cabac(w, ContextSet(init_type, qp))
         maps2 = FrameMaps(sp)
+        maps2.mctx = mctx
         for i, (x0, y0, cu) in enumerate(decisions):
             ctu_mod.encode_ctu(enc, maps2, sp, x0, y0, cu, slice_type)
             enc.encode_terminate(1 if i == len(decisions) - 1 else 0)
@@ -976,7 +1073,7 @@ class TpuEncoder:
         else:
             if d & DIR_L0:
                 amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
-                                                 n, 0)
+                                                 n, 0, max(0, motion.ref0))
                 mv0 = motion.mv0
                 b0 = abs(mv0[0] - amvp[0][0]) + abs(mv0[1] - amvp[0][1])
                 b1 = abs(mv0[0] - amvp[1][0]) + abs(mv0[1] - amvp[1][1])
@@ -985,7 +1082,7 @@ class TpuEncoder:
                 cu.mvd = (mv0[0] - p[0], mv0[1] - p[1])
             if d & DIR_L1:
                 amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
-                                                 n, 1)
+                                                 n, 1, max(0, motion.ref1))
                 mv1 = motion.mv1
                 b0 = abs(mv1[0] - amvp[0][0]) + abs(mv1[1] - amvp[0][1])
                 b1 = abs(mv1[0] - amvp[1][0]) + abs(mv1[1] - amvp[1][1])

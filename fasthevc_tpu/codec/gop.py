@@ -54,11 +54,13 @@ def coding_order(cfg, n_frames: int, start_poc: int) -> list:
 
 
 def ref_lists(dpb: dict, cvs_poc: int, slice_type: int, ref_deltas,
-              is_idr: bool):
+              is_idr: bool, num_ref: int = 2):
     """Resolve reference lists from the DPB (cvs-local POC keyed).
 
-    Returns (slice_type, refs_l0, refs_l1, (before, after)) — slice_type
-    may downgrade B -> P when no L1 ref exists.
+    L0 = past-first, L1 = future-first (GPB fallback), each truncated to
+    `num_ref` active references (multi-ref, SURVEY.md E7/C4).  Returns
+    (slice_type, refs_l0, refs_l1, (before, after)) — slice_type may
+    downgrade B -> P when no L1 ref exists.
     """
     before = tuple(sorted(-d for d in ref_deltas if d < 0))
     after = tuple(sorted(d for d in ref_deltas if d > 0))
@@ -68,8 +70,8 @@ def ref_lists(dpb: dict, cvs_poc: int, slice_type: int, ref_deltas,
         before = (1,) if cvs_poc - 1 in dpb else ()
     l0_pocs = [cvs_poc - d for d in before] + [cvs_poc + d for d in after]
     l1_pocs = [cvs_poc + d for d in after] + [cvs_poc - d for d in before]
-    refs_l0 = [dpb[p] for p in l0_pocs[:1]]
-    refs_l1 = [dpb[p] for p in l1_pocs[:1]]
+    refs_l0 = [dpb[p] for p in l0_pocs[:num_ref]]
+    refs_l1 = [dpb[p] for p in l1_pocs[:num_ref]]
     if slice_type == SLICE_B and not refs_l1:
         slice_type = SLICE_P
     return slice_type, refs_l0, refs_l1, (before, after)

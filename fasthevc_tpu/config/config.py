@@ -63,6 +63,10 @@ class EncoderConfig:
     search_range: int = 64
     fast_partition: bool = False # use the learned partition pruning model
 
+    # Inter prediction structure
+    num_ref_per_list: int = 2    # active references per list (HM CTC: 2+)
+    temporal_mvp: bool = True    # TMVP merge/AMVP candidates (SPS flag)
+
     # Rate control (0 = fixed QP)
     target_bitrate: int = 0
 

@@ -79,6 +79,9 @@ class FrameMaps:
         self.motion = MotionField(sp.coded_width, sp.coded_height)
         # current tile rect (x0, y0, x1, y1) in luma samples; None = no tiles
         self.tile_rect = None
+        # per-slice reference context (inter.MotionCtx): active-list POCs
+        # + collocated-picture motion for TMVP; None = single-ref default
+        self.mctx = None
 
     def _in_tile(self, x: int, y: int) -> bool:
         if self.tile_rect is None:
@@ -343,11 +346,15 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
             m = cu.motion
             if is_b:
                 inter_mod.encode_inter_pred_idc(coder, m.inter_dir, depth)
-            # single active ref per list: no ref_idx
+            mctx = inter_mod._default_mctx(maps)
             if m.inter_dir & inter_mod.DIR_L0:
+                inter_mod.encode_ref_idx(coder, m.ref0,
+                                         len(mctx.l0_pocs))
                 inter_mod.encode_mvd(coder, cu.mvd[0], cu.mvd[1])
                 coder.encode_bin("mvp_flag", 0, cu.mvp_flag)
             if m.inter_dir & inter_mod.DIR_L1:
+                inter_mod.encode_ref_idx(coder, m.ref1,
+                                         len(mctx.l1_pocs))
                 inter_mod.encode_mvd(coder, cu.mvd_l1[0], cu.mvd_l1[1])
                 coder.encode_bin("mvp_flag", 0, cu.mvp_flag_l1)
         cbf_any = any(tu.levels_y is not None or tu.levels_cb is not None
@@ -601,25 +608,27 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
             cu.motion = cands[cu.merge_idx]
             cbf_any = True  # rqt_root_cbf inferred 1
         else:
-            inter_dir = inter_mod.decode_inter_pred_idc(dec, depth)                 if is_b else inter_mod.DIR_L0
+            inter_dir = inter_mod.decode_inter_pred_idc(dec, depth) \
+                if is_b else inter_mod.DIR_L0
+            mctx = inter_mod._default_mctx(maps)
             mv0 = mv1 = (0, 0)
             r0 = r1 = -1
             if inter_dir & inter_mod.DIR_L0:
+                r0 = inter_mod.decode_ref_idx(dec, len(mctx.l0_pocs))
                 cu.mvd = inter_mod.decode_mvd(dec)
                 cu.mvp_flag = dec.decode_bin("mvp_flag", 0)
                 amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
-                                                 size, 0)
+                                                 size, 0, r0)
                 p = amvp[cu.mvp_flag]
                 mv0 = (p[0] + cu.mvd[0], p[1] + cu.mvd[1])
-                r0 = 0
             if inter_dir & inter_mod.DIR_L1:
+                r1 = inter_mod.decode_ref_idx(dec, len(mctx.l1_pocs))
                 cu.mvd_l1 = inter_mod.decode_mvd(dec)
                 cu.mvp_flag_l1 = dec.decode_bin("mvp_flag", 0)
                 amvp = inter_mod.amvp_candidates(maps, maps.motion, x, y,
-                                                 size, 1)
+                                                 size, 1, r1)
                 p = amvp[cu.mvp_flag_l1]
                 mv1 = (p[0] + cu.mvd_l1[0], p[1] + cu.mvd_l1[1])
-                r1 = 0
             cu.motion = inter_mod.Motion(inter_dir, mv0, r0, mv1, r1)
             cbf_any = bool(dec.decode_bin("rqt_root_cbf", 0))
         if cbf_any:

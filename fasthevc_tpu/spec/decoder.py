@@ -80,20 +80,37 @@ class SpecDecoder:
         if sh.is_idr:
             self._dpb = {}  # IDR flushes the DPB (spec C.3.2)
         refs = ([], [])
+        l0_pocs = l1_pocs = ()
+        planes = Planes(sp)
+        maps = FrameMaps(sp)
         if sh.slice_type != SLICE_I:
-            # one active ref per list: L0 = [before..., after...][0],
-            # L1 = [after..., before...][0] (GPB when no future refs)
+            # L0 = [before..., after...], L1 = [after..., before...]
+            # truncated to the signaled active counts (GPB when no future
+            # refs); the DPB holds RefPic records (planes + motion) so
+            # TMVP can read the collocated picture's MV field
             before = [poc - d for d in sh.ref_pocs_before]
             after = [poc + d for d in sh.ref_pocs_after]
             for p_ref in before + after:
                 assert p_ref in self._dpb, f"missing ref POC {p_ref}"
-            l0 = before + after
-            l1 = after + before
-            refs = ([self._dpb[p] for p in l0[:1]],
-                    [self._dpb[p] for p in l1[:1]])
-
-        planes = Planes(sp)
-        maps = FrameMaps(sp)
+            l0 = (before + after)[:sh.num_ref_idx_l0]
+            l1 = (after + before)[:sh.num_ref_idx_l1]
+            refs = ([self._dpb[p] for p in l0],
+                    [self._dpb[p] for p in l1])
+            l0_pocs, l1_pocs = tuple(l0), tuple(l1)
+            from .inter import MotionCtx, col_arrays
+            mctx = MotionCtx(cur_poc=poc, l0_pocs=l0_pocs,
+                             l1_pocs=l1_pocs, tmvp=sh.temporal_mvp,
+                             col_from_l0=sh.collocated_from_l0,
+                             log2_ctu=sp.log2_ctu)
+            if sh.temporal_mvp:
+                col_list = refs[0] if sh.collocated_from_l0 else refs[1]
+                col = col_list[min(sh.collocated_ref_idx,
+                                   len(col_list) - 1)]
+                mctx.col_poc = col.poc
+                (mctx.col_dir, mctx.col_mv,
+                 mctx.col_refpoc) = col_arrays(col, sp.coded_width,
+                                               sp.coded_height)
+            maps.mctx = mctx
         init_type = 0 if sh.slice_type == SLICE_I else (
             1 if sh.slice_type == 1 else 2)
         # hand the remaining byte-aligned payload to CABAC
@@ -157,5 +174,7 @@ class SpecDecoder:
             sao_mod.apply_sao(planes, sp, params_y, params_cb, params_cr)
         poc = 0 if sh.is_idr else sh.poc_lsb
         self.pictures.append(DecodedPicture(poc=poc, planes=planes))
-        self._dpb[poc] = planes
+        from .inter import RefPic
+        self._dpb[poc] = RefPic(planes, poc, maps.motion, l0_pocs,
+                                l1_pocs)
         self._poc = poc

@@ -76,6 +76,7 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         tile_cols=cfg.tile_cols,
         tile_rows=cfg.tile_rows,
         transform_skip_enabled=cfg.transform_skip and not cfg.lossless,
+        temporal_mvp_enabled=cfg.temporal_mvp,
     )
     return sp
 
@@ -134,7 +135,8 @@ class SpecEncoder:
                 self.dpb = {}
             cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
             slice_type, refs_l0, refs_l1, (before, after) = ref_lists(
-                self.dpb, cvs_poc, slice_type, ref_deltas, is_idr)
+                self.dpb, cvs_poc, slice_type, ref_deltas, is_idr,
+                self.cfg.num_ref_per_list)
             if rc is not None:
                 qp = rc.picture_qp(len(frames), is_intra=is_idr)
             else:
@@ -150,7 +152,13 @@ class SpecEncoder:
             recons[poc] = planes
             if on_frame is not None:
                 on_frame(poc, is_idr, bytes(nal_bytes))
-            self.dpb[cvs_poc] = planes
+            # DPB holds RefPic records: planes + motion field + active
+            # list POCs, so a later picture's TMVP can read them
+            from .inter import RefPic
+            mctx = self.maps.mctx
+            self.dpb[cvs_poc] = RefPic(
+                planes, cvs_poc, self.maps.motion,
+                mctx.l0_pocs if mctx else (), mctx.l1_pocs if mctx else ())
         return bytes(out), [recons[start_poc + i]
                             for i in range(len(frames))]
 
@@ -178,6 +186,14 @@ class SpecEncoder:
         self.est = CabacEstimator(ContextSet(init_type, self.qp))
         self.slice_type = slice_type
         self.refs = (list(refs[0]), list(refs[1]))
+
+        # per-slice reference context: active-list POCs + collocated
+        # motion for TMVP (spec 8.5.3.2.7); refs may be bare Planes from
+        # direct encode_frame callers — then POCs degenerate to 0 and
+        # TMVP stays off, reproducing single-ref semantics
+        from .inter import build_mctx
+        mctx = build_mctx(sp, poc, slice_type, self.refs[0], self.refs[1])
+        self.maps.mctx = mctx
 
         ctu_size = 1 << sp.log2_ctu
         tile_ctus = sp.tile_ctus()
@@ -212,6 +228,7 @@ class SpecEncoder:
         is_idr = slice_type == SLICE_I
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         maps2 = FrameMaps(sp)
+        maps2.mctx = mctx  # the entropy replay derives the same lists
         col_starts = set(b * ctu_size for b in sp.tile_col_bounds()[1:-1])
         row_starts = set(b * ctu_size for b in sp.tile_row_bounds()[1:-1])
         substreams = []
@@ -242,6 +259,11 @@ class SpecEncoder:
                          poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
                          ref_pocs_before=() if is_idr else ref_deltas[0],
                          ref_pocs_after=() if is_idr else ref_deltas[1],
+                         num_ref_idx_l0=max(1, len(self.refs[0])),
+                         num_ref_idx_l1=max(1, len(self.refs[1])),
+                         temporal_mvp=bool(mctx and mctx.tmvp),
+                         collocated_from_l0=(mctx.col_from_l0 if mctx
+                                             else True),
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
                                             substreams[:-1]))
@@ -646,13 +668,13 @@ class SpecEncoder:
         merge_cands = inter_mod.merge_candidates(
             self.maps, self.maps.motion, x, y, n, is_b)
 
-        def run_me(list_idx):
+        def run_me(list_idx, ref_idx):
             refs = self.refs[list_idx]
-            if not refs:
+            if ref_idx >= len(refs):
                 return None, None, None
-            ref = refs[0]
+            ref = refs[ref_idx]
             amvp = inter_mod.amvp_candidates(self.maps, self.maps.motion,
-                                             x, y, n, list_idx)
+                                             x, y, n, list_idx, ref_idx)
             base_x, base_y = amvp[0][0] >> 2, amvp[0][1] >> 2
 
             def int_sad(ix, iy):
@@ -685,8 +707,20 @@ class SpecEncoder:
                             best_sad, best_mv = sad, mv
             return best_mv, amvp, best_sad
 
-        mv0, amvp0, _ = run_me(0)
-        mv1, amvp1, _ = (run_me(1) if is_b else (None, None, None))
+        # ME per (list, ref_idx): multi-ref search (SURVEY.md E7) — each
+        # active reference is searched, uni candidates cover every
+        # (list, ref) pair, BI pairs the SAD-best ref of each list
+        me = {}
+        for li in ((0, 1) if is_b else (0,)):
+            for ri in range(len(self.refs[li])):
+                mv, amvp, sad = run_me(li, ri)
+                if mv is not None:
+                    me[(li, ri)] = (mv, amvp, sad)
+
+        def best_ref(li):
+            opts = [(s, ri) for (l, ri), (_, _, s) in me.items()
+                    if l == li]
+            return min(opts)[1] if opts else None
 
         def mvp_pick(mv, amvp):
             b0 = abs(mv[0] - amvp[0][0]) + abs(mv[1] - amvp[0][1])
@@ -694,12 +728,13 @@ class SpecEncoder:
             return 0 if b0 <= b1 else 1
 
         candidates = [("merge", i) for i in range(5)]
-        if mv0 is not None:
-            candidates.append(("me", (DIR_L0, mv0, mv1)))
-        if mv1 is not None:
-            candidates.append(("me", (DIR_L1, mv0, mv1)))
-        if mv0 is not None and mv1 is not None:
-            candidates.append(("me", (DIR_BI, mv0, mv1)))
+        for (li, ri) in me:
+            candidates.append(("me", (DIR_L0 if li == 0 else DIR_L1,
+                                      ri if li == 0 else None,
+                                      ri if li == 1 else None)))
+        b0r, b1r = best_ref(0), best_ref(1)
+        if b0r is not None and b1r is not None:
+            candidates.append(("me", (DIR_BI, b0r, b1r)))
 
         tried = set()
         best = (None, None)
@@ -714,19 +749,21 @@ class SpecEncoder:
                                 merge_idx=payload, motion=m,
                                 bypass=self.cfg.lossless)
             else:
-                d, m0, m1 = payload
-                motion = Motion(d, m0 if d & DIR_L0 else (0, 0),
-                                0 if d & DIR_L0 else -1,
-                                m1 if d & DIR_L1 else (0, 0),
-                                0 if d & DIR_L1 else -1)
+                d, r0, r1 = payload
+                m0 = me[(0, r0)][0] if d & DIR_L0 else (0, 0)
+                m1 = me[(1, r1)][0] if d & DIR_L1 else (0, 0)
+                motion = Motion(d, m0, r0 if d & DIR_L0 else -1,
+                                m1, r1 if d & DIR_L1 else -1)
                 cu = CuDecision(split=False, is_inter=True,
                                 merge_flag=False, motion=motion,
                                 bypass=self.cfg.lossless)
                 if d & DIR_L0:
+                    amvp0 = me[(0, r0)][1]
                     cu.mvp_flag = mvp_pick(m0, amvp0)
                     pr = amvp0[cu.mvp_flag]
                     cu.mvd = (m0[0] - pr[0], m0[1] - pr[1])
                 if d & DIR_L1:
+                    amvp1 = me[(1, r1)][1]
                     cu.mvp_flag_l1 = mvp_pick(m1, amvp1)
                     pr = amvp1[cu.mvp_flag_l1]
                     cu.mvd_l1 = (m1[0] - pr[0], m1[1] - pr[1])

@@ -2,16 +2,22 @@
 
 Reference parity: HM TComDataCU motion field + TEncSearch AMVP/merge
 (SURVEY.md E7, C1) — reimplemented from spec 8.5.3.2. Scope: P and B
-slices, 2Nx2N PUs (PU == CU), one active reference per list, no temporal
-MVP (SPS flag 0), max 5 merge candidates.
+slices, 2Nx2N PUs (PU == CU), up to 2 active references per list,
+temporal MVP (merge + AMVP) with POC-distance MV scaling, combined
+bi-predictive merge candidates, max 5 merge candidates.
 
 Motion is carried as (inter_dir, mv_l0, ref_l0, mv_l1, ref_l1) with
 inter_dir 1 = L0, 2 = L1, 3 = BI (spec PredFlagLX).
+
+Candidate derivation needs slice-level reference context (POC of every
+active ref, and the collocated picture's motion for TMVP); that travels
+as a MotionCtx attached to the per-picture FrameMaps (maps.mctx) by both
+encoder and decoder, so the two derive identical lists.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -27,6 +33,186 @@ class Motion:
     ref0: int = -1
     mv1: tuple = (0, 0)
     ref1: int = -1
+
+
+class RefPic:
+    """A decoded picture in the DPB: pixel planes + per-granule motion
+    (for TMVP) + its own active-list POCs (to resolve a col PU's ref
+    POC).  Exposes .y/.cb/.cr so motion compensation treats it exactly
+    like bare Planes."""
+
+    def __init__(self, planes, poc: int, motion=None,
+                 l0_pocs: tuple = (), l1_pocs: tuple = ()) -> None:
+        self.planes = planes
+        self.poc = poc
+        self.motion = motion
+        self.l0_pocs = l0_pocs
+        self.l1_pocs = l1_pocs
+
+    @property
+    def y(self):
+        return self.planes.y
+
+    @property
+    def cb(self):
+        return self.planes.cb
+
+    @property
+    def cr(self):
+        return self.planes.cr
+
+
+@dataclass
+class MotionCtx:
+    """Per-slice reference context for merge/AMVP derivation.
+
+    col_dir/col_mv/col_refpoc are per-8x8-granule arrays of the
+    COLLOCATED picture's motion ([gh, gw], [gh, gw, 4], [gh, gw, 2]):
+    direction (0 = intra/none), quarter-pel MVs per list, and the POC of
+    the picture each list references — precomputed once per slice (see
+    col_arrays) so TMVP needs no per-PU indirection through the col
+    picture's ref lists.  This same canonical form feeds the native C++
+    engine and the device search."""
+    cur_poc: int = 0
+    l0_pocs: tuple = (0,)
+    l1_pocs: tuple = (0,)
+    tmvp: bool = False
+    col_from_l0: bool = True
+    col_poc: int = 0
+    col_dir: object = None
+    col_mv: object = None
+    col_refpoc: object = None
+    log2_ctu: int = 5
+
+    @property
+    def no_backward(self) -> bool:
+        """NoBackwardPredFlag: every active ref precedes the current
+        picture in output order."""
+        return (all(p <= self.cur_poc for p in self.l0_pocs)
+                and all(p <= self.cur_poc for p in self.l1_pocs))
+
+
+def col_arrays(col: "RefPic", coded_w: int, coded_h: int):
+    """Canonical per-8x8-granule (dir, mv, refpoc) arrays of a collocated
+    picture, from its 4x4-granule MotionField (motion is constant within
+    the 8x8 min CU, so sampling every other granule is exact)."""
+    mf = col.motion
+    gh, gw = coded_h >> 3, coded_w >> 3
+    inter = mf.inter[::2, ::2][:gh, :gw]
+    ref_idx = mf.ref_idx[::2, ::2][:gh, :gw]         # [gh, gw, 2]
+    mv = mf.mv[::2, ::2][:gh, :gw]                   # [gh, gw, 2, 2]
+    d = (np.where(ref_idx[..., 0] >= 0, 1, 0)
+         | np.where(ref_idx[..., 1] >= 0, 2, 0))
+    d = np.where(inter, d, 0).astype(np.int8)
+    col_mv = mv.reshape(gh, gw, 4).astype(np.int16)
+    refpoc = np.zeros((gh, gw, 2), np.int32)
+    for li, pocs in ((0, col.l0_pocs), (1, col.l1_pocs)):
+        r = np.clip(ref_idx[..., li], 0, max(len(pocs) - 1, 0))
+        lut = np.asarray(list(pocs) + [0], np.int32)
+        refpoc[..., li] = lut[r]
+    return d, col_mv, refpoc
+
+
+def build_mctx(sp, poc: int, slice_type: int, refs_l0, refs_l1):
+    """MotionCtx for one slice from RefPic lists (shared by the spec and
+    TPU encoders so every tier derives identical candidate lists).
+    Returns None for I slices; TMVP engages only when the collocated
+    RefPic carries a motion field."""
+    if slice_type == 2 or not refs_l0:
+        return None
+    is_b = slice_type == 0
+    l0p = tuple(getattr(r, "poc", 0) for r in refs_l0)
+    l1p = tuple(getattr(r, "poc", 0) for r in refs_l1)
+    col_from_l0 = not is_b  # HM default: B collocates from L1
+    mctx = MotionCtx(cur_poc=poc, l0_pocs=l0p, l1_pocs=l1p, tmvp=False,
+                     col_from_l0=col_from_l0, log2_ctu=sp.log2_ctu)
+    if sp.temporal_mvp_enabled:
+        col_list = refs_l0 if col_from_l0 else refs_l1
+        col = col_list[0] if col_list else None
+        if col is not None and getattr(col, "motion", None) is not None:
+            mctx.tmvp = True
+            mctx.col_poc = getattr(col, "poc", 0)
+            (mctx.col_dir, mctx.col_mv,
+             mctx.col_refpoc) = col_arrays(col, sp.coded_width,
+                                           sp.coded_height)
+    return mctx
+
+
+def mv_scale(mv: tuple, tb: int, td: int) -> tuple:
+    """POC-distance MV scaling (spec 8.5.3.2.8 / 8.5.3.1.6).
+
+    tb = cur_poc - target_ref_poc, td = neighbor/col distance; both are
+    clipped to [-128, 127]; tx uses C-style truncating division."""
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // -td)
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+    def s(c):
+        v = dsf * c
+        m = (abs(v) + 127) >> 8
+        return max(-32768, min(32767, -m if v < 0 else m))
+
+    return (s(mv[0]), s(mv[1]))
+
+
+def _col_sample(mctx: MotionCtx, xc: int, yc: int):
+    """Collocated motion at 16x16-aligned (xc, yc) (spec motion-data
+    compression sampling): (dir, mv4, refpoc2) or None if intra."""
+    gx, gy = ((xc >> 4) << 4) >> 3, ((yc >> 4) << 4) >> 3
+    if (mctx.col_dir is None or gy >= mctx.col_dir.shape[0]
+            or gx >= mctx.col_dir.shape[1]):
+        return None
+    d = int(mctx.col_dir[gy, gx])
+    if d == 0:
+        return None
+    return (d, mctx.col_mv[gy, gx], mctx.col_refpoc[gy, gx])
+
+
+def _derive_col_mv(mctx: MotionCtx, sample, x_list: int,
+                   target_refpoc: int):
+    """Collocated MV for target list X (spec 8.5.3.2.8): pick the col
+    block's list, then scale by POC distances."""
+    d, mv4, refpoc2 = sample
+    if not (d & DIR_L0):
+        list_col = 1
+    elif not (d & DIR_L1):
+        list_col = 0
+    elif mctx.no_backward:
+        list_col = x_list
+    else:
+        list_col = 1 if mctx.col_from_l0 else 0
+    mv = (int(mv4[2 * list_col]), int(mv4[2 * list_col + 1]))
+    col_refpoc = int(refpoc2[list_col])
+    td = mctx.col_poc - col_refpoc
+    tb = mctx.cur_poc - target_refpoc
+    if td == tb:
+        return mv
+    return mv_scale(mv, tb, td)
+
+
+def temporal_candidate(mctx: MotionCtx, x: int, y: int, size: int,
+                       x_list: int, ref_idx: int, coded_w: int,
+                       coded_h: int):
+    """TMVP for (list X, ref_idx) (spec 8.5.3.2.7): bottom-right C0 when
+    inside the picture and the same CTU row, else center C1."""
+    if mctx is None or not mctx.tmvp or mctx.col_dir is None:
+        return None
+    pocs = mctx.l0_pocs if x_list == 0 else mctx.l1_pocs
+    if ref_idx >= len(pocs):
+        return None
+    target_refpoc = pocs[ref_idx]
+    ctb = 1 << mctx.log2_ctu
+    xbr, ybr = x + size, y + size
+    if (y // ctb == ybr // ctb) and ybr < coded_h and xbr < coded_w:
+        s = _col_sample(mctx, xbr, ybr)
+        if s is not None:
+            return _derive_col_mv(mctx, s, x_list, target_refpoc)
+    s = _col_sample(mctx, x + size // 2, y + size // 2)
+    if s is not None:
+        return _derive_col_mv(mctx, s, x_list, target_refpoc)
+    return None
 
 
 class MotionField:
@@ -81,12 +267,21 @@ def _motion_at(maps, mf: MotionField, xn: int, yn: int, x: int,
                   r1)
 
 
+def _default_mctx(maps) -> MotionCtx:
+    m = getattr(maps, "mctx", None)
+    return m if m is not None else MotionCtx()
+
+
 def merge_candidates(maps, mf: MotionField, x: int, y: int, size: int,
-                     is_b: bool = False) -> list:
-    """Merge candidate list (spec 8.5.3.2.3), spatial + zero fill.
+                     is_b: bool = False, mctx: MotionCtx | None = None
+                     ) -> list:
+    """Merge candidate list (spec 8.5.3.2.3): spatial + temporal +
+    combined-bi (B) + zero candidates with ref cycling.
 
     Returns a list of Motion, length MAX_MERGE_CAND.
     """
+    if mctx is None:
+        mctx = _default_mctx(maps)
     a1 = _motion_at(maps, mf, x - 1, y + size - 1, x, y)
     b1 = _motion_at(maps, mf, x + size - 1, y - 1, x, y)
     b0 = _motion_at(maps, mf, x + size, y - 1, x, y)
@@ -106,30 +301,89 @@ def merge_candidates(maps, mf: MotionField, x: int, y: int, size: int,
     if (len(cands) < 4 and n_spatial4 < 4 and b2 is not None
             and b2 != a1 and b2 != b1):
         cands.append(b2)
-    # no TMVP (SPS flag 0); no combined-bi (needs >= 2 cands w/ both dirs —
-    # spec generates them for B, but zero-fill is always conformant after);
-    # zero candidates (BI for B slices, L0 for P)
-    zero = Motion(DIR_BI, (0, 0), 0, (0, 0), 0) if is_b else \
-        Motion(DIR_L0, (0, 0), 0)
+
+    # temporal candidate, refIdx 0 per list (spec 8.5.3.2.3 step 4)
+    if mctx.tmvp and len(cands) < MAX_MERGE_CAND:
+        sp = maps.sp
+        mv0 = temporal_candidate(mctx, x, y, size, 0, 0, sp.coded_width,
+                                 sp.coded_height)
+        mv1 = (temporal_candidate(mctx, x, y, size, 1, 0, sp.coded_width,
+                                  sp.coded_height) if is_b else None)
+        if mv0 is not None or mv1 is not None:
+            d = (DIR_L0 if mv0 is not None else 0) | \
+                (DIR_L1 if mv1 is not None else 0)
+            cands.append(Motion(d, mv0 or (0, 0), 0 if mv0 else -1,
+                                mv1 or (0, 0), 0 if mv1 else -1))
+
+    # combined bi-predictive candidates (spec 8.5.3.2.4, B slices)
+    n_orig = len(cands)
+    if is_b and n_orig > 1 and len(cands) < MAX_MERGE_CAND:
+        L0C = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+        L1C = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
+        for k in range(min(n_orig * (n_orig - 1), 12)):
+            c0, c1 = cands[L0C[k]], cands[L1C[k]]
+            if not ((c0.inter_dir & DIR_L0) and (c1.inter_dir & DIR_L1)):
+                continue
+            p0 = mctx.l0_pocs[c0.ref0] if c0.ref0 < len(mctx.l0_pocs) \
+                else 0
+            p1 = mctx.l1_pocs[c1.ref1] if c1.ref1 < len(mctx.l1_pocs) \
+                else 0
+            if p0 != p1 or c0.mv0 != c1.mv1:
+                cands.append(Motion(DIR_BI, c0.mv0, c0.ref0, c1.mv1,
+                                    c1.ref1))
+                if len(cands) == MAX_MERGE_CAND:
+                    break
+
+    # zero candidates with reference cycling (spec 8.5.3.2.5)
+    n_ref = (min(len(mctx.l0_pocs), len(mctx.l1_pocs)) if is_b
+             else len(mctx.l0_pocs)) or 1
+    zero_idx = 0
     while len(cands) < MAX_MERGE_CAND:
-        cands.append(zero)
+        r = zero_idx if zero_idx < n_ref else 0
+        cands.append(Motion(DIR_BI, (0, 0), r, (0, 0), r) if is_b
+                     else Motion(DIR_L0, (0, 0), r))
+        zero_idx += 1
     return cands[:MAX_MERGE_CAND]
 
 
 def amvp_candidates(maps, mf: MotionField, x: int, y: int, size: int,
-                    list_idx: int = 0) -> list:
-    """AMVP predictor list for the given list, ref 0 (spec 8.5.3.2.5)."""
+                    list_idx: int = 0, ref_idx: int = 0,
+                    mctx: MotionCtx | None = None) -> list:
+    """AMVP predictor list for (list, ref_idx) (spec 8.5.3.2.6/.7):
+    spatial A (A0/A1: same-POC pass then scaled pass) and B (B0/B1/B2:
+    same-POC pass; scaled pass only when no left neighbor exists),
+    dedup, temporal candidate, zero fill."""
+    if mctx is None:
+        mctx = _default_mctx(maps)
+    pocs = mctx.l0_pocs if list_idx == 0 else mctx.l1_pocs
+    target_poc = pocs[ref_idx] if ref_idx < len(pocs) else 0
 
-    def mv_of(m: Motion | None):
+    def ref_poc_of(m: Motion, li: int) -> int:
+        lp = mctx.l0_pocs if li == 0 else mctx.l1_pocs
+        r = m.ref0 if li == 0 else m.ref1
+        return lp[r] if 0 <= r < len(lp) else 0
+
+    def mv_same_poc(m: Motion | None):
         if m is None:
             return None
-        # same-list first; spec falls back to the other list's MV when it
-        # points at the same picture — with distinct-POC refs per list we
-        # use same-list only, then other-list (no scaling: short deltas)
-        if list_idx == 0 and (m.inter_dir & DIR_L0):
-            return m.mv0
-        if list_idx == 1 and (m.inter_dir & DIR_L1):
-            return m.mv1
+        for li in (list_idx, 1 - list_idx):
+            if m.inter_dir & (1 << li):
+                if ref_poc_of(m, li) == target_poc:
+                    return m.mv0 if li == 0 else m.mv1
+        return None
+
+    def mv_scaled(m: Motion | None):
+        if m is None:
+            return None
+        for li in (list_idx, 1 - list_idx):
+            if m.inter_dir & (1 << li):
+                mv = m.mv0 if li == 0 else m.mv1
+                npoc = ref_poc_of(m, li)
+                td = mctx.cur_poc - npoc
+                tb = mctx.cur_poc - target_poc
+                if td == tb:
+                    return mv
+                return mv_scale(mv, tb, td)
         return None
 
     a0 = _motion_at(maps, mf, x - 1, y + size, x, y)
@@ -138,15 +392,29 @@ def amvp_candidates(maps, mf: MotionField, x: int, y: int, size: int,
     b1 = _motion_at(maps, mf, x + size - 1, y - 1, x, y)
     b2 = _motion_at(maps, mf, x - 1, y - 1, x, y)
 
-    cand_a = next((mv_of(c) for c in (a0, a1) if mv_of(c) is not None),
-                  None)
-    cand_b = next((mv_of(c) for c in (b0, b1, b2)
-                   if mv_of(c) is not None), None)
+    is_scaled = a0 is not None or a1 is not None
+    cand_a = next((mv_same_poc(c) for c in (a0, a1)
+                   if mv_same_poc(c) is not None), None)
+    if cand_a is None:
+        cand_a = next((mv_scaled(c) for c in (a0, a1)
+                       if mv_scaled(c) is not None), None)
+    cand_b = next((mv_same_poc(c) for c in (b0, b1, b2)
+                   if mv_same_poc(c) is not None), None)
+    if cand_b is None and not is_scaled:
+        cand_b = next((mv_scaled(c) for c in (b0, b1, b2)
+                       if mv_scaled(c) is not None), None)
+
     out = []
     if cand_a is not None:
         out.append(cand_a)
     if cand_b is not None and (cand_a is None or cand_b != cand_a):
         out.append(cand_b)
+    if len(out) < 2 and mctx.tmvp:
+        sp = maps.sp
+        tmv = temporal_candidate(mctx, x, y, size, list_idx, ref_idx,
+                                 sp.coded_width, sp.coded_height)
+        if tmv is not None:
+            out.append(tmv)
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]
@@ -187,6 +455,38 @@ def decode_mvd(dec) -> tuple[int, int]:
             v = -v
         out.append(v)
     return out[0], out[1]
+
+
+def encode_ref_idx(coder, idx: int, num_active: int) -> None:
+    """ref_idx_lX (spec 9.3.3.x): TR cMax = num_active-1; bins 0/1 are
+    context-coded ("ref_idx" 0/1), the rest bypass."""
+    if num_active <= 1:
+        return
+    cmax = num_active - 1
+    for k in range(idx):
+        if k < 2:
+            coder.encode_bin("ref_idx", k, 1)
+        else:
+            coder.encode_bypass(1)
+    if idx < cmax:
+        if idx < 2:
+            coder.encode_bin("ref_idx", idx, 0)
+        else:
+            coder.encode_bypass(0)
+
+
+def decode_ref_idx(dec, num_active: int) -> int:
+    if num_active <= 1:
+        return 0
+    cmax = num_active - 1
+    idx = 0
+    while idx < cmax:
+        b = (dec.decode_bin("ref_idx", idx) if idx < 2
+             else dec.decode_bypass())
+        if not b:
+            break
+        idx += 1
+    return idx
 
 
 def encode_inter_pred_idc(coder, inter_dir: int, depth: int) -> None:

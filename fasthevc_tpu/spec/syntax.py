@@ -31,6 +31,7 @@ class SequenceParams:
     strong_intra_smoothing: bool = False
     amp_enabled: bool = False
     pcm_enabled: bool = False
+    temporal_mvp_enabled: bool = False  # sps_temporal_mvp_enabled_flag
 
     # PPS-level
     init_qp: int = 26
@@ -204,7 +205,7 @@ def write_sps(sp: SequenceParams) -> bytes:
     w.write_flag(0)       # pcm_enabled_flag
     w.write_ue(0)         # num_short_term_ref_pic_sets
     w.write_flag(0)       # long_term_ref_pics_present_flag
-    w.write_flag(0)       # sps_temporal_mvp_enabled_flag
+    w.write_flag(1 if sp.temporal_mvp_enabled else 0)
     w.write_flag(1 if sp.strong_intra_smoothing else 0)
     w.write_flag(0)       # vui_parameters_present_flag
     w.write_flag(0)       # sps_extension_present_flag
@@ -249,7 +250,7 @@ def parse_sps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     n_rps = r.read_ue()
     assert n_rps == 0, "SPS-level RPS not used by this encoder"
     assert r.read_flag() == 0  # long-term refs
-    r.read_flag()         # temporal mvp
+    sp.temporal_mvp_enabled = bool(r.read_flag())
     sp.strong_intra_smoothing = bool(r.read_flag())
     r.read_flag()         # vui
     r.read_flag()         # extension
@@ -360,6 +361,10 @@ class SliceHeader:
     ref_pocs_before: tuple = ()   # POC deltas (positive values, past)
     ref_pocs_after: tuple = ()
     num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
+    temporal_mvp: bool = False    # slice_temporal_mvp_enabled_flag
+    collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
     sao_luma: bool = False
     sao_chroma: bool = False
     entry_points: tuple = ()  # per-substream byte sizes (all but last tile)
@@ -393,14 +398,29 @@ def write_slice_header(sh: SliceHeader, sp: SequenceParams,
             w.write_ue(d - prev - 1)
             prev = d
             w.write_flag(1)
+        if sp.temporal_mvp_enabled:
+            w.write_flag(1 if sh.temporal_mvp else 0)
     if sp.sao_enabled:
         w.write_flag(1 if sh.sao_luma else 0)
         w.write_flag(1 if sh.sao_chroma else 0)
     if sh.slice_type != SLICE_I:
-        w.write_flag(0)       # num_ref_idx_active_override_flag
-        # mvd_l1_zero etc. only for B
-        if sh.slice_type == SLICE_B:
+        is_b = sh.slice_type == SLICE_B
+        override = (sh.num_ref_idx_l0 != 1
+                    or (is_b and sh.num_ref_idx_l1 != 1))
+        w.write_flag(1 if override else 0)  # num_ref_idx_active_override
+        if override:
+            w.write_ue(sh.num_ref_idx_l0 - 1)
+            if is_b:
+                w.write_ue(sh.num_ref_idx_l1 - 1)
+        if is_b:
             w.write_flag(0)   # mvd_l1_zero_flag
+        if sh.temporal_mvp:
+            if is_b:
+                w.write_flag(1 if sh.collocated_from_l0 else 0)
+            n_col = (sh.num_ref_idx_l0 if sh.collocated_from_l0
+                     else sh.num_ref_idx_l1)
+            if n_col > 1:
+                w.write_ue(sh.collocated_ref_idx)
         # five_minus_max_num_merge_cand
         w.write_ue(5 - 5)
     w.write_se(sh.slice_qp - sp.init_qp)
@@ -444,14 +464,27 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
             r.read_flag()
         sh.ref_pocs_before = tuple(before)
         sh.ref_pocs_after = tuple(after)
+        if sp.temporal_mvp_enabled:
+            sh.temporal_mvp = bool(r.read_flag())
     if sp.sao_enabled:
         sh.sao_luma = bool(r.read_flag())
         sh.sao_chroma = bool(r.read_flag())
     if sh.slice_type != SLICE_I:
-        assert r.read_flag() == 0
-        if sh.slice_type == SLICE_B:
-            r.read_flag()
-        r.read_ue()
+        is_b = sh.slice_type == SLICE_B
+        if r.read_flag():     # num_ref_idx_active_override_flag
+            sh.num_ref_idx_l0 = r.read_ue() + 1
+            if is_b:
+                sh.num_ref_idx_l1 = r.read_ue() + 1
+        if is_b:
+            r.read_flag()     # mvd_l1_zero_flag
+        if sh.temporal_mvp:
+            if is_b:
+                sh.collocated_from_l0 = bool(r.read_flag())
+            n_col = (sh.num_ref_idx_l0 if sh.collocated_from_l0
+                     else sh.num_ref_idx_l1)
+            if n_col > 1:
+                sh.collocated_ref_idx = r.read_ue()
+        r.read_ue()           # five_minus_max_num_merge_cand
     sh.slice_qp = sp.init_qp + r.read_se()
     if sp.tiles_enabled:
         n = r.read_ue()
