@@ -142,7 +142,9 @@ def _load():
         i32p,                                # per-tile sizes out
         ctypes.c_void_p, ctypes.c_void_p,    # mctx scalars, col_dir
         ctypes.c_void_p, ctypes.c_void_p,    # col_mv, col_refpoc
-        ctypes.c_void_p]                     # ref_map
+        ctypes.c_void_p,                     # ref_map
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ref0b y/cb/cr
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # ref1b y/cb/cr
     _lib = lib
     return lib
 
@@ -253,6 +255,21 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     r1y = plane_i32(r1.y) if r1 is not None else r0y
     r1cb = plane_i32(r1.cb) if r1 is not None else r0cb
     r1cr = plane_i32(r1.cr) if r1 is not None else r0cr
+    # second active reference per list (multi-ref commit MC)
+    keep2 = []
+
+    def second(lst, i):
+        if len(lst) <= 1:
+            return None, None, None
+        a, b, c = (plane_i32(lst[1].y), plane_i32(lst[1].cb),
+                   plane_i32(lst[1].cr))
+        keep2.extend([a, b, c])
+        vp = ctypes.c_void_p
+        return (a.ctypes.data_as(vp), b.ctypes.data_as(vp),
+                c.ctypes.data_as(vp))
+
+    r0b = second(refs[0], 1)
+    r1b = second(refs[1], 1)
     gh4, gw4 = h >> 2, w >> 2
     mf_mv = np.zeros((gh4, gw4, 2, 2), dtype=np.int32)
     mf_ref = np.full((gh4, gw4, 2), -1, dtype=np.int32)
@@ -268,7 +285,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes,
-        mctx_p, cd_p, cm_p, cr_p, rm_p)
+        mctx_p, cd_p, cm_p, cr_p, rm_p,
+        r0b[0], r0b[1], r0b[2], r1b[0], r1b[1], r1b[2])
     subs = []
     off = 0
     for t in range(n_tiles):

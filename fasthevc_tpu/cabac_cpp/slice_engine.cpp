@@ -602,6 +602,11 @@ struct SliceEnc {
   int slice_type = 2;  // 2=I, 1=P, 0=B
   const int32_t *ref0_y = nullptr, *ref0_cb = nullptr, *ref0_cr = nullptr;
   const int32_t *ref1_y = nullptr, *ref1_cb = nullptr, *ref1_cr = nullptr;
+  // second active reference per list (multi-ref; nullable)
+  const int32_t *ref0b_y = nullptr, *ref0b_cb = nullptr,
+                *ref0b_cr = nullptr;
+  const int32_t *ref1b_y = nullptr, *ref1b_cb = nullptr,
+                *ref1b_cr = nullptr;
   const int8_t *dir_map = nullptr;     // per-8x8 granule: 0..3
   const int16_t *mv_map = nullptr;     // per-8x8 granule: mv0x,mv0y,mv1x,mv1y
   const int8_t *ref_map = nullptr;     // per-8x8 granule: (ref0, ref1)
@@ -1356,19 +1361,28 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
     }
   };
   int w = f.coded_w, h = f.coded_h;
-  if (m.dir & 1) mc_raw(s->ref0_y, w, h, x, y, n, n, m.mv0x, m.mv0y, true,
+  // multi-ref: pick the reference plane per list by the PU's ref idx
+  bool b0 = m.r0 == 1 && s->ref0b_y;
+  bool b1 = m.r1 == 1 && s->ref1b_y;
+  const int32_t *l0y = b0 ? s->ref0b_y : s->ref0_y;
+  const int32_t *l0cb = b0 ? s->ref0b_cb : s->ref0_cb;
+  const int32_t *l0cr = b0 ? s->ref0b_cr : s->ref0_cr;
+  const int32_t *l1y = b1 ? s->ref1b_y : s->ref1_y;
+  const int32_t *l1cb = b1 ? s->ref1b_cb : s->ref1_cb;
+  const int32_t *l1cr = b1 ? s->ref1b_cr : s->ref1_cr;
+  if (m.dir & 1) mc_raw(l0y, w, h, x, y, n, n, m.mv0x, m.mv0y, true,
                         r0.data());
-  if (m.dir & 2) mc_raw(s->ref1_y, w, h, x, y, n, n, m.mv1x, m.mv1y, true,
+  if (m.dir & 2) mc_raw(l1y, w, h, x, y, n, n, m.mv1x, m.mv1y, true,
                         r1.data());
   blend(r0.data(), r1.data(), n * n, pred_y.data());
-  if (m.dir & 1) mc_raw(s->ref0_cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+  if (m.dir & 1) mc_raw(l0cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv0x, m.mv0y, false, r0.data());
-  if (m.dir & 2) mc_raw(s->ref1_cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+  if (m.dir & 2) mc_raw(l1cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv1x, m.mv1y, false, r1.data());
   blend(r0.data(), r1.data(), cn * cn, pred_cb.data());
-  if (m.dir & 1) mc_raw(s->ref0_cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+  if (m.dir & 1) mc_raw(l0cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv0x, m.mv0y, false, r0.data());
-  if (m.dir & 2) mc_raw(s->ref1_cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
+  if (m.dir & 2) mc_raw(l1cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv1x, m.mv1y, false, r1.data());
   blend(r0.data(), r1.data(), cn * cn, pred_cr.data());
 
@@ -2378,7 +2392,11 @@ int hevc_encode_slice_tiled(
     // motion context for merge/AMVP derivation (nullable -> single-ref)
     const int32_t *mctx_scalars, const int8_t *col_dir,
     const int16_t *col_mv, const int32_t *col_refpoc,
-    const int8_t *ref_map) {
+    const int8_t *ref_map,
+    // second active reference per list (nullable)
+    const int32_t *ref0b_y, const int32_t *ref0b_cb,
+    const int32_t *ref0b_cr, const int32_t *ref1b_y,
+    const int32_t *ref1b_cb, const int32_t *ref1b_cr) {
   // concurrent frame commits (the encoder pipelines frames onto a thread
   // pool) must not race the one-time table builds
   static std::once_flag init_once;
@@ -2460,6 +2478,8 @@ int hevc_encode_slice_tiled(
     se.mv_map = mv_map;
     se.ref0_y = ref0_y; se.ref0_cb = ref0_cb; se.ref0_cr = ref0_cr;
     se.ref1_y = ref1_y; se.ref1_cb = ref1_cb; se.ref1_cr = ref1_cr;
+    se.ref0b_y = ref0b_y; se.ref0b_cb = ref0b_cb; se.ref0b_cr = ref0b_cr;
+    se.ref1b_y = ref1b_y; se.ref1b_cb = ref1b_cb; se.ref1b_cr = ref1b_cr;
     apply_mctx(se, mctx_scalars, col_dir, col_mv, col_refpoc, ref_map);
     if (tiled) {
       se.tx0 = tile_col_bounds[tc] * cs;

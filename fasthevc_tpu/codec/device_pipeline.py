@@ -169,18 +169,22 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                               tile_bounds_x: tuple = (),
                               tile_bounds_y: tuple = (),
                               cnn_params=None, qp: int = 0,
-                              use_cnn: bool = False, rd_cands: int = 3):
+                              use_cnn: bool = False, rd_cands: int = 3,
+                              nref0=None, nref1=None):
     """Search + MC + mixed exact commit + filters for F same-type P/B
     frames in one dispatch (frames of one dependency-free batch: refs come
     from the on-device DPB, so reference pixels never cross the tunnel).
 
-    y_u8: [F, PH, PW] uint8 CTU-padded sources; r0_*/r1_*: [F, coded]
-    uint8 reference planes per frame (r1_* ignored unless is_b).
-    lambda_sqrt / qp_y / qp_cb / qp_cr / qp_for_deblock: PER-FRAME [F]
-    arrays — a batch may mix temporal layers (and hence QPs), which is
-    what lets the GOP scheduler pack cross-GOP software-pipelined batches
-    (SURVEY.md §2.4 P4; the wavefront commit's per-wave cost is
-    frame-count-invariant, so batch width == throughput).
+    y_u8: [F, PH, PW] uint8 CTU-padded sources; r0_*/r1_*: [F, 2, coded]
+    uint8 reference STACKS per frame and list (2 active refs; duplicate
+    the first and pass nref=1 when only one exists — shapes stay fixed
+    so batch programs don't multiply).  r1_* ignored unless is_b.
+    lambda_sqrt / qp_y / qp_cb / qp_cr / qp_for_deblock / nref0 / nref1:
+    PER-FRAME [F] arrays — a batch may mix temporal layers (and hence
+    QPs), which is what lets the GOP scheduler pack cross-GOP
+    software-pipelined batches (SURVEY.md §2.4 P4; the wavefront
+    commit's per-wave cost is frame-count-invariant, so batch width ==
+    throughput).
     Returns the same output dict as encode_group_device.
     """
     from .search import search_b_maps, search_p_maps
@@ -188,29 +192,35 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
     gh, gw = coded_h >> 3, coded_w >> 3
     f_total = y_u8.shape[0]
     ph, pw = y_u8.shape[1], y_u8.shape[2]
+    if nref0 is None:
+        nref0 = jnp.ones((f_total,), jnp.int32)
+    if nref1 is None:
+        nref1 = jnp.ones((f_total,), jnp.int32)
 
     def pad_ref(r):
-        return jnp.pad(r, ((0, 0), (0, ph - r.shape[1]),
-                           (0, pw - r.shape[2])), mode="edge")
+        return jnp.pad(r, ((0, 0), (0, 0), (0, ph - r.shape[2]),
+                           (0, pw - r.shape[3])), mode="edge")
 
     r0_y_pad = pad_ref(r0_y)
     r1_y_pad = pad_ref(r1_y) if is_b else r0_y_pad
 
     def search_mb(args):
         if is_b:
-            ym, re0, re1, lamm = args
-            return jax.vmap(lambda y, a, b, lm: search_b_maps(
-                y, a, b, lm, log2_ctu, log2_min_cu, coded_w,
+            ym, re0, re1, lamm, n0, n1 = args
+            return jax.vmap(lambda y, a, b, lm, m0, m1: search_b_maps(
+                y, a[0], b[0], lm, log2_ctu, log2_min_cu, coded_w,
                 coded_h, search_range, cnn_params=cnn_params, qp=qp,
-                use_cnn=use_cnn, rd_cands=rd_cands))(ym, re0, re1, lamm)
-        ym, re0, lamm = args
-        return jax.vmap(lambda y, a, lm: search_p_maps(
-            y, a, lm, log2_ctu, log2_min_cu, coded_w, coded_h,
+                use_cnn=use_cnn, rd_cands=rd_cands,
+                ref0b_u8=a[1], ref1b_u8=b[1], nref0=m0, nref1=m1))(
+                    ym, re0, re1, lamm, n0, n1)
+        ym, re0, lamm, n0 = args
+        return jax.vmap(lambda y, a, lm, m0: search_p_maps(
+            y, a[0], lm, log2_ctu, log2_min_cu, coded_w, coded_h,
             search_range, cnn_params=cnn_params, qp=qp, use_cnn=use_cnn,
-            rd_cands=rd_cands))(ym, re0, lamm)
+            rd_cands=rd_cands, refb_u8=a[1], nref=m0))(ym, re0, lamm, n0)
 
-    args = ((y_u8, r0_y_pad, r1_y_pad, lambda_sqrt) if is_b
-            else (y_u8, r0_y_pad, lambda_sqrt))
+    args = ((y_u8, r0_y_pad, r1_y_pad, lambda_sqrt, nref0, nref1) if is_b
+            else (y_u8, r0_y_pad, lambda_sqrt, nref0))
     packed = _lax_map_frames(search_mb, args, f_total,
                              max(1, SEARCH_MICRO_BATCH // 2))
 
@@ -222,6 +232,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
         mm = pk[:gh, :gw, 1].astype(jnp.int32)
         im = pk[:gh, :gw, 2].astype(jnp.int32)
         mv = pk[:gh, :gw, 3:7].astype(jnp.int32)
+        rmap = pk[:gh, :gw, 7:9].astype(jnp.int32)
         sy = y[:coded_h, :coded_w].astype(jnp.int32)
         scb = cbp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
         scr = crp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
@@ -229,7 +240,8 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                 q0cr.astype(jnp.int32))
         ref1 = ((q1y.astype(jnp.int32), q1cb.astype(jnp.int32),
                  q1cr.astype(jnp.int32)) if is_b else None)
-        ipy, ipcb, ipcr = inter_pred_planes(ref0, ref1, im, mv)
+        ipy, ipcb, ipcr = inter_pred_planes(ref0, ref1, im, mv,
+                                            ref_map=rmap)
         ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_mixed(
             sy, scb, scr, dm, mm, im, ipy, ipcb, ipcr,
             qp_y, qp_cb, qp_cr, coded_w, coded_h, 8, sdh,
@@ -237,7 +249,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
         if deblock_on:
             cbf = tu_cbf_map(lv_y, dm, log2_ctu)
             # normalize: merge-candidate MVs of unused lists are zeroed
-            bs_v, bs_h = inter_bs_maps(dm, im, mv, cbf)
+            bs_v, bs_h = inter_bs_maps(dm, im, mv, cbf, ref_map=rmap)
             ry, rcb, rcr = deblock_device(ry, rcb, rcr, dm,
                                           qp_for_deblock, qp_cb, qp_cr,
                                           log2_ctu, bs_vert=bs_v,

@@ -417,9 +417,10 @@ class TpuEncoder:
                  [cvs_poc + d for d in deltas[1]]
             l1 = [cvs_poc + d for d in deltas[1]] + \
                  [cvs_poc - d for d in deltas[0]]
+            nr = max(1, min(2, cfg.num_ref_per_list))
             qp = min(max(cfg.qp + qp_off, 0), 51)
-            entries.append((poc, cvs_poc, st, l0[:1], l1[:1], deltas, qp,
-                            is_idr, last_idr))
+            entries.append((poc, cvs_poc, st, l0[:nr], l1[:nr], deltas,
+                            qp, is_idr, last_idr))
             sim_dpb.add(cvs_poc)
         # greedy dependency-driven batcher (software-pipelined GOPs): pack
         # up to 8 same-type frames whose references all live in EARLIER
@@ -508,8 +509,8 @@ class TpuEncoder:
             st_ = e[2]
             if st_ == SLICE_I:
                 return None
-            l0p = (e[3][0],) if e[3] else ()
-            l1p = (e[4][0],) if e[4] else ()
+            l0p = tuple(e[3])
+            l1p = tuple(e[4])
             col_from_l0 = st_ != 0  # B collocates from L1 (HM default)
             m = MotionCtx(cur_poc=e[1], l0_pocs=l0p, l1_pocs=l1p,
                           tmvp=False, col_from_l0=col_from_l0,
@@ -558,15 +559,30 @@ class TpuEncoder:
                     use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates)
             else:
                 is_b = st == 0
-                r0 = [dev_dpb[(e[8], e[3][0])] for e in batch]
-                r1 = [dev_dpb[(e[8], e[4][0])] for e in batch] if is_b \
-                    else r0
-                r0y = jnp.stack([r[0] for r in r0])
-                r0cb = jnp.stack([r[1] for r in r0])
-                r0cr = jnp.stack([r[2] for r in r0])
-                r1y = jnp.stack([r[0] for r in r1])
-                r1cb = jnp.stack([r[1] for r in r1])
-                r1cr = jnp.stack([r[2] for r in r1])
+
+                def rstack(e, li):
+                    """(first, second) DPB entries for one list — the
+                    second duplicates the first when absent (shape
+                    stability; masked via nref)."""
+                    lst = e[3] if li == 0 else e[4]
+                    a = dev_dpb[(e[8], lst[0])]
+                    b = dev_dpb[(e[8], lst[1])] if len(lst) > 1 else a
+                    return a, b
+
+                def plane_stack(li, pi):
+                    return jnp.stack(
+                        [jnp.stack([rstack(e, li)[0][pi],
+                                    rstack(e, li)[1][pi]])
+                         for e in batch])
+
+                r0y, r0cb, r0cr = (plane_stack(0, i) for i in range(3))
+                if is_b:
+                    r1y, r1cb, r1cr = (plane_stack(1, i)
+                                       for i in range(3))
+                else:
+                    r1y, r1cb, r1cr = r0y, r0cb, r0cr
+                nref0 = jnp.asarray([len(e[3]) for e in batch], jnp.int32)
+                nref1 = jnp.asarray([len(e[4]) for e in batch], jnp.int32)
                 # per-frame QP/lambda: batches mix temporal layers (the
                 # fast-partition CNN's qp feature stays e0's — a pruning
                 # heuristic input only, deterministic either way)
@@ -583,7 +599,8 @@ class TpuEncoder:
                     sp.log2_min_cu, cw, chh, bool(sp.sign_data_hiding),
                     deblock_on, sao_on, cfg.search_range, is_b, tbx, tby,
                     cnn_params=self.partition_params, qp=qp,
-                    use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates)
+                    use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates,
+                    nref0=nref0, nref1=nref1)
             res = chunk_dev[bi]
             for j, e in enumerate(batch[:n_real]):
                 dev_dpb[(e[8], e[1])] = (res["rec_y"][j],
@@ -609,6 +626,8 @@ class TpuEncoder:
                     res["packed"][j, :gh, :gw, 2].astype(np.int8))
                 kw["mv_map"] = np.ascontiguousarray(
                     res["packed"][j, :gh, :gw, 3:7].astype(np.int16))
+                kw["ref_map"] = np.ascontiguousarray(
+                    res["packed"][j, :gh, :gw, 7:9].astype(np.int8))
             of = res["overflow"][j]
             lvs = []
             for pi, key in enumerate(("lv_y", "lv_cb", "lv_cr")):
@@ -628,6 +647,8 @@ class TpuEncoder:
                 poc_lsb=cvs_poc & ((1 << sp.log2_max_poc_lsb) - 1),
                 ref_pocs_before=() if is_idr else deltas[0],
                 ref_pocs_after=() if is_idr else deltas[1],
+                num_ref_idx_l0=max(1, len(_l0)),
+                num_ref_idx_l1=max(1, len(_l1)),
                 temporal_mvp=bool(mctx and mctx.tmvp),
                 collocated_from_l0=(mctx.col_from_l0 if mctx else True),
                 sao_luma=sao_on, sao_chroma=sao_on,
@@ -670,14 +691,20 @@ class TpuEncoder:
                 pk = res_np["packed"]
                 for j, e in enumerate(batch[:n_real]):
                     # record this frame's motion (canonical col form) for
-                    # later frames' TMVP BEFORE submitting dependents
+                    # later frames' TMVP BEFORE submitting dependents;
+                    # per-granule ref POCs resolve the ref-idx channels
+                    # through this frame's active lists
                     d8 = np.ascontiguousarray(
                         pk[j, :gh, :gw, 2].astype(np.int8))
                     mv8 = np.ascontiguousarray(
                         pk[j, :gh, :gw, 3:7].astype(np.int16))
+                    r8 = pk[j, :gh, :gw, 7:9].astype(np.int32)
                     rp = np.zeros((gh, gw, 2), np.int32)
-                    rp[..., 0] = e[3][0] if e[3] else 0
-                    rp[..., 1] = e[4][0] if e[4] else 0
+                    for li, lst in ((0, e[3]), (1, e[4])):
+                        if lst:
+                            lut = np.asarray(lst, np.int32)
+                            rp[..., li] = lut[np.clip(r8[..., li], 0,
+                                                      len(lst) - 1)]
                     motion_dpb[(e[8], e[1])] = (d8, mv8, rp)
                     mctx = device_mctx(e)
                     futs.append((e[0], e[7],
@@ -809,12 +836,21 @@ class TpuEncoder:
         elif slice_type == 0 and refs[1]:  # B
             r0 = pad_plane(refs[0][0].y, ph, pw).astype(up_dtype)
             r1 = pad_plane(refs[1][0].y, ph, pw).astype(up_dtype)
+            if len(refs[0]) > 1:
+                kw["ref0b_u8"] = jnp.asarray(
+                    pad_plane(refs[0][1].y, ph, pw).astype(up_dtype))
+            if len(refs[1]) > 1:
+                kw["ref1b_u8"] = jnp.asarray(
+                    pad_plane(refs[1][1].y, ph, pw).astype(up_dtype))
             packed = search_b_maps(y_dev, jnp.asarray(r0), jnp.asarray(r1),
                                    lam, sp.log2_ctu, sp.log2_min_cu,
                                    sp.coded_width, sp.coded_height,
                                    cfg.search_range, **kw)
         else:
             ref = pad_plane(refs[0][0].y, ph, pw).astype(up_dtype)
+            if len(refs[0]) > 1:
+                kw["refb_u8"] = jnp.asarray(
+                    pad_plane(refs[0][1].y, ph, pw).astype(up_dtype))
             packed = search_p_maps(y_dev, jnp.asarray(ref), lam,
                                    sp.log2_ctu, sp.log2_min_cu,
                                    sp.coded_width, sp.coded_height,
@@ -847,6 +883,10 @@ class TpuEncoder:
         mctx = build_mctx(sp, poc, slice_type, list(refs[0]),
                           list(refs[1]))
         self._last_mctx = mctx
+        ref_map = None
+        if packed.shape[-1] >= 9 and slice_type != SLICE_I:
+            ref_map = np.ascontiguousarray(
+                packed[:gh, :gw, 7:9].astype(np.int8))
         substreams, ry, rcb, rcr, motion = native.encode_slice_native(
             (src.y, src.cb, src.cr), sp, qp_y, qp_cb, qp_cr,
             depth_map, mode_map, ContextSet(init_type, qp),
@@ -854,7 +894,7 @@ class TpuEncoder:
             mv_map=mv_map, refs=refs,
             deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
             rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding,
-            mctx=mctx)
+            mctx=mctx, ref_map=ref_map)
         self._last_motion = _NativeMotion(motion[0], motion[1], motion[3])
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
@@ -936,18 +976,31 @@ class TpuEncoder:
             from .search import search_b_frame
             r0 = pad_plane(refs[0][0].y, ph, pw)
             r1 = pad_plane(refs[1][0].y, ph, pw)
+            # second refs must flow exactly as in _search_dispatch — the
+            # two paths must make identical decisions (slice-engine parity)
+            kw2 = {}
+            if len(refs[0]) > 1:
+                kw2["ref0b_plane"] = jnp.asarray(
+                    pad_plane(refs[0][1].y, ph, pw))
+            if len(refs[1]) > 1:
+                kw2["ref1b_plane"] = jnp.asarray(
+                    pad_plane(refs[1][1].y, ph, pw))
             dec = search_b_frame(jnp.asarray(y_pad), jnp.asarray(r0),
                                  jnp.asarray(r1),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu,
-                                 self.cfg.search_range)
+                                 self.cfg.search_range, **kw2)
         else:
             from .search import search_p_frame
             ref_pad = pad_plane(refs[0][0].y, ph, pw)
+            kw2 = {}
+            if len(refs[0]) > 1:
+                kw2["refb_plane"] = jnp.asarray(
+                    pad_plane(refs[0][1].y, ph, pw))
             dec = search_p_frame(jnp.asarray(y_pad), jnp.asarray(ref_pad),
                                  jnp.float32(self.lambda_sqrt),
                                  sp.log2_ctu, sp.log2_min_cu,
-                                 self.cfg.search_range)
+                                 self.cfg.search_range, **kw2)
         dec = jax.device_get(dec)
         if self.cfg.fast_partition and self.partition_params is not None:
             dec = self._apply_fast_partition(dec, y_pad, pw, ph)
@@ -1056,13 +1109,13 @@ class TpuEncoder:
         from ..spec.mc import mc_cu_motion
 
         n = 1 << lg
-        d, mv0_, mv1_ = payload
+        d, mv0_, mv1_, r0_, r1_ = payload
         is_b = self.slice_type == 0
         motion = Motion(d,
                         tuple(map(int, mv0_)) if d & DIR_L0 else (0, 0),
-                        0 if d & DIR_L0 else -1,
+                        r0_ if d & DIR_L0 else -1,
                         tuple(map(int, mv1_)) if d & DIR_L1 else (0, 0),
-                        0 if d & DIR_L1 else -1)
+                        r1_ if d & DIR_L1 else -1)
         cu = CuDecision(split=False, is_inter=True, motion=motion,
                         bypass=self.cfg.lossless)
         merge_cands = inter_mod.merge_candidates(maps, maps.motion, x, y, n,

@@ -53,22 +53,25 @@ def _mv_rate_bits(mv: jnp.ndarray) -> jnp.ndarray:
 
 def _neighbor_mvs(mv: jnp.ndarray, gy: int, gx: int, edge_col: int = 0,
                   edge_on=None):
-    """Left and top same-size-grid neighbor MVs ([B, 2] each, zero at the
-    frame edge) — the search-stage stand-ins for merge candidates A1/B1.
+    """Left and top same-size-grid neighbor fields ([B, C] each, zero at
+    the frame edge) — the search-stage stand-ins for merge candidates
+    A1/B1.  C is arbitrary (2 for bare MVs; 3 when a ref-idx channel
+    rides along so a merge winner adopts the neighbor's reference).
 
     edge_col/edge_on: grid column that is the TRUE picture left edge on
     halo-extended tile shards (same mechanism as _intra_mode_bits) — the
     zero left-candidate must appear at the same place the full-frame
     search puts it, or sharded byte-identity breaks."""
-    m = mv.reshape(gy, gx, 2)
-    left = jnp.concatenate([jnp.zeros((gy, 1, 2), mv.dtype), m[:, :-1]], 1)
+    c = mv.shape[-1]
+    m = mv.reshape(gy, gx, c)
+    left = jnp.concatenate([jnp.zeros((gy, 1, c), mv.dtype), m[:, :-1]], 1)
     if edge_col:
         cond = (jnp.arange(gx) == edge_col)[None, :, None]
         if edge_on is not None:
             cond = cond & edge_on
         left = jnp.where(cond, jnp.asarray(0, mv.dtype), left)
-    top = jnp.concatenate([jnp.zeros((1, gx, 2), mv.dtype), m[:-1, :]], 0)
-    return left.reshape(-1, 2), top.reshape(-1, 2)
+    top = jnp.concatenate([jnp.zeros((1, gx, c), mv.dtype), m[:-1, :]], 0)
+    return left.reshape(-1, c), top.reshape(-1, c)
 
 
 def _intra_mode_bits(best_mode: jnp.ndarray, gy: int, gx: int,
@@ -237,27 +240,35 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                    lambda_sqrt: jnp.ndarray, log2_ctu: int = 5,
                    log2_min_cu: int = 3, search_range: int = 8,
                    rd_cands: int = 3, cb_plane=None, cr_plane=None,
-                   mpm_edge_x: int = 0, mpm_edge_on=None):
-    """P-frame search: intra + inter candidates for every block, then the
-    quadtree DP over the per-block minimum.
+                   mpm_edge_x: int = 0, mpm_edge_on=None,
+                   refb_plane=None, nref=None):
+    """P-frame search: intra + inter candidates for every block over up
+    to 2 active L0 references, then the quadtree DP over the per-block
+    minimum.
 
-    Adds to the intra outputs: inter{n} (bool: inter chosen) and mv{n}
-    ([B_n, 2] quarter-pel).
+    Adds to the intra outputs: inter{n} (bool: inter chosen), mv{n}
+    ([B_n, 2] quarter-pel) and ref{n} ([B_n] ref idx).
     """
-    from ..ops.me import mc_raw_from_state, me_state, subpel_from_state
+    from ..ops.me import (mc_raw_from_state_sel, me_state,
+                          subpel_from_state)
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
     lam = lambda_sqrt * lambda_sqrt
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
+    multi = refb_plane is not None
+    if nref is None:
+        nref = jnp.int32(2 if multi else 1)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
                                    log2_min_cu, cb_plane, cr_plane,
                                    mpm_edge_x, mpm_edge_on,
                                    rd_cands=rd_cands)
-    st = me_state(y_plane, [ref_plane], search_range,
-                  max_size=1 << log2_ctu)
+    st = me_state(y_plane,
+                  [ref_plane, refb_plane] if multi else [ref_plane],
+                  search_range, max_size=1 << log2_ctu)
     sp = subpel_from_state(st, lambda_sqrt)
+    ib = 1 if multi else 0
 
     def inter_rd(n, pred, rate_bits):
         """True-RD leaf cost on the exact sub-pel prediction residual."""
@@ -277,19 +288,34 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
     out = {}
     dp = None
     for i, n in enumerate(sizes):
-        me_cost, mv, pred = (x[0] for x in sp[n])
+        ca = sp[n][0][0]
+        if multi:
+            cb = jnp.where(nref > 1, sp[n][0][1], jnp.inf)
+            sel = cb < ca
+            me_cost = jnp.minimum(ca, cb)
+            mv = jnp.where(sel[:, None], sp[n][1][1], sp[n][1][0])
+            pred = jnp.where(sel[:, None, None], sp[n][2][1],
+                             sp[n][2][0])
+        else:
+            sel = jnp.zeros(ca.shape, bool)
+            me_cost, mv, pred = ca, sp[n][1][0], sp[n][2][0]
+        ridx = sel.astype(jnp.int32)
         src_b = _blocks(y_plane, n)
-        # merge-style candidates: the same-size left/top neighbors' MVs at
-        # ~2 bits (merge_idx) — steers the field toward coherent motion
-        # the exact commit then codes as merge/skip (HM merge estimation,
-        # SURVEY.md E7).  Candidate choice runs in the SATD domain (the
-        # same criterion the subpel search used); only the WINNER pays the
-        # full transform round-trip — one TQ per size instead of three.
+        # merge-style candidates: the same-size left/top neighbors'
+        # (MV, ref) at ~2 bits (merge_idx) — steers the field toward
+        # coherent motion the exact commit then codes as merge/skip (HM
+        # merge estimation, SURVEY.md E7).  Candidate choice runs in the
+        # SATD domain (the same criterion the subpel search used); only
+        # the WINNER pays the full transform round-trip.
         rate_bits = _mv_rate_bits(mv)
         sel_cost = me_cost
-        for cand in _neighbor_mvs(mv, h // n, w // n, mpm_edge_x // n,
+        field = jnp.concatenate([mv, ridx[:, None]], axis=1)
+        for cand in _neighbor_mvs(field, h // n, w // n, mpm_edge_x // n,
                                   mpm_edge_on):
-            raw_c, valid = mc_raw_from_state(st, 0, n, cand)
+            cmv = cand[:, :2]
+            cref = cand[:, 2]
+            raw_c, valid = mc_raw_from_state_sel(st, 0, ib, cref > 0, n,
+                                                 cmv)
             predc = jnp.clip((raw_c + 32) >> 6, 0, 255)
             costc = jnp.where(
                 valid,
@@ -297,7 +323,8 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                 + lambda_sqrt * 2.0, jnp.inf)
             better = costc < sel_cost
             sel_cost = jnp.where(better, costc, sel_cost)
-            mv = jnp.where(better[:, None], cand, mv)
+            mv = jnp.where(better[:, None], cmv, mv)
+            ridx = jnp.where(better, cref, ridx)
             pred = jnp.where(better[:, None, None], predc, pred)
             rate_bits = jnp.where(better, 2.0, rate_bits)
         icost = inter_rd(n, pred, rate_bits)
@@ -307,6 +334,7 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
                 + lam * CU_OVERHEAD_BITS)
         out[f"mode{n}"] = intra_dec[f"mode{n}"]
         out[f"mv{n}"] = mv
+        out[f"ref{n}"] = ridx
         out[f"inter{n}"] = use_inter
         if i == 0:
             dp = leaf
@@ -325,26 +353,48 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
 def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
                    ref1_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                    log2_ctu: int = 5, log2_min_cu: int = 3,
-                   search_range: int = 8, rd_cands: int = 3):
-    """B-frame search: intra + L0 + L1 + BI candidates per block.
+                   search_range: int = 8, rd_cands: int = 3,
+                   ref0b_plane=None, ref1b_plane=None,
+                   nref0=None, nref1=None):
+    """B-frame search: intra + L0 + L1 + BI candidates per block, over up
+    to 2 active references per list (SURVEY.md E7 multi-ref).
 
-    Adds to the intra outputs: inter{n}, dir{n} (1/2/3), mv0{n}, mv1{n}.
-    BI cost uses the integer average of the two integer-MV predictions
-    (commit re-derives the exact 14-bit average).
+    ref0b/ref1b: optional second reference per list (pass the first ref
+    again when absent and mask via nref0/nref1 — traced scalars so batch
+    shapes stay fixed).  Adds to the intra outputs: inter{n}, dir{n}
+    (1/2/3), mv0{n}, mv1{n}, ref0{n}, ref1{n}.  BI is costed with the
+    EXACT 14-bit two-list average (spec 8.5.4.3.5).
     """
-    from ..ops.me import mc_raw_from_state, me_state, subpel_from_state
+    from ..ops.me import (mc_raw_from_state_sel, me_state,
+                          subpel_from_state)
 
     h, w = y_plane.shape
     sizes = [1 << lg for lg in range(log2_min_cu, log2_ctu + 1)]
     lam = lambda_sqrt * lambda_sqrt
     qp = 12.0 + 3.0 * jnp.log2(lam / 0.57)
     qp_i = jnp.clip(jnp.round(qp), 0, 51).astype(jnp.int32)
+    multi0 = ref0b_plane is not None
+    multi1 = ref1b_plane is not None
+    if nref0 is None:
+        nref0 = jnp.int32(2 if multi0 else 1)
+    if nref1 is None:
+        nref1 = jnp.int32(2 if multi1 else 1)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
                                    log2_min_cu, rd_cands=rd_cands)
-    # ONE shared ME state over both lists: the coarse search, the window
-    # gathers (stacked across refs) and the refinement all amortize
-    st = me_state(y_plane, [ref0_plane, ref1_plane], search_range,
-                  max_size=1 << log2_ctu)
+    # ONE shared ME state over all refs of both lists: the coarse search,
+    # the window gathers (stacked across refs) and refinement amortize.
+    # Ref layout (only actually-distinct refs pay ME): l0a [l0b] l1a [l1b]
+    refs = [ref0_plane]
+    i0a, i0b = 0, 0
+    if multi0:
+        refs.append(ref0b_plane)
+        i0b = 1
+    i1a = i1b = len(refs)
+    refs.append(ref1_plane)
+    if multi1:
+        refs.append(ref1b_plane)
+        i1b = i1a + 1
+    st = me_state(y_plane, refs, search_range, max_size=1 << log2_ctu)
     sp = subpel_from_state(st, lambda_sqrt)
 
     from ..ops.cost import satd as satd_blocks
@@ -362,12 +412,31 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
         return scale * (dist + lam * (rate + rate_bits
                                       + INTER_OVERHEAD_BITS))
 
-    def with_merge_cands(list_idx, mv, pred, cost, rate_bits, n):
-        """Fold in the left/top neighbor MVs at merge-class (~2 bit) rate;
-        selection in the SATD domain (one TQ runs later on the winner)."""
+    def pick_ref(n, ia, ib, nref):
+        """Per-block ref choice between state refs ia and ib (masked by
+        the traced active count; ia == ib -> single-ref)."""
+        ca = sp[n][0][ia]
+        if ia == ib:
+            z = jnp.zeros(ca.shape, bool)
+            return ca, sp[n][1][ia], sp[n][2][ia], z
+        cb = jnp.where(nref > 1, sp[n][0][ib], jnp.inf)
+        sel = cb < ca
+        cost = jnp.minimum(ca, cb)
+        mv = jnp.where(sel[:, None], sp[n][1][ib], sp[n][1][ia])
+        pred = jnp.where(sel[:, None, None], sp[n][2][ib], sp[n][2][ia])
+        return cost, mv, pred, sel
+
+    def with_merge_cands(ia, ib, mv, ridx, pred, cost, rate_bits, n):
+        """Fold in the left/top neighbor (MV, ref) pairs at merge-class
+        (~2 bit) rate; selection in the SATD domain (one TQ runs later on
+        the winner).  A merge winner adopts the neighbor's reference."""
         src_b = _blocks(y_plane, n)
-        for cand in _neighbor_mvs(mv, h // n, w // n):
-            raw_c, valid = mc_raw_from_state(st, list_idx, n, cand)
+        field = jnp.concatenate([mv, ridx[:, None]], axis=1)  # [B, 3]
+        for cand in _neighbor_mvs(field, h // n, w // n):
+            cmv = cand[:, :2]
+            cref = cand[:, 2]
+            raw_c, valid = mc_raw_from_state_sel(
+                st, ia, ib, cref > 0, n, cmv)
             predc = jnp.clip((raw_c + 32) >> 6, 0, 255)
             costc = jnp.where(
                 valid,
@@ -375,25 +444,27 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
                 + lambda_sqrt * 2.0, jnp.inf)
             better = costc < cost
             cost = jnp.where(better, costc, cost)
-            mv = jnp.where(better[:, None], cand, mv)
+            mv = jnp.where(better[:, None], cmv, mv)
+            ridx = jnp.where(better, cref, ridx)
             pred = jnp.where(better[:, None, None], predc, pred)
             rate_bits = jnp.where(better, 2.0, rate_bits)
-        return mv, pred, cost, rate_bits
+        return mv, ridx, pred, cost, rate_bits
 
     out = {}
     dp = None
     for i, n in enumerate(sizes):
-        c0, mv0, p0 = (x[0] for x in sp[n])
-        c1, mv1, p1 = (x[1] for x in sp[n])
+        c0, mv0, p0, sel0 = pick_ref(n, i0a, i0b, nref0)
+        c1, mv1, p1, sel1 = pick_ref(n, i1a, i1b, nref1)
+        r0idx = sel0.astype(jnp.int32)
+        r1idx = sel1.astype(jnp.int32)
         r0bits = _mv_rate_bits(mv0)
         r1bits = _mv_rate_bits(mv1)
-        mv0, p0, c0, r0bits = with_merge_cands(0, mv0, p0, c0, r0bits, n)
-        mv1, p1, c1, r1bits = with_merge_cands(1, mv1, p1, c1, r1bits, n)
-        # BI costed with the EXACT 14-bit two-list average (spec
-        # 8.5.4.3.5) — the commit reconstructs the same samples, so the
-        # search no longer misprices BI with a rounded-average proxy
-        raw0, _ = mc_raw_from_state(st, 0, n, mv0)
-        raw1, _ = mc_raw_from_state(st, 1, n, mv1)
+        mv0, r0idx, p0, c0, r0bits = with_merge_cands(
+            i0a, i0b, mv0, r0idx, p0, c0, r0bits, n)
+        mv1, r1idx, p1, c1, r1bits = with_merge_cands(
+            i1a, i1b, mv1, r1idx, p1, c1, r1bits, n)
+        raw0, _ = mc_raw_from_state_sel(st, i0a, i0b, r0idx > 0, n, mv0)
+        raw1, _ = mc_raw_from_state_sel(st, i1a, i1b, r1idx > 0, n, mv1)
         pbi = jnp.clip((raw0 + raw1 + 64) >> 7, 0, 255)
         src_b = _blocks(y_plane, n)
         cbi = (satd_blocks(src_b - pbi).astype(jnp.float32)
@@ -418,6 +489,8 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
         out[f"dir{n}"] = jnp.where(choice == 0, 1, choice).astype(jnp.int32)
         out[f"mv0{n}"] = mv0
         out[f"mv1{n}"] = mv1
+        out[f"ref0{n}"] = r0idx
+        out[f"ref1{n}"] = r1idx
         if i == 0:
             dp = leaf
             continue
@@ -435,9 +508,10 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
                       log2_ctu: int, log2_min_cu: int,
                       depth_override=None) -> jnp.ndarray:
     """Device-side decisions_to_maps: fold the per-size search outputs into
-    one packed int16 tensor [ph/8, pw/8, 7] = (depth, mode, dir, mv0x,
-    mv0y, mv1x, mv1y) so the host fetches ONE small array per frame (the
-    axon TPU tunnel makes many-array fetches pathologically slow).
+    one packed int16 tensor [ph/8, pw/8, 9] = (depth, mode, dir, mv0x,
+    mv0y, mv1x, mv1y, ref0, ref1) so the host fetches ONE small array per
+    frame (the axon TPU tunnel makes many-array fetches pathologically
+    slow).
 
     depth_override: optional [ph/8, pw/8] granule depth map (the
     fast-partition CNN's prediction, SURVEY.md E8) replacing the DP split
@@ -462,6 +536,7 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
                     n)
         dir_n = jnp.zeros((gh, gw), jnp.int16)
         mv_n = jnp.zeros((gh, gw, 4), jnp.int16)
+        ref_n = jnp.zeros((gh, gw, 2), jnp.int16)
         if f"dir{n}" in dec:  # B search
             inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
             dir_n = jnp.where(
@@ -472,6 +547,11 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
             comps = [up(m.reshape(ph_n, pw_n, 2)[..., c].astype(jnp.int16),
                         n) for m in mvs for c in range(2)]
             mv_n = jnp.stack(comps, axis=-1)
+            ref_n = jnp.stack(
+                [up(dec[f"ref0{n}"].reshape(ph_n, pw_n)
+                    .astype(jnp.int16), n),
+                 up(dec[f"ref1{n}"].reshape(ph_n, pw_n)
+                    .astype(jnp.int16), n)], axis=-1)
         elif f"inter{n}" in dec:  # P search
             inter = up(dec[f"inter{n}"].reshape(ph_n, pw_n), n)
             dir_n = jnp.where(inter, jnp.int16(1), jnp.int16(0))
@@ -481,11 +561,16 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
                  up(mvs[..., 1].astype(jnp.int16), n),
                  jnp.zeros((gh, gw), jnp.int16),
                  jnp.zeros((gh, gw), jnp.int16)], axis=-1)
+            if f"ref{n}" in dec:
+                ref_n = jnp.stack(
+                    [up(dec[f"ref{n}"].reshape(ph_n, pw_n)
+                        .astype(jnp.int16), n),
+                     jnp.zeros((gh, gw), jnp.int16)], axis=-1)
         mode_n = jnp.where(dir_n > 0, jnp.int16(-1), mode_n)
-        return mode_n, dir_n, mv_n
+        return mode_n, dir_n, mv_n, ref_n
 
     depth = jnp.zeros((gh, gw), jnp.int16)
-    mode, dir_m, mv = level_maps(sizes[0])
+    mode, dir_m, mv, ref = level_maps(sizes[0])
     for d, n in enumerate(sizes[:-1]):
         child = sizes[d + 1]
         if depth_override is None:
@@ -498,13 +583,15 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
                   .max(axis=(1, 3)))
             split = up(rm > d, n)
         active = (depth == d) & (split | forced(n))
-        cmode, cdir, cmv = level_maps(child)
+        cmode, cdir, cmv, cref = level_maps(child)
         depth = jnp.where(active, jnp.int16(d + 1), depth)
         mode = jnp.where(active, cmode, mode)
         dir_m = jnp.where(active, cdir, dir_m)
         mv = jnp.where(active[..., None], cmv, mv)
+        ref = jnp.where(active[..., None], cref, ref)
     return jnp.concatenate(
-        [depth[..., None], mode[..., None], dir_m[..., None], mv], axis=-1)
+        [depth[..., None], mode[..., None], dir_m[..., None], mv, ref],
+        axis=-1)
 
 
 def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
@@ -579,15 +666,18 @@ def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                   coded_w: int, coded_h: int, search_range: int,
                   cnn_params=None, qp: int = 0, use_cnn: bool = False,
                   rd_cands: int = 3, cb_u8=None, cr_u8=None,
-                  mpm_edge_x: int = 0, mpm_edge_on=None):
+                  mpm_edge_x: int = 0, mpm_edge_on=None,
+                  refb_u8=None, nref=None):
     y = y_u8.astype(jnp.int32)
     ref = ref_u8.astype(jnp.int32)
+    refb = refb_u8.astype(jnp.int32) if refb_u8 is not None else None
     cb = cb_u8.astype(jnp.int32) if cb_u8 is not None else None
     cr = cr_u8.astype(jnp.int32) if cr_u8 is not None else None
     dec = search_p_frame(y, ref, lambda_sqrt, log2_ctu, log2_min_cu,
                          search_range, rd_cands=rd_cands, cb_plane=cb,
                          cr_plane=cr, mpm_edge_x=mpm_edge_x,
-                         mpm_edge_on=mpm_edge_on)
+                         mpm_edge_on=mpm_edge_on, refb_plane=refb,
+                         nref=nref)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -604,12 +694,17 @@ def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
                   log2_ctu: int, log2_min_cu: int,
                   coded_w: int, coded_h: int, search_range: int,
                   cnn_params=None, qp: int = 0, use_cnn: bool = False,
-                  rd_cands: int = 3):
+                  rd_cands: int = 3, ref0b_u8=None, ref1b_u8=None,
+                  nref0=None, nref1=None):
     y = y_u8.astype(jnp.int32)
     r0 = ref0_u8.astype(jnp.int32)
     r1 = ref1_u8.astype(jnp.int32)
+    r0b = ref0b_u8.astype(jnp.int32) if ref0b_u8 is not None else None
+    r1b = ref1b_u8.astype(jnp.int32) if ref1b_u8 is not None else None
     dec = search_b_frame(y, r0, r1, lambda_sqrt, log2_ctu, log2_min_cu,
-                         search_range, rd_cands=rd_cands)
+                         search_range, rd_cands=rd_cands,
+                         ref0b_plane=r0b, ref1b_plane=r1b,
+                         nref0=nref0, nref1=nref1)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -714,14 +809,17 @@ def decisions_to_trees(dec: dict, padded_w: int, padded_h: int,
                     children.append(None)
             return ("split", children)
         if f"inter{n}" in dec and bool(dec[f"inter{n}"][bi]):
-            if f"dir{n}" in dec:  # B search: direction + both MVs
+            if f"dir{n}" in dec:  # B search: direction + both MVs + refs
                 mv0 = dec[f"mv0{n}"][bi]
                 mv1 = dec[f"mv1{n}"][bi]
+                r0 = int(dec[f"ref0{n}"][bi]) if f"ref0{n}" in dec else 0
+                r1 = int(dec[f"ref1{n}"][bi]) if f"ref1{n}" in dec else 0
                 return ("ileaf", (int(dec[f"dir{n}"][bi]),
                                   (int(mv0[0]), int(mv0[1])),
-                                  (int(mv1[0]), int(mv1[1]))))
+                                  (int(mv1[0]), int(mv1[1])), r0, r1))
             mv = dec[f"mv{n}"][bi]
-            return ("ileaf", (1, (int(mv[0]), int(mv[1])), (0, 0)))
+            r0 = int(dec[f"ref{n}"][bi]) if f"ref{n}" in dec else 0
+            return ("ileaf", (1, (int(mv[0]), int(mv[1])), (0, 0), r0, 0))
         return ("leaf", int(dec[f"mode{n}"][bi]))
 
     trees = []

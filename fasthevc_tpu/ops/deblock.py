@@ -175,13 +175,17 @@ def tu_cbf_map(lv_y: jnp.ndarray, depth_map: jnp.ndarray,
 
 
 def inter_bs_maps(depth_map: jnp.ndarray, dir_map: jnp.ndarray,
-                  mv_map: jnp.ndarray, cbf_y_g: jnp.ndarray):
+                  mv_map: jnp.ndarray, cbf_y_g: jnp.ndarray,
+                  ref_map=None):
     """Boundary strengths for a P/B picture (spec 8.7.2.4; device twin of
     spec.deblock._segment_bs).
 
     depth_map/dir_map/cbf_y_g: [gh, gw] granule (8x8) maps; mv_map:
     [gh, gw, 4] quarter-pel (mv0x, mv0y, mv1x, mv1y) — unused-list MVs
-    are zeroed here, matching MotionCu.normalize().
+    are zeroed here, matching MotionCu.normalize().  ref_map: optional
+    [gh, gw, 2] per-list ref indices; the BS-1 "different reference"
+    test compares the per-list (ref0, ref1) vectors with -1 for unused
+    lists, exactly like the oracle's MotionField.ref_idx comparison.
     Returns (bs_vert [h/4, w/8], bs_horz [w/4, h/8]) int32; positions
     without a CU/TU edge carry garbage strengths that the edge masks in
     deblock_device suppress."""
@@ -190,31 +194,40 @@ def inter_bs_maps(depth_map: jnp.ndarray, dir_map: jnp.ndarray,
     mv = jnp.concatenate(
         [jnp.where((d[..., None] & 1) > 0, mv[..., 0:2], 0),
          jnp.where((d[..., None] & 2) > 0, mv[..., 2:4], 0)], axis=-1)
+    if ref_map is None:
+        r0 = jnp.zeros_like(d)
+        r1 = jnp.zeros_like(d)
+    else:
+        r0 = ref_map[..., 0].astype(jnp.int32)
+        r1 = ref_map[..., 1].astype(jnp.int32)
+    refv = jnp.stack([jnp.where((d & 1) > 0, r0, -1),
+                      jnp.where((d & 2) > 0, r1, -1)], axis=-1)
 
     def up2(a):
         return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
 
     intra4 = up2(d == 0)
-    dir4 = up2(d)
+    ref4 = jnp.repeat(jnp.repeat(refv, 2, axis=0), 2, axis=1)
     cbf4 = up2(cbf_y_g.astype(jnp.bool_))
     mv4 = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)
 
-    def bs_pairs(i4, dr4, cb4, m4):
+    def bs_pairs(i4, rf4, cb4, m4):
         """p = left 4-col, q = right 4-col of each vertical edge."""
         shift = lambda a: jnp.concatenate(  # noqa: E731
             [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
         pi, qi = shift(i4)[:, 0::2], i4[:, 0::2]
-        pd, qd = shift(dr4)[:, 0::2], dr4[:, 0::2]
+        pr = shift(rf4)[:, 0::2]
+        qr = rf4[:, 0::2]
         pc, qc = shift(cb4)[:, 0::2], cb4[:, 0::2]
         pm = shift(m4)[:, 0::2]
         qm = m4[:, 0::2]
-        dref = pd != qd
+        dref = (pr != qr).any(axis=-1)
         dmv = (jnp.abs(pm - qm) >= 4).any(axis=-1)
         return jnp.where(pi | qi, 2,
                          jnp.where(pc | qc | dref | dmv, 1, 0))
 
-    bs_vert = bs_pairs(intra4, dir4, cbf4, mv4)            # [h/4, w/8]
-    bs_horz = bs_pairs(intra4.T, dir4.T, cbf4.T,
+    bs_vert = bs_pairs(intra4, ref4, cbf4, mv4)            # [h/4, w/8]
+    bs_horz = bs_pairs(intra4.T, ref4.transpose(1, 0, 2), cbf4.T,
                        mv4.transpose(1, 0, 2))             # [w/4, h/8]
     return bs_vert.astype(jnp.int32), bs_horz.astype(jnp.int32)
 

@@ -446,28 +446,42 @@ def mc_blocks(ref_plane: jnp.ndarray, mvq: jnp.ndarray, n: int,
 
 def _mc_raw_blocks(ref: jnp.ndarray, mv: jnp.ndarray, n: int,
                    taps_table: np.ndarray, frac_bits: int,
-                   bit_depth: int = 8) -> jnp.ndarray:
+                   bit_depth: int = 8, ref_sel=None) -> jnp.ndarray:
     """Spec-exact 14-bit intermediate prediction of every aligned n-block
     for arbitrary per-block MVs (uniform two-stage filtering; the
     zero-phase filter row reproduces the spec's copy/h-only/v-only paths
     exactly at any bit depth, since all shifts compose losslessly).
 
-    ref: [H, W] int32 plane (component resolution); mv: [B, 2] in the
-    component's sub-pel units scaled by 2^frac_bits; taps_table:
-    [n_phases, n_taps]. Returns raw [B, n, n] int32 (14-bit scale).
+    ref: [H, W] int32 plane (component resolution) or, for multi-ref
+    with per-block selection, [R, H, W] plus ref_sel [B] int — the refs
+    are edge-padded individually and stacked vertically, so selecting a
+    reference is a ROW OFFSET on the single patch gather (multi-ref MC
+    costs no extra gathers).  mv: [B, 2] in the component's sub-pel
+    units scaled by 2^frac_bits; taps_table: [n_phases, n_taps].
+    Returns raw [B, n, n] int32 (14-bit scale).
 
     Per-block filter taps are selected with one-hot matmuls (no gathers);
     the filter itself is a static unrolled multiply-add over the window.
     """
-    h, w = ref.shape
+    if ref.ndim == 3:
+        R, h, w = ref.shape
+    else:
+        R, (h, w) = 1, ref.shape
+        ref = ref[None]
     oy, ox = _block_origins(h, w, n)
     n_taps = taps_table.shape[1]
     half_t = n_taps // 2 - 1                 # 3 for 8-tap, 1 for 4-tap
     mvi = mv >> frac_bits
     frac = mv & ((1 << frac_bits) - 1)
     W = n + n_taps - 1
-    win = _gather_windows(ref, oy + mvi[:, 1] - half_t,
-                          ox + mvi[:, 0] - half_t, W)
+    p = _MAX_OVERHANG
+    hp = h + 2 * p
+    refp = jnp.concatenate([jnp.pad(ref[r], p, mode="edge")
+                            for r in range(R)])
+    row_off = 0 if ref_sel is None else ref_sel * hp
+    win = _patch_gather(refp,
+                        oy + mvi[:, 1] - half_t + p + row_off,
+                        ox + mvi[:, 0] - half_t + p, W)
     tt = jnp.asarray(taps_table, jnp.float32)          # [P, T]
     ohx = jax.nn.one_hot(frac[:, 0], tt.shape[0], dtype=jnp.float32)
     ohy = jax.nn.one_hot(frac[:, 1], tt.shape[0], dtype=jnp.float32)
@@ -491,13 +505,16 @@ def _blocks_to_plane(blocks: jnp.ndarray, gy: int, gx: int) -> jnp.ndarray:
             .reshape(gy * n, gx * n))
 
 
-def inter_pred_planes(ref0, ref1, dir_map, mv_map, bit_depth: int = 8):
+def inter_pred_planes(ref0, ref1, dir_map, mv_map, bit_depth: int = 8,
+                      ref_map=None):
     """Exact whole-frame MC prediction planes for decided per-granule
     motion (the inter half of the device commit; reference parity:
     spec.mc.mc_cu_motion — MC is position-invariant, so per-8x8-granule
     filtering with the CU's MV equals per-CU filtering exactly).
 
-    ref0/ref1: (y, cb, cr) int32 planes (ref1 may be None for P);
+    ref0/ref1: (y, cb, cr) int32 planes — each [H, W] single-ref or
+    [R, H, W] multi-ref stacks selected per granule via ref_map
+    [gh, gw, 2] (ref1 may be None for P);
     dir_map: [gh, gw] int32 (0 intra, 1 L0, 2 L1, 3 BI);
     mv_map: [gh, gw, 4] int32 quarter-pel (mv0x, mv0y, mv1x, mv1y).
     Returns (pred_y, pred_cb, pred_cr) int32 planes; intra granules hold
@@ -507,6 +524,10 @@ def inter_pred_planes(ref0, ref1, dir_map, mv_map, bit_depth: int = 8):
     d = dir_map.reshape(-1)
     mv0 = mv_map.reshape(-1, 4)[:, 0:2]
     mv1 = mv_map.reshape(-1, 4)[:, 2:4]
+    sel0 = sel1 = None
+    if ref_map is not None:
+        sel0 = ref_map.reshape(-1, 2)[:, 0]
+        sel1 = ref_map.reshape(-1, 2)[:, 1]
     shift = 14 - bit_depth
     off_u, off_b = 1 << (shift - 1), 1 << shift
     max_val = (1 << bit_depth) - 1
@@ -515,10 +536,14 @@ def inter_pred_planes(ref0, ref1, dir_map, mv_map, bit_depth: int = 8):
         r0 = ref0[ci]
         taps = (LUMA_FILTERS if ci == 0 else CHROMA_FILTERS)
         fb = 2 if ci == 0 else 3
-        raw0 = _mc_raw_blocks(r0, mv0, n, np.asarray(taps), fb, bit_depth)
+        s0 = sel0 if (sel0 is not None and r0.ndim == 3) else None
+        raw0 = _mc_raw_blocks(r0, mv0, n, np.asarray(taps), fb, bit_depth,
+                              ref_sel=s0)
         if ref1 is not None:
-            raw1 = _mc_raw_blocks(ref1[ci], mv1, n, np.asarray(taps), fb,
-                                  bit_depth)
+            r1 = ref1[ci]
+            s1 = sel1 if (sel1 is not None and r1.ndim == 3) else None
+            raw1 = _mc_raw_blocks(r1, mv1, n, np.asarray(taps), fb,
+                                  bit_depth, ref_sel=s1)
         else:
             raw1 = raw0
         dd = d[:, None, None]
@@ -585,26 +610,9 @@ def subpel_from_state(st: MEState, lambda_sqrt):
     return out
 
 
-def mc_raw_from_state(st: MEState, ref_idx: int, n: int, mvq):
-    """Spec-exact 14-bit raw MC prediction of every aligned n-block for
-    ARBITRARY per-block quarter-pel MVs mvq [B, 2], served from the tier
-    windows via one-hot selects (no gathers).
-
-    Returns (raw [B, n, n] int32, valid [B] bool).  A candidate whose
-    integer MV strays more than ~4 px from the block's tier base falls
-    outside the gathered window and reports valid=False (callers price it
-    out) — a search-stage-only approximation: merge candidates that far
-    from the local motion field would not win, and the commit stage
-    re-derives every prediction exactly."""
-    tt = jnp.asarray(LUMA_FILTERS, jnp.float32)
-    mvi = mvq >> 2
-    frac = mvq & 3
-    fxt = jnp.einsum("bp,pt->bt",
-                     jax.nn.one_hot(frac[:, 0], 4, dtype=jnp.float32),
-                     tt, precision=_HI).astype(jnp.int32)
-    fyt = jnp.einsum("bp,pt->bt",
-                     jax.nn.one_hot(frac[:, 1], 4, dtype=jnp.float32),
-                     tt, precision=_HI).astype(jnp.int32)
+def _tier_view(st: MEState, n: int, ref_idx: int):
+    """(G [B, Wg, Wg], base [B, 2], voff, uoff, Wg) for one ref at one
+    size; n=8 rides the 16-tier windows via child expansion."""
     if n == 8:
         gy16, gx16 = st.h // 16, st.w // 16
         gx8 = 2 * gx16
@@ -615,11 +623,22 @@ def mc_raw_from_state(st: MEState, ref_idx: int, n: int, mvq):
         idx = jnp.arange(B8)
         voff = (idx // gx8 % 2) * 8
         uoff = (idx % gx8 % 2) * 8
-    else:
-        Wg = _TIER_W[n]
-        G = st.G[n][ref_idx]
-        base = st.base[n][ref_idx]
-        voff = uoff = 0
+        return G, base, voff, uoff, Wg
+    return st.G[n][ref_idx], st.base[n][ref_idx], 0, 0, _TIER_W[n]
+
+
+def _mc_raw_windows(G, base, voff, uoff, Wg, n, mvq):
+    """Tail of mc_raw_from_state given tier windows: per-block one-hot
+    tap selection + two-stage 8-tap filter on a window select."""
+    tt = jnp.asarray(LUMA_FILTERS, jnp.float32)
+    mvi = mvq >> 2
+    frac = mvq & 3
+    fxt = jnp.einsum("bp,pt->bt",
+                     jax.nn.one_hot(frac[:, 0], 4, dtype=jnp.float32),
+                     tt, precision=_HI).astype(jnp.int32)
+    fyt = jnp.einsum("bp,pt->bt",
+                     jax.nn.one_hot(frac[:, 1], 4, dtype=jnp.float32),
+                     tt, precision=_HI).astype(jnp.int32)
     rs = mvi[:, 1] - base[:, 1] + voff + 4
     cs = mvi[:, 0] - base[:, 0] + uoff + 4
     lim = Wg - (n + 7)
@@ -632,6 +651,38 @@ def mc_raw_from_state(st: MEState, ref_idx: int, n: int, mvq):
     for k in range(8):
         acc = acc + fyt[:, k, None, None] * hacc[:, k:k + n, :]
     return acc >> 6, valid
+
+
+def mc_raw_from_state(st: MEState, ref_idx: int, n: int, mvq):
+    """Spec-exact 14-bit raw MC prediction of every aligned n-block for
+    ARBITRARY per-block quarter-pel MVs mvq [B, 2], served from the tier
+    windows via one-hot selects (no gathers).
+
+    Returns (raw [B, n, n] int32, valid [B] bool).  A candidate whose
+    integer MV strays more than ~4 px from the block's tier base falls
+    outside the gathered window and reports valid=False (callers price it
+    out) — a search-stage-only approximation: merge candidates that far
+    from the local motion field would not win, and the commit stage
+    re-derives every prediction exactly."""
+    G, base, voff, uoff, Wg = _tier_view(st, n, ref_idx)
+    return _mc_raw_windows(G, base, voff, uoff, Wg, n, mvq)
+
+
+def mc_raw_from_state_sel(st: MEState, r_lo: int, r_hi: int, sel, n: int,
+                          mvq):
+    """mc_raw_from_state with a PER-BLOCK reference choice between two
+    of the state's refs (multi-ref search): sel [B] bool, True -> r_hi.
+    The windows AND their bases are selected per block (each ref's tier
+    windows are centered on that ref's own coarse base).  r_lo == r_hi
+    degenerates to the plain single-ref path."""
+    if r_lo == r_hi:
+        return mc_raw_from_state(st, r_lo, n, mvq)
+    G0, b0, voff, uoff, Wg = _tier_view(st, n, r_lo)
+    G1, b1, _, _, _ = _tier_view(st, n, r_hi)
+    s1 = sel[:, None]
+    G = jnp.where(sel[:, None, None], G1, G0)
+    base = jnp.where(s1, b1, b0)
+    return _mc_raw_windows(G, base, voff, uoff, Wg, n, mvq)
 
 
 def search_inter_costs(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
