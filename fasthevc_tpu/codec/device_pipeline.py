@@ -21,8 +21,12 @@ bytes fetched per frame bound the frame rate):
     commit/deblock/SAO batch over the full group — the wavefront scan's
     per-wave cost is frame-count-invariant, so bigger groups divide it.
 
-Scope guard (device_path_ok): intra slices, CTU 32, 8-bit, no lossless,
-no RDOQ (the classic C++ commit path remains for everything else).
+Scope guard (device_path_ok): CTU 32, 8-bit, no lossless (the classic
+C++ commit path remains for everything else).  cfg.rdoq runs the
+device-parallel trellis (ops/rdoq.py) inside the wavefront commit — the
+closed-form re-derivation of HM's sequential trellis, so the stream may
+legally differ from the classic path's exact trellis (encoder freedom;
+both are conformant and decode-verified).
 """
 
 from __future__ import annotations
@@ -41,8 +45,7 @@ SEARCH_MICRO_BATCH = 4
 
 
 def device_path_ok(cfg, sp) -> bool:
-    return (sp.log2_ctu == 5 and sp.bit_depth == 8 and not cfg.lossless
-            and not cfg.rdoq)
+    return sp.log2_ctu == 5 and sp.bit_depth == 8 and not cfg.lossless
 
 
 def _device_checksum(plane_u8: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +64,7 @@ def _device_checksum(plane_u8: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
                                    "coded_h", "sdh", "deblock_on", "sao_on",
                                    "tile_bounds_x", "tile_bounds_y",
-                                   "use_cnn", "rd_cands"))
+                                   "use_cnn", "rd_cands", "rdoq"))
 def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
                         qp_cr, qp_for_deblock, log2_ctu: int,
                         log2_min_cu: int, coded_w: int, coded_h: int,
@@ -69,7 +72,8 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
                         tile_bounds_x: tuple = (),
                         tile_bounds_y: tuple = (),
                         cnn_params=None, qp: int = 0,
-                        use_cnn: bool = False, rd_cands: int = 3):
+                        use_cnn: bool = False, rd_cands: int = 3,
+                        rdoq: bool = False):
     """Search + exact commit + filters for F frames in one dispatch.
 
     y_u8: [F, PH, PW] uint8 (CTU-padded), cb/cr_u8: [F, PH/2, PW/2].
@@ -98,7 +102,8 @@ def encode_group_device(y_u8, cb_u8, cr_u8, lambda_sqrt, qp_y, qp_cb,
         scr = crp[:coded_h // 2, :coded_w // 2].astype(jnp.int32)
         ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_intra(
             sy, scb, scr, dm, mm, qp_y, qp_cb, qp_cr, coded_w, coded_h,
-            8, sdh, tile_bounds_x, tile_bounds_y)
+            8, sdh, tile_bounds_x, tile_bounds_y, rdoq=rdoq,
+            lam=(lambda_sqrt * lambda_sqrt).astype(jnp.float32))
         if deblock_on:
             ry, rcb, rcr = deblock_device(ry, rcb, rcr, dm,
                                           qp_for_deblock, qp_cb, qp_cr,
@@ -157,7 +162,7 @@ def _lax_map_frames(fn, args, f_total, mb):
                                    "coded_h", "sdh", "deblock_on", "sao_on",
                                    "search_range", "is_b",
                                    "tile_bounds_x", "tile_bounds_y",
-                                   "use_cnn", "rd_cands"))
+                                   "use_cnn", "rd_cands", "rdoq"))
 def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                               r0_y, r0_cb, r0_cr,
                               r1_y, r1_cb, r1_cr,
@@ -170,7 +175,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                               tile_bounds_y: tuple = (),
                               cnn_params=None, qp: int = 0,
                               use_cnn: bool = False, rd_cands: int = 3,
-                              nref0=None, nref1=None):
+                              nref0=None, nref1=None, rdoq: bool = False):
     """Search + MC + mixed exact commit + filters for F same-type P/B
     frames in one dispatch (frames of one dependency-free batch: refs come
     from the on-device DPB, so reference pixels never cross the tunnel).
@@ -225,7 +230,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                              max(1, SEARCH_MICRO_BATCH // 2))
 
     def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr,
-            qp_y, qp_cb, qp_cr, qp_for_deblock):
+            qp_y, qp_cb, qp_cr, qp_for_deblock, lam_sq):
         from ..ops.me import inter_pred_planes
 
         dm = pk[:gh, :gw, 0].astype(jnp.int32)
@@ -245,7 +250,8 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
         ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_mixed(
             sy, scb, scr, dm, mm, im, ipy, ipcb, ipcr,
             qp_y, qp_cb, qp_cr, coded_w, coded_h, 8, sdh,
-            tile_bounds_x, tile_bounds_y)
+            tile_bounds_x, tile_bounds_y, rdoq=rdoq,
+            lam=(lam_sq * lam_sq).astype(jnp.float32))
         if deblock_on:
             cbf = tu_cbf_map(lv_y, dm, log2_ctu)
             # normalize: merge-candidate MVs of unused lists are zeroed
@@ -283,4 +289,4 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
 
     return jax.vmap(one)(y_u8, cb_u8, cr_u8, packed, r0_y, r0_cb, r0_cr,
                          r1_y, r1_cb, r1_cr, qp_y, qp_cb, qp_cr,
-                         qp_for_deblock)
+                         qp_for_deblock, lambda_sqrt)

@@ -151,17 +151,19 @@ class TpuEncoder:
         # dedicated device tests, which unset this).
         import os as _os
         force_classic = bool(_os.environ.get("FASTHEVC_FORCE_CLASSIC"))
-        if (_native_engine() is not None and cfg.target_bitrate == 0
-                and not force_classic
+        if (_native_engine() is not None and not force_classic
                 and all(st == SLICE_I for _, st, _, _ in order)):
             from .device_pipeline import device_path_ok
             if device_path_ok(cfg, sp):
                 # full device pipeline: search + exact wavefront commit +
                 # deblock + SAO in one dispatch per frame group; the host
-                # does CABAC emission only (SURVEY.md §7.0 end state)
+                # does CABAC emission only (SURVEY.md §7.0 end state).
+                # target_bitrate > 0 runs the same programs with
+                # per-group QP re-dispatch (QPs are dynamic scalars) and
+                # sequential lambda-domain feedback between groups.
                 return self._encode_all_intra_device(frames, start_poc,
                                                      out, on_frame)
-            if len(order) > 1:
+            if cfg.target_bitrate == 0 and len(order) > 1:
                 # classic: TPU search + thread-pooled C++ commits
                 return self._encode_all_intra_pipelined(frames, start_poc,
                                                         out, on_frame)
@@ -252,6 +254,10 @@ class TpuEncoder:
         deblock_on = not sp.deblocking_disabled
         sao_on = bool(sp.sao_enabled)
         group = min(self.cfg.frame_group or FRAME_GROUP, n)
+        if cfg.target_bitrate > 0:
+            # rate control: small groups = more QP feedback points; 2
+            # keeps the realized rate within ~3% of target (vs ~5% at 4)
+            group = min(group, 2)
         starts = list(range(0, n, group))
         gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
         cksum_hash = cfg.hash_type == HASH_CHECKSUM
@@ -279,19 +285,23 @@ class TpuEncoder:
 
         chunk_dev: dict = {}
 
-        def dispatch(ci):
+        def dispatch(ci, qp_g):
             s = starts[ci]
+            qy, qcb, qcr = tu_qps(sp, qp_g)
             yb, cbb, crb = upload(s, min(s + group, n))
             chunk_dev[ci] = encode_group_device(
-                yb, cbb, crb, jnp.float32(self._lambda_sqrt(qp)),
-                jnp.int32(qp_y), jnp.int32(qp_cb), jnp.int32(qp_cr),
-                jnp.int32(qp), sp.log2_ctu, sp.log2_min_cu,
+                yb, cbb, crb, jnp.float32(self._lambda_sqrt(qp_g)),
+                jnp.int32(qy), jnp.int32(qcb), jnp.int32(qcr),
+                jnp.int32(qp_g), sp.log2_ctu, sp.log2_min_cu,
                 sp.coded_width, sp.coded_height, bool(sp.sign_data_hiding),
                 deblock_on, sao_on, tbx, tby,
                 cnn_params=self.partition_params, qp=qp, use_cnn=use_cnn,
-                rd_cands=cfg.num_intra_rd_candidates)
+                rd_cands=cfg.num_intra_rd_candidates,
+                rdoq=bool(cfg.rdoq))
 
-        def emit_frame(res, res_dev, j):
+        def emit_frame(res, res_dev, j, qp_g=None):
+            qp_s = qp if qp_g is None else qp_g
+            qp_y, qp_cb, qp_cr = tu_qps(sp, qp_s)
             depth = np.ascontiguousarray(res["packed"][j, :gh, :gw, 0]
                                          .astype(np.int8))
             mode = np.ascontiguousarray(res["packed"][j, :gh, :gw, 1]
@@ -305,11 +315,11 @@ class TpuEncoder:
                     lvs.append(res["lv8_" + key[3:]][j])
             subs = native.entropy_slice_native(
                 sp, qp_y, qp_cb, qp_cr, depth, mode,
-                lvs[0], lvs[1], lvs[2], ContextSet(0, qp),
+                lvs[0], lvs[1], lvs[2], ContextSet(0, qp_s),
                 sao_params=res["sao"][j] if sao_on else None,
                 sdh=sp.sign_data_hiding)
             sh = SliceHeader(
-                slice_type=SLICE_I, slice_qp=qp, is_idr=True, poc_lsb=0,
+                slice_type=SLICE_I, slice_qp=qp_s, is_idr=True, poc_lsb=0,
                 sao_luma=sao_on, sao_chroma=sao_on,
                 entry_points=tuple(len(s) for s in subs[:-1]))
             w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
@@ -337,19 +347,48 @@ class TpuEncoder:
 
         results: list = [None] * n
         workers = max(2, min(4, (os.cpu_count() or 2)))
+        rc = None
+        if cfg.target_bitrate > 0:
+            from .rate_control import RateController
+            rc = RateController(cfg.target_bitrate, 30.0, sp.coded_width,
+                                sp.coded_height)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = []
-            for ci in range(min(2, len(starts))):  # stay 2 groups ahead
-                dispatch(ci)
-            for ci, s in enumerate(starts):
-                res_dev = chunk_dev.pop(ci)
-                res_np = {k: np.asarray(res_dev[k]) for k in eager}
-                if ci + 2 < len(starts):
-                    dispatch(ci + 2)
-                for j in range(res_np["packed"].shape[0]):
-                    futs.append(ex.submit(emit_frame, res_np, res_dev, j))
-            for i, fut in enumerate(futs):
-                results[i] = fut.result()
+            if rc is not None:
+                # rate-controlled: groups run sequentially — the next
+                # group's QP needs this group's realized bits (per-group
+                # QP re-dispatch; QPs are dynamic scalars, so no
+                # recompilation across QP changes)
+                i = 0
+                for ci, s in enumerate(starts):
+                    # is_intra=False: the x3 intra share is RELATIVE to
+                    # inter pictures; in an all-intra sequence every
+                    # picture is intra, so a flat allocation is the one
+                    # that meets the sequence budget
+                    qp_g = rc.picture_qp(n, is_intra=False)
+                    dispatch(ci, qp_g)
+                    res_dev = chunk_dev.pop(ci)
+                    res_np = {k: np.asarray(res_dev[k]) for k in eager}
+                    futs = [ex.submit(emit_frame, res_np, res_dev, j,
+                                      qp_g)
+                            for j in range(res_np["packed"].shape[0])]
+                    for fut in futs:
+                        results[i] = fut.result()
+                        rc.update_after_picture(len(results[i][0]) * 8)
+                        i += 1
+            else:
+                futs = []
+                for ci in range(min(2, len(starts))):  # 2 groups ahead
+                    dispatch(ci, qp)
+                for ci, s in enumerate(starts):
+                    res_dev = chunk_dev.pop(ci)
+                    res_np = {k: np.asarray(res_dev[k]) for k in eager}
+                    if ci + 2 < len(starts):
+                        dispatch(ci + 2, qp)
+                    for j in range(res_np["packed"].shape[0]):
+                        futs.append(ex.submit(emit_frame, res_np,
+                                              res_dev, j))
+                for i, fut in enumerate(futs):
+                    results[i] = fut.result()
         recons = []
         for i, (nal_bytes, planes) in enumerate(results):
             out += nal_bytes
@@ -556,7 +595,8 @@ class TpuEncoder:
                     sp.log2_min_cu, cw, chh, bool(sp.sign_data_hiding),
                     deblock_on, sao_on, tbx, tby,
                     cnn_params=self.partition_params, qp=qp,
-                    use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates)
+                    use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates,
+                    rdoq=bool(cfg.rdoq))
             else:
                 is_b = st == 0
 
@@ -600,7 +640,7 @@ class TpuEncoder:
                     deblock_on, sao_on, cfg.search_range, is_b, tbx, tby,
                     cnn_params=self.partition_params, qp=qp,
                     use_cnn=use_cnn, rd_cands=cfg.num_intra_rd_candidates,
-                    nref0=nref0, nref1=nref1)
+                    nref0=nref0, nref1=nref1, rdoq=bool(cfg.rdoq))
             res = chunk_dev[bi]
             for j, e in enumerate(batch[:n_real]):
                 dev_dpb[(e[8], e[1])] = (res["rec_y"][j],

@@ -47,7 +47,12 @@ class EncoderConfig:
     lossless: bool = False       # transquant bypass (cu level, all CUs)
     deblocking: bool = True
     sao: bool = True
-    rdoq: bool = False
+    # RDOQ is on by default: the spec tier runs the exact HM-style
+    # trellis, the native tier its byte-identical C++ port, and the
+    # device tier the parallel closed-form trellis (ops/rdoq.py) — the
+    # tiers are each conformant but not byte-identical under RDOQ
+    # (encoder freedom); cross-tier byte-identity tests set rdoq=False.
+    rdoq: bool = True
     transform_skip: bool = False  # 4x4 TB transform_skip (spec 7.3.8.11; SpecEncoder searches it)
     sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
     strong_intra_smoothing: bool = False

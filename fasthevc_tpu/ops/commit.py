@@ -54,6 +54,7 @@ import numpy as np
 
 from ..spec.residual import get_scan
 from .intra import predict_selected_mm
+from .rdoq import build_rdoq_tables, rdoq_scan
 from .transform import (dequantize, fwd_transform, inv_transform,
                         quantize_mixed)
 
@@ -311,36 +312,51 @@ def _onehot_take(x, k):
     return jnp.sum(jnp.where(oh, x, 0), axis=-1)
 
 
+def scan_permute(x, lg, scan_sel=None, inverse=False):
+    """Raster <-> scan permutation via f32 matmuls with static matrices
+    (exact: |values| <= 32767 < 2^24).  x: [A, nn] int32/float; scan_sel:
+    [A] in {0 diag,1 hor,2 ver} (None/unused when the size has a single
+    scan).  Shared by the RDOQ and SDH scan-domain passes so a commit
+    with both pays ONE round trip."""
+    P = _scan_perm_mats(lg)
+    n_scans = P.shape[0]
+    x_f = x.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    if n_scans == 1:
+        Pm = jnp.asarray(P[0])
+        out = jnp.dot(x_f, Pm if inverse else Pm.T, precision=hi)
+    else:
+        oh = (jnp.arange(n_scans)[None, :]
+              == scan_sel[:, None]).astype(jnp.float32)    # [A, S]
+        Pc = jnp.asarray(P)                                # [S, nn, nn]
+        eq = "bj,sjk,bs->bk" if inverse else "bk,sjk,bs->bj"
+        out = jnp.einsum(eq, x_f, Pc, oh, precision=hi)
+    return out.astype(jnp.int32)
+
+
 def _sdh_adjust_device(levels, coeffs, qp, lg, scan_sel, bit_depth):
     """Encoder-side SDH parity fix, batched (twin of spec sdh_adjust).
 
     levels/coeffs: [A, n, n] int32; scan_sel: [A] in {0 diag,1 hor,2 ver};
     qp: scalar.  Permutations are f32 matmuls with static matrices (exact:
     |values| <= 32767 < 2^24); the per-group extremum picks use one-hot
-    reductions — no take_along_axis/scatter anywhere.  The residue key
-    a - (la << qbits) is computed overflow-free as
+    reductions — no take_along_axis/scatter anywhere."""
+    a_n, n = levels.shape[0], levels.shape[-1]
+    nn = n * n
+    lv = scan_permute(levels.reshape(a_n, nn), lg, scan_sel)
+    cf = scan_permute(coeffs.reshape(a_n, nn), lg, scan_sel)
+    out = _sdh_adjust_scan(lv, cf, qp, lg, bit_depth)
+    out = scan_permute(out, lg, scan_sel, inverse=True)
+    return out.reshape(a_n, n, n)
+
+
+def _sdh_adjust_scan(lv, cf, qp, lg, bit_depth):
+    """SDH parity fix on SCAN-ORDERED [A, nn] levels/coeffs (int32).
+    The residue key a - (la << qbits) is computed overflow-free as
     ((a >> qbits) - la) << qbits | (a & (2^qbits - 1))."""
     from ..spec.tables import QUANT_SCALES
 
-    a_n, n = levels.shape[0], levels.shape[-1]
-    nn = n * n
-    P = _scan_perm_mats(lg)                    # [S, nn, nn] static
-    n_scans = P.shape[0]
-    lv_f = levels.reshape(a_n, nn).astype(jnp.float32)
-    cf_f = coeffs.reshape(a_n, nn).astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
-    if n_scans == 1:
-        Pm = jnp.asarray(P[0])
-        lv = jnp.dot(lv_f, Pm.T, precision=hi).astype(jnp.int32)
-        cf = jnp.dot(cf_f, Pm.T, precision=hi).astype(jnp.int32)
-    else:
-        oh = (jnp.arange(n_scans)[None, :]
-              == scan_sel[:, None]).astype(jnp.float32)    # [A, S]
-        Pc = jnp.asarray(P)                                # [S, nn, nn]
-        lv = jnp.einsum("bk,sjk,bs->bj", lv_f, Pc, oh,
-                        precision=hi).astype(jnp.int32)
-        cf = jnp.einsum("bk,sjk,bs->bj", cf_f, Pc, oh,
-                        precision=hi).astype(jnp.int32)
+    a_n, nn = lv.shape
     qbits = 14 + qp // 6 + (15 - bit_depth - lg)
     scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
 
@@ -374,13 +390,14 @@ def _sdh_adjust_device(levels, coeffs, qp, lg, scan_sel, bit_depth):
                      jnp.where(cur < 0, cur - 1,
                                jnp.where(cf_k < 0, -1, 1)))
     lvg = jnp.where(need[..., None] & sel, bump[..., None], lvg)
-    lv_sc = lvg.reshape(a_n, nn).astype(jnp.float32)
-    if n_scans == 1:
-        out = jnp.dot(lv_sc, Pm, precision=hi).astype(jnp.int32)
-    else:
-        out = jnp.einsum("bj,sjk,bs->bk", lv_sc, Pc, oh,
-                         precision=hi).astype(jnp.int32)
-    return out.reshape(a_n, n, n)
+    return lvg.reshape(a_n, nn)
+
+
+def _scan_oh(lg: int, sel: jnp.ndarray) -> jnp.ndarray:
+    """[A, S] float one-hot of the scan select (S from the size)."""
+    n_scans = _scan_perm_mats(lg).shape[0]
+    return (jnp.arange(n_scans)[None, :] == sel[:, None]) \
+        .astype(jnp.float32)
 
 
 def _scan_sel(lg: int, c_idx: int, modes: jnp.ndarray) -> jnp.ndarray:
@@ -397,17 +414,33 @@ def _scan_sel(lg: int, c_idx: int, modes: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _tq_recon(pred, src, lg, qp, c_idx, modes, bit_depth, sdh,
-              intra_mask):
+              intra_mask, rd=None):
     """Exact T/Q/SDH/IQ/IT + clip for a batch of blocks; returns
     (recon, levels).  intra_mask: [B] bool — selects the intra/inter
     dead-zone offset and forces the diagonal scan for inter blocks (SDH
-    scan choice, spec residual semantics)."""
+    scan choice, spec residual semantics).  rd: the (c_idx, lg) entry of
+    ops.rdoq.build_rdoq_tables — when given, levels come from the
+    device-parallel RDOQ trellis instead of scalar quantization (SDH
+    parity is still enforced afterwards: the decoder infers signs)."""
     res = src - pred
     coeffs = fwd_transform(res, lg, bit_depth, False)
-    levels = quantize_mixed(coeffs, qp, lg, bit_depth, intra_mask)
-    if sdh:
+    if sdh or rd is not None:
         sel = jnp.where(intra_mask, _scan_sel(lg, c_idx, modes), 0)
-        levels = _sdh_adjust_device(levels, coeffs, qp, lg, sel, bit_depth)
+    if rd is not None:
+        # one shared scan-domain round trip for RDOQ + SDH
+        a_n, n = coeffs.shape[0], coeffs.shape[-1]
+        nn = n * n
+        cf_s = scan_permute(coeffs.reshape(a_n, nn), lg, sel)
+        lv_s = rdoq_scan(cf_s, _scan_oh(lg, sel), rd, lg, c_idx)
+        if sdh:
+            lv_s = _sdh_adjust_scan(lv_s, cf_s, qp, lg, bit_depth)
+        levels = scan_permute(lv_s, lg, sel,
+                              inverse=True).reshape(a_n, n, n)
+    else:
+        levels = quantize_mixed(coeffs, qp, lg, bit_depth, intra_mask)
+        if sdh:
+            levels = _sdh_adjust_device(levels, coeffs, qp, lg, sel,
+                                        bit_depth)
     deq = dequantize(levels, qp, lg, bit_depth)
     rres = inv_transform(deq, lg, bit_depth, False)
     return jnp.clip(pred + rres, 0, (1 << bit_depth) - 1), levels
@@ -423,7 +456,7 @@ def _write_local(st, recon, levels, active, lx, ly, n):
 
 
 def _commit_luma(state, take, lx, ly, n, modes, active, qp, bit_depth,
-                 sdh, inter=None):
+                 sdh, inter=None, rd_tabs=None):
     st = state["y"]
     lg = n.bit_length() - 1
     refs = _gather_refs(st["local"], st["top"], st["left"], lx, ly, n)
@@ -443,14 +476,15 @@ def _commit_luma(state, take, lx, ly, n, modes, active, qp, bit_depth,
         pred = jnp.where(inter[:, None, None],
                          st["ipred"][:, ly:ly + n, lx:lx + n], pred)
     src = st["src"][:, ly:ly + n, lx:lx + n]
+    rd = rd_tabs[(0, lg)] if rd_tabs is not None else None
     recon, levels = _tq_recon(pred, src, lg, qp, 0, modes, bit_depth, sdh,
-                              intra_mask)
+                              intra_mask, rd=rd)
     _write_local(st, recon, levels, active, lx, ly, n)
     return state
 
 
 def _commit_chroma_pair(state, take, lx, ly, n, modes, active, qp_c,
-                        bit_depth, sdh, inter=None):
+                        bit_depth, sdh, inter=None, rd_tabs=None):
     """Commit the cb AND cr blocks of size n at local chroma (lx, ly) in
     one fused batch [2A] (same geometry, same chroma QP)."""
     scb, scr = state["cb"], state["cr"]
@@ -480,8 +514,9 @@ def _commit_chroma_pair(state, take, lx, ly, n, modes, active, qp_c,
         pred = jnp.where(inter2[:, None, None],
                          ipred2[:, ly:ly + n, lx:lx + n], pred)
     src = src2[:, ly:ly + n, lx:lx + n]
+    rd = rd_tabs[(1, lg)] if rd_tabs is not None else None
     recon, levels = _tq_recon(pred, src, lg, qp_c, 1, modes2, bit_depth,
-                              sdh, intra_mask2)
+                              sdh, intra_mask2, rd=rd)
     a = scb["local"].shape[0]
     _write_local(scb, recon[:a], levels[:a], active, lx, ly, n)
     _write_local(scr, recon[a:], levels[a:], active, lx, ly, n)
@@ -505,12 +540,14 @@ def _oh_mm(oh, buf):
 
 
 @partial(jax.jit, static_argnames=("coded_w", "coded_h", "bit_depth",
-                                   "sdh", "tile_bounds_x", "tile_bounds_y"))
+                                   "sdh", "tile_bounds_x", "tile_bounds_y",
+                                   "rdoq"))
 def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
                            qp_y, qp_cb, qp_cr, coded_w: int, coded_h: int,
                            bit_depth: int = 8, sdh: bool = True,
                            tile_bounds_x: tuple = (),
-                           tile_bounds_y: tuple = ()):
+                           tile_bounds_y: tuple = (),
+                           rdoq: bool = False, lam=0.0):
     """Exact intra reconstruction of a whole frame on device.
 
     src_*: int32 source planes in CODED dims; depth_map/mode_map: int32
@@ -524,17 +561,19 @@ def wavefront_commit_intra(src_y, src_cb, src_cr, depth_map, mode_map,
                                   mode_map, None, None, None, None,
                                   qp_y, qp_cb, qp_cr, coded_w, coded_h,
                                   bit_depth, sdh, tile_bounds_x,
-                                  tile_bounds_y)
+                                  tile_bounds_y, rdoq, lam, 0)
 
 
 @partial(jax.jit, static_argnames=("coded_w", "coded_h", "bit_depth",
-                                   "sdh", "tile_bounds_x", "tile_bounds_y"))
+                                   "sdh", "tile_bounds_x", "tile_bounds_y",
+                                   "rdoq"))
 def wavefront_commit_mixed(src_y, src_cb, src_cr, depth_map, mode_map,
                            dir_map, pred_y, pred_cb, pred_cr,
                            qp_y, qp_cb, qp_cr, coded_w: int, coded_h: int,
                            bit_depth: int = 8, sdh: bool = True,
                            tile_bounds_x: tuple = (),
-                           tile_bounds_y: tuple = ()):
+                           tile_bounds_y: tuple = (),
+                           rdoq: bool = False, lam=0.0):
     """Mixed intra/inter exact reconstruction of a P/B frame on device.
 
     dir_map: int32 [coded_h/8, coded_w/8], 0 = intra CU, 1/2/3 = L0/L1/BI;
@@ -548,14 +587,20 @@ def wavefront_commit_mixed(src_y, src_cb, src_cr, depth_map, mode_map,
                                   mode_map, dir_map, pred_y, pred_cb,
                                   pred_cr, qp_y, qp_cb, qp_cr, coded_w,
                                   coded_h, bit_depth, sdh, tile_bounds_x,
-                                  tile_bounds_y)
+                                  tile_bounds_y, rdoq, lam, 1)
 
 
 def _wavefront_commit_impl(src_y, src_cb, src_cr, depth_map, mode_map,
                            dir_map, pred_y, pred_cb, pred_cr,
                            qp_y, qp_cb, qp_cr, coded_w: int, coded_h: int,
                            bit_depth: int, sdh: bool,
-                           tile_bounds_x: tuple, tile_bounds_y: tuple):
+                           tile_bounds_x: tuple, tile_bounds_y: tuple,
+                           rdoq: bool = False, lam=0.0,
+                           init_type: int = 0):
+    # RDOQ rate tables: built once per dispatch from the dynamic slice QP
+    # (qp_y) and lambda; the wave body then runs gather-free.
+    rd_tabs = (build_rdoq_tables(qp_y, qp_y, qp_cb, lam, init_type,
+                                 bit_depth) if rdoq else None)
     nctux = -(-coded_w // CTU)
     nctuy = -(-coded_h // CTU)
     pw, ph = nctux * CTU, nctuy * CTU
@@ -704,11 +749,13 @@ def _wavefront_commit_impl(src_y, src_cb, src_cr, depth_map, mode_map,
             take = x["takes"][str(gi)]
             if kind == "l":
                 state = _commit_luma(state, take, lx, ly, n, modes, act,
-                                     qp_y, bit_depth, sdh, inter=inter_g)
+                                     qp_y, bit_depth, sdh, inter=inter_g,
+                                     rd_tabs=rd_tabs)
             else:
                 state = _commit_chroma_pair(state, take, lx, ly, n,
                                             modes, act, qp_cb, bit_depth,
-                                            sdh, inter=inter_g)
+                                            sdh, inter=inter_g,
+                                            rd_tabs=rd_tabs)
 
         new_carry = dict(
             y=update_bufs(carry["y"], state["y"]["local"], x["w_row"],

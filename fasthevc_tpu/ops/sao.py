@@ -30,16 +30,33 @@ MAX_OFFSET = 7
 EO_NEIGHBORS = ((0, -1, 0, 1), (-1, 0, 1, 0), (-1, -1, 1, 1), (1, -1, -1, 1))
 
 
-def _edge_cats(plane: jnp.ndarray) -> jnp.ndarray:
+def _edge_cats(plane: jnp.ndarray, halo=None) -> jnp.ndarray:
     """Category maps (0..4) for all 4 EO classes: [4, H, W].
 
     Boundary samples (missing neighbor) are category 0 — matches the
-    oracle's in-picture rule."""
+    oracle's in-picture rule.  halo: optional
+    (lcol, rcol, l_avail, r_avail) — 1-px neighbor COLUMNS from the
+    adjacent tile shards (SURVEY.md §2.4 P6: the SAO classification
+    halo) plus traced availability booleans.  When a side is available
+    its edge column classifies against the real neighbor pixels instead
+    of being forced to category 0, which makes a column-sharded SAO
+    byte-identical to the full-plane computation.  Halo use requires the
+    plane width to be the coded width (tile columns are CTU-aligned)."""
     h, w = plane.shape
     p = plane.astype(jnp.int32)
+    lcol = rcol = l_avail = r_avail = None
+    if halo is not None:
+        lcol, rcol, l_avail, r_avail = halo
+    pad0 = jnp.pad(p, 1, mode="edge")
+    if lcol is not None:
+        colv = jnp.concatenate([lcol[:1], lcol, lcol[-1:]])
+        pad0 = pad0.at[:, 0].set(colv.astype(jnp.int32))
+    if rcol is not None:
+        colv = jnp.concatenate([rcol[:1], rcol, rcol[-1:]])
+        pad0 = pad0.at[:, -1].set(colv.astype(jnp.int32))
     outs = []
     for (y0, x0, y1, x1) in EO_NEIGHBORS:
-        pad = jnp.pad(p, 1, mode="edge")
+        pad = pad0
         n0 = pad[1 + y0:1 + y0 + h, 1 + x0:1 + x0 + w]
         n1 = pad[1 + y1:1 + y1 + h, 1 + x1:1 + x1 + w]
         raw = 2 + jnp.sign(p - n0) + jnp.sign(p - n1)
@@ -51,8 +68,14 @@ def _edge_cats(plane: jnp.ndarray) -> jnp.ndarray:
         lx, rx = max(0, -x0, -x1), max(0, x0, x1)
         ys = jnp.arange(h)
         xs = jnp.arange(w)
+        in_xl = xs >= lx
+        if lx > 0 and l_avail is not None:
+            in_xl = in_xl | ((xs == 0) & l_avail)
+        in_xr = xs < w - rx
+        if rx > 0 and r_avail is not None:
+            in_xr = in_xr | ((xs == w - 1) & r_avail)
         inside = ((ys >= ty) & (ys < h - by))[:, None] & \
-                 ((xs >= lx) & (xs < w - rx))[None, :]
+                 (in_xl & in_xr)[None, :]
         outs.append(jnp.where(inside, cat, 0))
     return jnp.stack(outs)
 
@@ -84,12 +107,13 @@ def _pad_to(x: jnp.ndarray, ctb: int):
 
 
 def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
-                    bit_depth: int, given=None):
+                    bit_depth: int, given=None, halo=None):
     """Per-CTB SAO decision for one plane.
 
     Returns (params [ny, nx, 7] int32, eo_stats, band_stats) where
     params = (type, eo_class, band_pos, off0..3). given: optional
-    (type_map, class_map) [ny, nx] to inherit (Cr path)."""
+    (type_map, class_map) [ny, nx] to inherit (Cr path); halo: see
+    _edge_cats (requires w to be a ctb multiple)."""
     h, w = src.shape
     srcp = _pad_to(src.astype(jnp.int32), ctb)
     recp = _pad_to(rec.astype(jnp.int32), ctb)
@@ -99,7 +123,11 @@ def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
              & (jnp.arange(pw) < w)[None, :])
     diff = jnp.where(valid, srcp - recp, 0).astype(jnp.float32)
 
-    cats = _edge_cats(recp)                          # [4, ph, pw]
+    if halo is not None:
+        lcol, rcol, la, ra = halo
+        halo = (jnp.pad(lcol.astype(jnp.int32), (0, ph - h)),
+                jnp.pad(rcol.astype(jnp.int32), (0, ph - h)), la, ra)
+    cats = _edge_cats(recp, halo=halo)               # [4, ph, pw]
     cats = jnp.where(valid[None], cats, 0)
     ny, nx = ph // ctb, pw // ctb
 
@@ -169,26 +197,41 @@ def _estimate_plane(src: jnp.ndarray, rec: jnp.ndarray, ctb: int,
 
 
 def _apply_plane(rec: jnp.ndarray, params: jnp.ndarray, ctb: int,
-                 bit_depth: int) -> jnp.ndarray:
-    """Decoder-exact SAO application (twin of spec.sao.apply_sao_plane)."""
+                 bit_depth: int, halo=None) -> jnp.ndarray:
+    """Decoder-exact SAO application (twin of spec.sao.apply_sao_plane).
+    halo: see _edge_cats — with neighbor columns, a column shard applies
+    SAO byte-identically to the full-plane pass."""
     h, w = rec.shape
     recp = _pad_to(rec.astype(jnp.int32), ctb)
     ph, pw = recp.shape
-    cats = _edge_cats(recp)                          # [4, ph, pw]
+    if halo is not None:
+        lcol, rcol, la, ra = halo
+        halo = (jnp.pad(lcol.astype(jnp.int32), (0, ph - h)),
+                jnp.pad(rcol.astype(jnp.int32), (0, ph - h)), la, ra)
+    cats = _edge_cats(recp, halo=halo)               # [4, ph, pw]
     # but boundary rule uses the CODED picture bounds, not padded bounds:
     # recompute validity against (h, w)
     valid = ((jnp.arange(ph) < h)[:, None]
              & (jnp.arange(pw) < w)[None, :])
     # cat maps computed on padded plane equal the coded-plane maps inside
     # (h, w) except at the pad seam; mask the seam columns/rows per class
+    la = ra = None
+    if halo is not None:
+        la, ra = halo[2], halo[3]
     outs = []
     for ci, (y0, x0, y1, x1) in enumerate(EO_NEIGHBORS):
         ty, by = max(0, -y0, -y1), max(0, y0, y1)
         lx, rx = max(0, -x0, -x1), max(0, x0, x1)
         ys = jnp.arange(ph)
         xs = jnp.arange(pw)
+        in_xl = xs >= lx
+        if lx > 0 and la is not None:
+            in_xl = in_xl | ((xs == 0) & la)
+        in_xr = xs < w - rx
+        if rx > 0 and ra is not None:
+            in_xr = in_xr | ((xs == w - 1) & ra)
         inside = ((ys >= ty) & (ys < h - by))[:, None] & \
-                 ((xs >= lx) & (xs < w - rx))[None, :]
+                 (in_xl & in_xr)[None, :]
         outs.append(jnp.where(inside, cats[ci], 0))
     cats = jnp.stack(outs)
 
@@ -217,25 +260,41 @@ def _apply_plane(rec: jnp.ndarray, params: jnp.ndarray, ctb: int,
     return out[:h, :w]
 
 
-@partial(jax.jit, static_argnames=("log2_ctu", "bit_depth"))
+@partial(jax.jit, static_argnames=("log2_ctu", "bit_depth", "has_halo"))
 def sao_device(src_y, src_cb, src_cr, rec_y, rec_cb, rec_cr,
-               log2_ctu: int, bit_depth: int = 8):
+               log2_ctu: int, bit_depth: int = 8, has_halo: bool = False,
+               halo_y=None, halo_cb=None, halo_cr=None,
+               l_avail=None, r_avail=None):
     """SAO estimate + apply for one picture on device.
 
     src_*: source planes; rec_*: deblocked recon planes (coded dims).
     Returns (out_y, out_cb, out_cr, params) with params int32
     [ny, nx, 3, 7] = per CTB per component (y, cb, cr):
     (type 0/1/2 = off/band/edge, eo_class, band_pos, off0..3).
+
+    has_halo + halo_* = ((lcol, rcol) per plane) + l/r_avail traced
+    booleans: the cross-tile SAO classification halo (SURVEY.md §2.4
+    P6) — 1-px deblocked columns from the neighboring tile shards, so a
+    column-sharded SAO is byte-identical to this full-plane pass.
     """
     ctb = 1 << log2_ctu
-    p_y = _estimate_plane(src_y, rec_y, ctb, bit_depth)
-    p_cb = _estimate_plane(src_cb, rec_cb, ctb // 2, bit_depth)
+
+    def h(cols):
+        if not has_halo:
+            return None
+        return (cols[0], cols[1], l_avail, r_avail)
+
+    hy = h(halo_y) if has_halo else None
+    hcb = h(halo_cb) if has_halo else None
+    hcr = h(halo_cr) if has_halo else None
+    p_y = _estimate_plane(src_y, rec_y, ctb, bit_depth, halo=hy)
+    p_cb = _estimate_plane(src_cb, rec_cb, ctb // 2, bit_depth, halo=hcb)
     # Cr inherits Cb's type/eo_class (spec: one type for both chroma)
     p_cr = _estimate_plane(src_cr, rec_cr, ctb // 2, bit_depth,
-                           given=(p_cb[..., 0], p_cb[..., 1]))
+                           given=(p_cb[..., 0], p_cb[..., 1]), halo=hcr)
     # Cr band_pos is free; Cb/Cr each signal their own band position
-    out_y = _apply_plane(rec_y, p_y, ctb, bit_depth)
-    out_cb = _apply_plane(rec_cb, p_cb, ctb // 2, bit_depth)
-    out_cr = _apply_plane(rec_cr, p_cr, ctb // 2, bit_depth)
+    out_y = _apply_plane(rec_y, p_y, ctb, bit_depth, halo=hy)
+    out_cb = _apply_plane(rec_cb, p_cb, ctb // 2, bit_depth, halo=hcb)
+    out_cr = _apply_plane(rec_cr, p_cr, ctb // 2, bit_depth, halo=hcr)
     params = jnp.stack([p_y, p_cb, p_cr], axis=-2)   # [ny, nx, 3, 7]
     return out_y, out_cb, out_cr, params

@@ -19,9 +19,10 @@ runs the full device pixel path on it:
 
 The result is BYTE-IDENTICAL to the single-device encoder on the same
 tile grid (asserted by tests/test_sharded_pipeline.py) — the property
-test SURVEY.md §7.3.5 prescribes. SAO stays off on this path for now
-(its cross-tile classification halo is next); entropy is host C++ per
-tile, unchanged.
+test SURVEY.md §7.3.5 prescribes.  Step 4 (intra path): SAO with a 1-px
+deblocked-recon classification halo — estimate+apply per tile equals
+the full-plane pass, so the sharded stream stays byte-identical with
+SAO ON too.  Entropy is host C++ per tile, unchanged.
 """
 
 from __future__ import annotations
@@ -134,7 +135,8 @@ def _deblock_sharded_cols(rec_y, rec_cb, rec_cr, depth, qp, qp_cb, qp_cr,
 
 def build_sharded_intra_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                                  log2_ctu: int = 5, log2_min_cu: int = 3,
-                                 deblock_on: bool = True, sdh: bool = True):
+                                 deblock_on: bool = True, sdh: bool = True,
+                                 rdoq: bool = False, sao_on: bool = False):
     """Jitted ("gop","tile")-sharded search+commit+deblock for intra
     frames. Tile columns are uniform (coded_w divisible by n_tile CTU
     columns). Frames [G, H, W] uint8 enter sharded P("gop", None, "tile");
@@ -174,14 +176,38 @@ def build_sharded_intra_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                 yt[:coded_h].astype(jnp.int32),
                 cbt[:coded_h // 2].astype(jnp.int32),
                 crt[:coded_h // 2].astype(jnp.int32),
-                dm, mm, qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh)
+                dm, mm, qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh,
+                rdoq=rdoq, lam=(lam * lam).astype(jnp.float32))
             # --- 3. cross-tile deblock via recon halo (P6) -------------
             if deblock_on:
                 ry, rcb, rcr = _deblock_sharded_cols(
                     ry, rcb, rcr, dm, qp, qp_cb, qp_cr, "tile", n_tile)
+            if sao_on:
+                # --- 4. SAO with the 1-px classification halo (P6):
+                # deblocked neighbor columns ride the interconnect so
+                # each tile's estimate+apply equals the full-plane pass
+                from ..ops.sao import sao_device
+                idx = jax.lax.axis_index("tile")
+                l_av, r_av = idx > 0, idx < n_tile - 1
+                hy = _ppermute_halo(ry, "tile", n_tile, 1, 1)
+                hcb = _ppermute_halo(rcb, "tile", n_tile, 1, 1)
+                hcr = _ppermute_halo(rcr, "tile", n_tile, 1, 1)
+                ry, rcb, rcr, sao_p = sao_device(
+                    yt[:coded_h].astype(jnp.int32),
+                    cbt[:coded_h // 2].astype(jnp.int32),
+                    crt[:coded_h // 2].astype(jnp.int32),
+                    ry, rcb, rcr, log2_ctu, has_halo=True,
+                    halo_y=(hy[0][:, 0], hy[1][:, 0]),
+                    halo_cb=(hcb[0][:, 0], hcb[1][:, 0]),
+                    halo_cr=(hcr[0][:, 0], hcr[1][:, 0]),
+                    l_avail=l_av, r_avail=r_av)
+            else:
+                ny = -(-coded_h // (1 << log2_ctu))
+                nx = tile_w >> log2_ctu
+                sao_p = jnp.zeros((ny, nx, 3, 7), jnp.int32)
             return (packed, lv_y, lv_cb, lv_cr,
                     ry.astype(jnp.uint8), rcb.astype(jnp.uint8),
-                    rcr.astype(jnp.uint8))
+                    rcr.astype(jnp.uint8), sao_p)
 
         return jax.vmap(one_frame)(y, cb, cr)
 
@@ -193,7 +219,8 @@ def build_sharded_intra_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                    P("gop", None, "tile"), P("gop", None, "tile"),
                    P("gop", None, "tile"),
                    P("gop", None, "tile"), P("gop", None, "tile"),
-                   P("gop", None, "tile")),
+                   P("gop", None, "tile"),
+                   P("gop", None, "tile", None, None)),  # sao params
         check_rep=False)
 
     @jax.jit
@@ -223,16 +250,17 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
 
     n_tile = mesh.shape["tile"]
     n_gop = mesh.shape["gop"]
-    cfg = cfg.replace(sao=False, tile_cols=n_tile, tile_rows=1)
+    cfg = cfg.replace(tile_cols=n_tile, tile_rows=1)
     sp = config_to_sp(cfg)
-    sp.sao_enabled = False
+    sp.sao_enabled = bool(cfg.sao)
     sp.deblocking_disabled = not cfg.deblocking
     qp = cfg.qp
     qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     pipeline = build_sharded_intra_pipeline(
         mesh, sp.coded_width, sp.coded_height, sp.log2_ctu,
-        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding)
+        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding,
+        rdoq=bool(cfg.rdoq), sao_on=bool(cfg.sao))
 
     n = len(frames)
     ph = -(-sp.coded_height // CTU) * CTU
@@ -261,7 +289,7 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
                        jax.device_put(jnp.asarray(crs), spec_in),
                        jnp.float32(np.sqrt(lam)), jnp.int32(qp_y),
                        jnp.int32(qp_cb), jnp.int32(qp_cr), jnp.int32(qp))
-        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr = \
+        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr, sao_np = \
             (np.asarray(r) for r in res)
         for j, i in enumerate(grp):
             if i != s + j:               # padded duplicate
@@ -272,10 +300,12 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
                                         .astype(np.int8))
             subs = cabac_cpp.entropy_slice_native(
                 sp, qp_y, qp_cb, qp_cr, depth, mode, lv_y[j], lv_cb[j],
-                lv_cr[j], ContextSet(0, qp), sao_params=None,
+                lv_cr[j], ContextSet(0, qp),
+                sao_params=sao_np[j] if cfg.sao else None,
                 sdh=sp.sign_data_hiding)
             sh = SliceHeader(slice_type=2, slice_qp=qp, is_idr=True,
-                             poc_lsb=0, sao_luma=False, sao_chroma=False,
+                             poc_lsb=0, sao_luma=bool(cfg.sao),
+                             sao_chroma=bool(cfg.sao),
                              entry_points=tuple(len(x) for x in subs[:-1]))
             w = write_slice_header(sh, sp, bs.NAL_IDR_W_RADL)
             for s_bytes in subs:
@@ -311,7 +341,8 @@ def _me_halo_ctus(search_range: int) -> int:
 def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                              search_range: int, log2_ctu: int = 5,
                              log2_min_cu: int = 3, deblock_on: bool = True,
-                             sdh: bool = True):
+                             sdh: bool = True, rdoq: bool = False,
+                             sao_on: bool = False):
     """Jitted ("gop","tile")-sharded P-frame search+MC+commit+deblock.
 
     Each tile shard ppermutes +-halo CTU columns of the REFERENCE recon
@@ -378,7 +409,8 @@ def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                 cbt[:coded_h // 2].astype(jnp.int32),
                 crt[:coded_h // 2].astype(jnp.int32),
                 dm, mm, im, ipy, ipcb, ipcr,
-                qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh)
+                qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh,
+                rdoq=rdoq, lam=(lam * lam).astype(jnp.float32))
             if deblock_on:
                 cbf = tu_cbf_map(lv_y, dm, log2_ctu)
                 cl, cr_h = _ppermute_halo(cbf.astype(jnp.int32), "tile",
@@ -399,9 +431,30 @@ def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                 ry, rcb, rcr = _deblock_sharded_cols(
                     ry, rcb, rcr, dm, qp, qp_cb, qp_cr, "tile", n_tile,
                     bs_vert_ext=bs_v_e, bs_horz=bs_h)
+            if sao_on:
+                # SAO classification halo (P6) — same as the intra path
+                from ..ops.sao import sao_device
+                idx = jax.lax.axis_index("tile")
+                l_av, r_av = idx > 0, idx < n_tile - 1
+                hy = _ppermute_halo(ry, "tile", n_tile, 1, 1)
+                hcb = _ppermute_halo(rcb, "tile", n_tile, 1, 1)
+                hcr = _ppermute_halo(rcr, "tile", n_tile, 1, 1)
+                ry, rcb, rcr, sao_p = sao_device(
+                    yt[:coded_h].astype(jnp.int32),
+                    cbt[:coded_h // 2].astype(jnp.int32),
+                    crt[:coded_h // 2].astype(jnp.int32),
+                    ry, rcb, rcr, log2_ctu, has_halo=True,
+                    halo_y=(hy[0][:, 0], hy[1][:, 0]),
+                    halo_cb=(hcb[0][:, 0], hcb[1][:, 0]),
+                    halo_cr=(hcr[0][:, 0], hcr[1][:, 0]),
+                    l_avail=l_av, r_avail=r_av)
+            else:
+                ny = -(-coded_h // (1 << log2_ctu))
+                nx = tile_w >> log2_ctu
+                sao_p = jnp.zeros((ny, nx, 3, 7), jnp.int32)
             return (packed, lv_y, lv_cb, lv_cr,
                     ry.astype(jnp.uint8), rcb.astype(jnp.uint8),
-                    rcr.astype(jnp.uint8))
+                    rcr.astype(jnp.uint8), sao_p)
 
         return jax.vmap(one_frame)(y, cb, cr, ref_y, ref_cb, ref_cr)
 
@@ -412,7 +465,8 @@ def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
                    P("gop", None, "tile"), P("gop", None, "tile"),
                    P("gop", None, "tile"),
                    P("gop", None, "tile"), P("gop", None, "tile"),
-                   P("gop", None, "tile")),
+                   P("gop", None, "tile"),
+                   P("gop", None, "tile", None, None)),
         check_rep=False)
 
     @jax.jit
@@ -433,7 +487,7 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
 
     cfg must describe the equivalent single-device encode: tiles =
     mesh tile shards, intra_period = len(frames)/n_gop, GOP = plain P
-    chain with ref (-1) and zero QP offsets, SAO off.  The output stream
+    chain with ref (-1) and zero QP offsets.  The output stream
     is byte-identical to TpuEncoder(cfg).encode(frames) on such a config
     (tests/test_sharded_pipeline.py)."""
     from .. import cabac_cpp
@@ -451,21 +505,22 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
     n = len(frames)
     assert n % n_gop == 0, "frames must split evenly into gop segments"
     seg = n // n_gop
-    cfg = cfg.replace(sao=False, tile_cols=n_tile, tile_rows=1,
+    cfg = cfg.replace(tile_cols=n_tile, tile_rows=1,
                       intra_period=seg)
     sp = config_to_sp(cfg)
-    sp.sao_enabled = False
+    sp.sao_enabled = bool(cfg.sao)
     sp.deblocking_disabled = not cfg.deblocking
     qp = cfg.qp
     qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
     lam = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
     run_i = build_sharded_intra_pipeline(
         mesh, sp.coded_width, sp.coded_height, sp.log2_ctu,
-        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding)
+        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding,
+        rdoq=bool(cfg.rdoq), sao_on=bool(cfg.sao))
     run_p = build_sharded_p_pipeline(
         mesh, sp.coded_width, sp.coded_height, cfg.search_range,
         sp.log2_ctu, sp.log2_min_cu, deblock_on=cfg.deblocking,
-        sdh=sp.sign_data_hiding)
+        sdh=sp.sign_data_hiding, rdoq=bool(cfg.rdoq), sao_on=bool(cfg.sao))
 
     ph = -(-sp.coded_height // CTU) * CTU
     gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
@@ -506,9 +561,9 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
             res = run_p(yb, cbb, crb, ry_pad, rcb_pad, rcr_pad, lam,
                         jnp.int32(qp_y), jnp.int32(qp_cb),
                         jnp.int32(qp_cr), jnp.int32(qp))
-        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr = res
+        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr, sao_p = res
         ref = (ry, rcb, rcr)      # stays sharded on the mesh
-        packed_h, lvy_h, lvcb_h, lvcr_h, ry_h, rcb_h, rcr_h = \
+        packed_h, lvy_h, lvcb_h, lvcr_h, ry_h, rcb_h, rcr_h, sao_h = \
             (np.asarray(r) for r in res)
         for r in range(n_gop):
             depth = np.ascontiguousarray(packed_h[r, :gh, :gw, 0]
@@ -525,13 +580,14 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
             subs = cabac_cpp.entropy_slice_native(
                 sp, qp_y, qp_cb, qp_cr, depth, mode, lvy_h[r], lvcb_h[r],
                 lvcr_h[r], ContextSet(0 if step == 0 else 1, qp),
-                sao_params=None, sdh=sp.sign_data_hiding, **kw)
+                sao_params=sao_h[r] if cfg.sao else None,
+                sdh=sp.sign_data_hiding, **kw)
             sh = SliceHeader(
                 slice_type=2 if step == 0 else 1, slice_qp=qp,
                 is_idr=step == 0,
                 poc_lsb=step & ((1 << sp.log2_max_poc_lsb) - 1),
                 ref_pocs_before=() if step == 0 else (1,),
-                sao_luma=False, sao_chroma=False,
+                sao_luma=bool(cfg.sao), sao_chroma=bool(cfg.sao),
                 entry_points=tuple(len(x) for x in subs[:-1]))
             w = write_slice_header(
                 sh, sp, bs.NAL_IDR_W_RADL if step == 0 else bs.NAL_TRAIL_R)

@@ -168,7 +168,9 @@ def test_device_path_byte_identical_to_classic():
     import fasthevc_tpu.codec.device_pipeline as dp
 
     clip = synthesize_yuv(104, 72, 3, seed=3)
-    cfg = EncoderConfig(width=104, height=72, qp=32, frames=3, sao=False)
+    # rdoq=False: cross-tier byte-identity holds for scalar quant only
+    cfg = EncoderConfig(width=104, height=72, qp=32, frames=3, sao=False,
+                        rdoq=False)
     s_dev, _ = TpuEncoder(cfg).encode(clip)
     orig = dp.device_path_ok
     dp.device_path_ok = lambda c, s: False
@@ -192,7 +194,7 @@ def test_device_path_tiled_byte_identical():
 
     clip = synthesize_yuv(128, 96, 2, seed=5)
     cfg = EncoderConfig(width=128, height=96, qp=30, frames=2,
-                        tile_cols=2, tile_rows=1, sao=False)
+                        tile_cols=2, tile_rows=1, sao=False, rdoq=False)
     s_dev, _ = TpuEncoder(cfg).encode(clip)
     orig = dp.device_path_ok
     dp.device_path_ok = lambda c, s: False

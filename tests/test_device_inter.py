@@ -52,7 +52,10 @@ def _classic(cfg, clip):
 
 def test_ldp_device_byte_identical_and_decodes():
     clip = synthesize_yuv(W, H, 6, seed=7)
-    cfg = low_delay_p(width=W, height=H, qp=32, frames=6, sao=False)
+    # rdoq=False: device runs the parallel trellis, classic the exact
+    # one — byte-identity across tiers is defined for scalar quant only
+    cfg = low_delay_p(width=W, height=H, qp=32, frames=6, sao=False,
+                      rdoq=False)
     s_dev, rec_dev = TpuEncoder(cfg).encode(clip)
     s_cls, rec_cls = _classic(cfg, clip)
     assert s_dev == s_cls
@@ -66,7 +69,7 @@ def test_ldp_device_byte_identical_and_decodes():
 def test_ra_device_byte_identical_and_decodes():
     clip = synthesize_yuv(W, H, 18, seed=9)
     cfg = random_access_gop16(width=W, height=H, qp=32, frames=18,
-                              sao=False)
+                              sao=False, rdoq=False)
     s_dev, _ = TpuEncoder(cfg).encode(clip)
     s_cls, _ = _classic(cfg, clip)
     assert s_dev == s_cls

@@ -1,0 +1,48 @@
+"""Rate control on the DEVICE path (SURVEY.md §3.5; VERDICT r3 next #8).
+
+target_bitrate > 0 no longer exits the device pipeline for all-intra
+encodes: groups are dispatched sequentially with a per-group QP from the
+lambda-domain controller (QPs are dynamic scalars in the device
+programs, so QP changes never recompile).  Gates: the realized sequence
+bitrate lands within 5% of target, streams decode with hashes OK, and
+the device path was actually taken (guarded by routing, not monkeypatch:
+device_path_ok holds for this config).
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _enable_device_paths(monkeypatch):
+    monkeypatch.delenv("FASTHEVC_FORCE_CLASSIC", raising=False)
+
+
+jnp = pytest.importorskip("jax.numpy")
+
+from fasthevc_tpu import cabac_cpp
+from fasthevc_tpu.codec.encoder import TpuEncoder
+from fasthevc_tpu.config import EncoderConfig
+from fasthevc_tpu.spec.decoder import SpecDecoder
+from fasthevc_tpu.utils import synthesize_yuv
+
+pytestmark = pytest.mark.skipif(not cabac_cpp.available(),
+                                reason="C++ engine unavailable")
+
+
+def test_device_rc_converges_within_5pct():
+    W, H, N = 192, 128, 16
+    frames = synthesize_yuv(W, H, N, seed=6)
+    # pick a target near what qp~34 produces so the controller operates
+    # in its calibrated region (bits/frame at 30 fps)
+    target = 220_000  # bit/s -> ~7.3 kbit/frame
+    cfg = EncoderConfig(width=W, height=H, qp=32, frames=N,
+                        target_bitrate=target, frame_group=4)
+    from fasthevc_tpu.codec.device_pipeline import device_path_ok
+    from fasthevc_tpu.spec.encoder import config_to_sp
+    assert device_path_ok(cfg, config_to_sp(cfg))
+    stream, _ = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == N and all(p.hash_ok for p in pics)
+    realized = len(stream) * 8 * 30.0 / N        # bit/s at 30 fps
+    assert abs(realized - target) / target < 0.05, realized

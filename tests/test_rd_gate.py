@@ -19,8 +19,8 @@ from fasthevc_tpu.config.config import GopEntry
 from fasthevc_tpu.spec.encoder import SpecEncoder
 from fasthevc_tpu.utils import bd_rate, psnr, synthesize_yuv, yuv_from_planes
 
-GATE_INTRA_PCT = 13.0  # measured 11.7 on the rd harness; ratchet down
-GATE_P_PCT = 20.0      # measured ~18 on the rd harness; ratchet down
+GATE_INTRA_PCT = 12.0  # measured 10.45 (r4, multi-ref+TMVP+device RDOQ)
+GATE_P_PCT = 16.0      # measured 14.29 (r4); ratchet with recon-ref search
 
 W, H, N = 96, 64, 2
 QPS = (22, 27, 32, 37)
