@@ -233,6 +233,68 @@ void dequantize(const int32_t *levels, int lg, int qp, int bit_depth,
   }
 }
 
+// ---- transform skip (4x4 TBs, spec 8.6.4.2) ------------------------------
+// twins of spec/transform.py forward_transform_skip / inverse_transform_skip
+inline void fwd_transform_skip(const int32_t *res, int bit_depth,
+                               int32_t *coeff) {
+  int sh = 15 - bit_depth - 2;
+  for (int i = 0; i < 16; i++) coeff[i] = res[i] << sh;
+}
+
+inline void inv_transform_skip(const int32_t *deq, int bit_depth,
+                               int32_t *out) {
+  int bd_shift = 20 - bit_depth;
+  for (int i = 0; i < 16; i++) {
+    int64_t r = (int64_t)deq[i] << 7;
+    int64_t v = (r + (1ll << (bd_shift - 1))) >> bd_shift;
+    out[i] = v < -32768 ? -32768 : v > 32767 ? 32767 : (int32_t)v;
+  }
+}
+
+// inter dead-zone quantizer (85/512 offset; the intra one is `quantize`)
+inline bool quantize_inter(const int32_t *coeff, int lg, int qp,
+                           int bit_depth, int32_t *levels) {
+  int n = 1 << lg;
+  int tshift = 15 - bit_depth - lg;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = kQuantScales[qp % 6];
+  int64_t f = (int64_t)85 << (qbits - 9);
+  bool any = false;
+  for (int i = 0; i < n * n; i++) {
+    int64_t c = coeff[i];
+    int64_t a = c < 0 ? -c : c;
+    int64_t lv = (a * scale + f) >> qbits;
+    if (lv > 32767) lv = 32767;
+    levels[i] = (int32_t)(c < 0 ? -lv : lv);
+    any |= lv != 0;
+  }
+  return any;
+}
+
+// Integer-exact level-bits estimate shared with the Python fallback
+// (codec/encoder.py _ts_bits_est): sum over nonzero levels of
+// (2 + 2*bit_length(|level|)).  Deliberately integer so the C++ engine
+// and the Python commit path make byte-identical transform-skip choices
+// (no cross-runtime float-log reproducibility hazard).
+inline int64_t ts_bits_est(const int32_t *levels, int n) {
+  int64_t bits = 0;
+  for (int i = 0; i < n * n; i++) {
+    int32_t v = levels[i];
+    uint32_t a = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+    if (a) bits += 2 + 2 * (32 - __builtin_clz(a));
+  }
+  return bits;
+}
+
+inline int64_t sse_blk(const int32_t *a, const int32_t *b, int n) {
+  int64_t s = 0;
+  for (int i = 0; i < n * n; i++) {
+    int64_t d = (int64_t)a[i] - b[i];
+    s += d * d;
+  }
+  return s;
+}
+
 // ---- intra prediction (spec 8.4.4.2) -------------------------------------
 const int kAngles[35] = {0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9,
                          -13, -17, -21, -26, -32, -26, -21, -17, -13, -9, -5,
@@ -545,6 +607,9 @@ struct Stored {
   std::vector<uint8_t> skip, merge_flag, rqt_root;
   std::vector<int8_t> merge_idx, mvp0, mvp1, ref0, ref1;
   std::vector<int16_t> mvd0x, mvd0y, mvd1x, mvd1y;
+  // transform_skip_flag per 8x8 CU granule (4x4 chroma TBs of 8x8 CUs —
+  // the only TS-eligible TBs while TU==CU and min luma CU is 8x8)
+  std::vector<uint8_t> ts_cb, ts_cr;
   void init(int w_, int h_) {
     w = w_; h = h_; gw8 = w_ >> 3; gh8 = h_ >> 3;
     lv_y.assign(w * h, 0);
@@ -557,6 +622,7 @@ struct Stored {
     ref0.assign(g, 0); ref1.assign(g, 0);
     mvd0x.assign(g, 0); mvd0y.assign(g, 0);
     mvd1x.assign(g, 0); mvd1y.assign(g, 0);
+    ts_cb.assign(g, 0); ts_cr.assign(g, 0);
   }
   void store_block(std::vector<int32_t> &store, int stride, int x, int y,
                    int n, const int32_t *lv) {
@@ -594,6 +660,8 @@ struct SliceEnc {
   bool lossless, bypass_enabled;
   bool rdoq = false;
   bool sdh = false;  // sign-data hiding (PPS sign_data_hiding_enabled_flag)
+  bool ts_enabled = false;  // PPS transform_skip_enabled_flag
+  int off_ts = -1;          // transform_skip_flag ctx offset (luma, +1 chroma)
   int log2_min_cu = 3, log2_max_tu = 5;
   const uint8_t *src_y, *src_cb, *src_cr;
   const int8_t *depth_map, *mode_map;
@@ -637,6 +705,14 @@ struct SliceEnc {
 // distortion/Parseval derivation and the deliberate differences from HM:
 // slice-start context states for the rate model, exact encode_residual
 // context schedule evaluated greedily in coding order).
+//
+// Byte-identity contract with the spec tier: the rate model must read the
+// SAME context states ContextSet(0 if cu_is_intra else 2, tb_qp) the
+// Python oracle builds — freshly initialized per (initType, TB qp), NOT
+// the live drifting coder state — and the SAME frame-level lambda
+// (lambda_mode = 0.57*2^((slice_qp_y-12)/3)) for every TB including
+// chroma.  The residual-context init values below mirror
+// spec/tables.py CTX_INIT rows for initType 0 and 2 (spec 9.3.2.2).
 struct FracBits {
   int32_t t[64][2];
   FracBits() {
@@ -649,10 +725,80 @@ struct FracBits {
   }
 };
 
-inline int32_t rdoq_ctx_bits(const Encoder *e, int lin_idx, int b) {
+// family offsets within the 94-entry RDOQ context snapshot
+enum {
+  kRdoqLastPrefix = 0,   // 18
+  kRdoqCsbf = 18,        // 4
+  kRdoqSig = 22,         // 42
+  kRdoqGt1 = 64,         // 24
+  kRdoqGt2 = 88,         // 6
+  kRdoqNCtx = 94,
+};
+
+// initType 0 (intra CU) / initType 2 (inter CU) init values, concatenated
+// last_prefix | csbf | sig | gt1 | gt2 (spec/tables.py CTX_INIT).
+static const uint8_t kRdoqInit[2][kRdoqNCtx] = {
+    {110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111,
+     79,  108, 123, 63,
+     91,  171, 134, 141,
+     111, 111, 125, 110, 110, 94,  124, 108, 124, 107, 125, 141, 179, 153,
+     125, 107, 125, 141, 179, 153, 125, 107, 125, 141, 179, 153, 125, 140,
+     139, 182, 182, 152, 136, 152, 136, 153, 136, 139, 111, 136, 139, 111,
+     140, 92,  137, 138, 140, 152, 138, 139, 153, 74,  149, 92,  139, 107,
+     122, 152, 140, 179, 166, 182, 140, 227, 122, 197,
+     138, 153, 136, 167, 152, 152},
+    {125, 110, 124, 110, 95,  94,  125, 111, 111, 79,  125, 126, 111, 111,
+     79,  108, 123, 93,
+     121, 140, 61,  154,
+     170, 154, 139, 153, 139, 123, 123, 63,  124, 166, 183, 140, 136, 153,
+     154, 166, 183, 140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 170,
+     153, 138, 138, 122, 121, 122, 121, 167, 151, 183, 140, 151, 183, 140,
+     154, 196, 167, 167, 154, 152, 167, 182, 182, 134, 149, 136, 153, 121,
+     136, 122, 169, 208, 166, 167, 154, 152, 167, 182,
+     107, 167, 91,  107, 107, 167},
+};
+
+struct RdoqCtx {
+  uint8_t state[kRdoqNCtx];
+  uint8_t mps[kRdoqNCtx];
+};
+
+// all (initType in {0,2}) x (qp 0..51) snapshots, built once (thread-safe
+// magic static; tiles call this concurrently)
+struct RdoqCtxAll {
+  RdoqCtx c[2][52];
+  RdoqCtxAll() {
+    for (int t = 0; t < 2; t++)
+      for (int qp = 0; qp < 52; qp++)
+        for (int i = 0; i < kRdoqNCtx; i++) {
+          int iv = kRdoqInit[t][i];
+          int slope = (iv >> 4) * 5 - 45;
+          int offset = ((iv & 15) << 3) - 16;
+          int pre = ((slope * qp) >> 4) + offset;
+          if (pre < 1) pre = 1;
+          if (pre > 126) pre = 126;
+          if (pre <= 63) {
+            c[t][qp].state[i] = (uint8_t)(63 - pre);
+            c[t][qp].mps[i] = 0;
+          } else {
+            c[t][qp].state[i] = (uint8_t)(pre - 64);
+            c[t][qp].mps[i] = 1;
+          }
+        }
+  }
+};
+
+inline const RdoqCtx *rdoq_ctx_for(int cu_intra, int qp) {
+  static const RdoqCtxAll all;
+  if (qp < 0) qp = 0;
+  if (qp > 51) qp = 51;
+  return &all.c[cu_intra ? 0 : 1][qp];
+}
+
+inline int32_t rdoq_ctx_bits(const RdoqCtx *rc, int lin_idx, int b) {
   static const FracBits fb;
-  int st = e->state[lin_idx];
-  int mps = e->mps[lin_idx];
+  int st = rc->state[lin_idx];
+  int mps = rc->mps[lin_idx];
   return fb.t[st][b != mps ? 1 : 0];
 }
 
@@ -672,7 +818,7 @@ inline void rdoq_last_prefix(int pos, int *prefix, int *suffix_len) {
   *prefix = 2 + sl * 2 + ((pos >> sl) & 1);
 }
 
-inline int32_t rdoq_last_bits(const Encoder *e, int px_, int py_, int lg,
+inline int32_t rdoq_last_bits(const RdoqCtx *rc, int px_, int py_, int lg,
                               int c_idx) {
   int g_max = (lg << 1) - 1;
   int offset, shift;
@@ -683,33 +829,33 @@ inline int32_t rdoq_last_bits(const Encoder *e, int px_, int py_, int lg,
     int p, sl;
     rdoq_last_prefix(pos[t], &p, &sl);
     for (int i = 0; i < p; i++)
-      total += rdoq_ctx_bits(e, e->off.last_prefix + offset + (i >> shift),
+      total += rdoq_ctx_bits(rc, kRdoqLastPrefix + offset + (i >> shift),
                              1);
     if (p < g_max)
-      total += rdoq_ctx_bits(e, e->off.last_prefix + offset + (p >> shift),
+      total += rdoq_ctx_bits(rc, kRdoqLastPrefix + offset + (p >> shift),
                              0);
     if (p > 3) total += sl * 32768;
   }
   return total;
 }
 
-inline int32_t rdoq_level_bits(const Encoder *e, int lvl, int k, int c1,
+inline int32_t rdoq_level_bits(const RdoqCtx *rc, int lvl, int k, int c1,
                                int ctx_set, bool gt2_open, int rice,
                                int c_idx) {
   int32_t total = 32768;  // sign (bypass)
   if (k < 8) {
     int base = (c_idx ? 16 : 0) + 4 * ctx_set + c1;
     if (lvl > 1) {
-      total += rdoq_ctx_bits(e, e->off.gt1 + base, 1);
+      total += rdoq_ctx_bits(rc, kRdoqGt1 + base, 1);
       if (gt2_open) {
         int ctx2 = (c_idx ? 4 : 0) + ctx_set;
-        total += rdoq_ctx_bits(e, e->off.gt2 + ctx2, lvl > 2 ? 1 : 0);
+        total += rdoq_ctx_bits(rc, kRdoqGt2 + ctx2, lvl > 2 ? 1 : 0);
         if (lvl > 2) total += rdoq_rem_bits(lvl - 3, rice);
       } else {
         total += rdoq_rem_bits(lvl - 2, rice);
       }
     } else {
-      total += rdoq_ctx_bits(e, e->off.gt1 + base, 0);
+      total += rdoq_ctx_bits(rc, kRdoqGt1 + base, 0);
     }
   } else {
     total += rdoq_rem_bits(lvl - 1, rice);
@@ -718,10 +864,13 @@ inline int32_t rdoq_level_bits(const Encoder *e, int lvl, int k, int c1,
 }
 
 // Returns true if any level nonzero. coeff/levels: [n*n] raster.
-bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
-                   int bit_depth, int c_idx, int scan_idx,
+// cu_intra selects the rate-model initType (0 intra / 2 inter) exactly as
+// spec/encoder.py _quantize_tb does; lambda is the frame-level
+// lambda_mode derived from the slice luma QP for every component.
+bool quantize_rdoq(int slice_qp_y, const int32_t *coeff, int lg, int qp,
+                   int bit_depth, int c_idx, int scan_idx, int cu_intra,
                    int32_t *levels_out) {
-  const Encoder *e = s->e;
+  const RdoqCtx *rc = rdoq_ctx_for(cu_intra, qp);
   const Scan &sc = g_scans[lg - 2][scan_idx];
   int size = 1 << lg;
   int n_coeffs = size * size;
@@ -730,7 +879,7 @@ bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
   int64_t q_scale = kQuantScales[qp % 6];
   double err_scale =
       1.0 / ((double)q_scale * (double)q_scale * (double)(1ll << (2 * tshift)));
-  double lam = 0.57 * std::pow(2.0, (qp - 12) / 3.0);
+  double lam = 0.57 * std::pow(2.0, (slice_qp_y - 12) / 3.0);
   double lam_frac = lam / 32768.0;
 
   static thread_local std::vector<int64_t> ld_v;
@@ -781,8 +930,8 @@ bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
       double d0 = (double)ld_v[p] * (double)ld_v[p] * err_scale;
       cost_zero[p] = d0;
       int sctx = sig_ctx_inc(lg, c_idx, x, y, scan_idx, right, below);
-      int32_t s0 = rdoq_ctx_bits(e, e->off.sig + sctx, 0);
-      int32_t s1 = rdoq_ctx_bits(e, e->off.sig + sctx, 1);
+      int32_t s0 = rdoq_ctx_bits(rc, kRdoqSig + sctx, 0);
+      int32_t s1 = rdoq_ctx_bits(rc, kRdoqSig + sctx, 1);
       double best_cost = d0 + lam_frac * s0;
       int best_lvl = 0;
       if (m_v[p] > 0) {
@@ -790,7 +939,7 @@ bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
         for (int lvl = m_v[p]; lvl >= lo; lvl--) {
           double eq = (double)(ld_v[p] - ((int64_t)lvl << qbits));
           double d = eq * eq * err_scale;
-          double r = s1 + rdoq_level_bits(e, lvl, k, c1, ctx_set,
+          double r = s1 + rdoq_level_bits(rc, lvl, k, c1, ctx_set,
                                           gt2_open, rice, c_idx);
           double cst = d + lam_frac * r;
           if (cst < best_cost) { best_cost = cst; best_lvl = lvl; }
@@ -818,8 +967,8 @@ bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
     for (int n = 0; n <= start; n++) cg_nz |= lv_v[ci * 16 + n] != 0;
     if (!is_last_cg && ci > 0) {
       int cctx = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
-      double b0 = lam_frac * rdoq_ctx_bits(e, e->off.csbf + cctx, 0);
-      double b1 = lam_frac * rdoq_ctx_bits(e, e->off.csbf + cctx, 1);
+      double b0 = lam_frac * rdoq_ctx_bits(rc, kRdoqCsbf + cctx, 0);
+      double b1 = lam_frac * rdoq_ctx_bits(rc, kRdoqCsbf + cctx, 1);
       if (!cg_nz || cg_zero + b0 < cg_keep + b1) {
         for (int n = 0; n < 16; n++) lv_v[ci * 16 + n] = 0;
         cg_nz = false;
@@ -842,7 +991,7 @@ bool quantize_rdoq(SliceEnc *s, const int32_t *coeff, int lg, int qp,
     int p = nzp[j];
     int lx = sc.x[p], ly = sc.y[p];
     if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
-    double total = drop + lam_frac * rdoq_last_bits(e, lx, ly, lg, c_idx) -
+    double total = drop + lam_frac * rdoq_last_bits(rc, lx, ly, lg, c_idx) -
                    sig1_v[p];
     if (!have_best || total < best_total) {
       best_total = total;
@@ -1252,7 +1401,7 @@ void encode_merge_idx_cpp(SliceEnc *s, int idx) {
 int scan_for(int lg, int c_idx, int mode);
 
 bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
-               int32_t *levels_out) {
+               int32_t *levels_out, int *ts_out = nullptr) {
   Frame &f = *s->f;
   int n = 1 << lg;
   int w = f.pw(c_idx);
@@ -1278,6 +1427,7 @@ bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
   int32_t rq[32 * 32];
   if (s->lossless) {
     cbf = false;
+    if (ts_out) *ts_out = 0;
     for (int i = 0; i < n * n; i++) {
       levels_out[i] = res[i];
       cbf |= res[i] != 0;
@@ -1286,20 +1436,51 @@ bool commit_tb(SliceEnc *s, int c_idx, int x, int y, int lg, int mode,
   } else {
     bool dst = (c_idx == 0 && lg == 2);
     int qp = c_idx == 0 ? s->qp_y : c_idx == 1 ? s->qp_cb : s->qp_cr;
+    int scan = scan_for(lg, c_idx, mode);
     int32_t coeff[32 * 32];
     fwd_transform(res, lg, dst, f.bit_depth, coeff, &s->trbuf);
-    cbf = s->rdoq ? quantize_rdoq(s, coeff, lg, qp, f.bit_depth, c_idx,
-                                  scan_for(lg, c_idx, mode), levels_out)
+    cbf = s->rdoq ? quantize_rdoq(s->qp_y, coeff, lg, qp, f.bit_depth, c_idx,
+                                  scan, 1, levels_out)
                   : quantize(coeff, lg, qp, f.bit_depth, levels_out);
     if (cbf && s->sdh)
-      sdh_adjust(levels_out, coeff, lg, qp, f.bit_depth,
-                 scan_for(lg, c_idx, mode));
+      sdh_adjust(levels_out, coeff, lg, qp, f.bit_depth, scan);
     if (cbf) {
       int32_t deq[32 * 32];
       dequantize(levels_out, lg, qp, f.bit_depth, deq);
       inv_transform(deq, lg, dst, f.bit_depth, rq, &s->trbuf);
     } else {
       std::memset(rq, 0, sizeof(int32_t) * n * n);
+    }
+    // transform-skip variant for 4x4 TBs (PPS flag on): RD choice with
+    // the integer-exact cost shared with codec/encoder.py _commit_tu
+    if (ts_out && s->ts_enabled && lg == 2) {
+      double lam = 0.57 * std::pow(2.0, (s->qp_y - 12) / 3.0);
+      // rq is the DCT-variant recon (zeros when !cbf; levels_out too)
+      double cost_dct = (double)sse_blk(res, rq, 4)
+                        + lam * (double)ts_bits_est(levels_out, 4);
+      int32_t cts[16], lts[16], deq_ts[16], rq_ts[16];
+      fwd_transform_skip(res, f.bit_depth, cts);
+      bool cbf_ts = quantize(cts, 2, qp, f.bit_depth, lts);
+      if (cbf_ts && s->sdh)
+        sdh_adjust(lts, cts, 2, qp, f.bit_depth, scan);
+      if (cbf_ts) {
+        dequantize(lts, 2, qp, f.bit_depth, deq_ts);
+        inv_transform_skip(deq_ts, f.bit_depth, rq_ts);
+      } else {
+        std::memset(rq_ts, 0, sizeof(rq_ts));
+      }
+      double cost_ts = (double)sse_blk(res, rq_ts, 4)
+                       + lam * (double)ts_bits_est(lts, 4);
+      if (cost_ts < cost_dct) {
+        cbf = cbf_ts;
+        std::memcpy(levels_out, lts, sizeof(lts));
+        std::memcpy(rq, rq_ts, sizeof(rq_ts));
+        *ts_out = cbf_ts ? 1 : 0;
+      } else {
+        *ts_out = 0;
+      }
+    } else if (ts_out) {
+      *ts_out = 0;
     }
   }
   int maxv = (1 << f.bit_depth) - 1;
@@ -1402,7 +1583,8 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
   rq.assign(32 * 32, 0);
   bool cbf_y[4] = {}, cbf_cb[4] = {}, cbf_cr[4] = {};
 
-  auto do_tb = [&](int ci, int ti, int32_t *levels, bool *cbf) {
+  auto do_tb = [&](int ci, int ti, int32_t *levels, bool *cbf,
+                   int *ts_out) {
     int bs = ci == 0 ? tn : tn / 2;
     int blg = ci == 0 ? tlg : tlg - 1;
     int ox = (n_tus == 1 ? 0 : (ti & 1) * half) >> (ci ? 1 : 0);
@@ -1431,7 +1613,7 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       fwd_transform(res.data(), blg, false, f.bit_depth, coeff.data(),
                     &s->trbuf);
       if (s->rdoq) {
-        any = quantize_rdoq(s, coeff.data(), blg, qp, f.bit_depth, ci, 0,
+        any = quantize_rdoq(s->qp_y, coeff.data(), blg, qp, f.bit_depth, ci, 0, 0,
                             levels);
       } else {
         // inter dead-zone offset (85/512)
@@ -1456,6 +1638,38 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
         dequantize(levels, blg, qp, f.bit_depth, deq.data());
         inv_transform(deq.data(), blg, false, f.bit_depth, rq.data(),
                       &s->trbuf);
+      } else {
+        std::memset(rq.data(), 0, sizeof(int32_t) * bs * bs);
+      }
+      // transform-skip variant for 4x4 TBs (inter twin of commit_tb's;
+      // integer-exact cost shared with codec/encoder.py _commit_inter)
+      if (ts_out && s->ts_enabled && blg == 2) {
+        double lam = 0.57 * std::pow(2.0, (s->qp_y - 12) / 3.0);
+        double cost_dct = (double)sse_blk(res.data(), rq.data(), 4)
+                          + lam * (double)ts_bits_est(levels, 4);
+        int32_t cts[16], lts[16], deq_ts[16], rq_ts[16];
+        fwd_transform_skip(res.data(), f.bit_depth, cts);
+        bool cbf_ts = quantize_inter(cts, 2, qp, f.bit_depth, lts);
+        if (cbf_ts && s->sdh)
+          sdh_adjust(lts, cts, 2, qp, f.bit_depth, 0);
+        if (cbf_ts) {
+          dequantize(lts, 2, qp, f.bit_depth, deq_ts);
+          inv_transform_skip(deq_ts, f.bit_depth, rq_ts);
+        } else {
+          std::memset(rq_ts, 0, sizeof(rq_ts));
+        }
+        double cost_ts = (double)sse_blk(res.data(), rq_ts, 4)
+                         + lam * (double)ts_bits_est(lts, 4);
+        if (cost_ts < cost_dct) {
+          any = cbf_ts;
+          std::memcpy(levels, lts, sizeof(lts));
+          std::memcpy(rq.data(), rq_ts, sizeof(rq_ts));
+          *ts_out = cbf_ts ? 1 : 0;
+        } else {
+          *ts_out = 0;
+        }
+      } else if (ts_out) {
+        *ts_out = 0;
       }
     }
     *cbf = any;
@@ -1468,10 +1682,13 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
         plane[(by + yy) * sw + (bx + xx)] = clampi(v, 0, maxv);
       }
   };
+  int ts_cb_f[4] = {0, 0, 0, 0}, ts_cr_f[4] = {0, 0, 0, 0};
   for (int ti = 0; ti < n_tus; ti++) {
-    do_tb(0, ti, lv_y.data() + ti * tn * tn, &cbf_y[ti]);
-    do_tb(1, ti, lv_cb.data() + ti * (tn / 2) * (tn / 2), &cbf_cb[ti]);
-    do_tb(2, ti, lv_cr.data() + ti * (tn / 2) * (tn / 2), &cbf_cr[ti]);
+    do_tb(0, ti, lv_y.data() + ti * tn * tn, &cbf_y[ti], nullptr);
+    do_tb(1, ti, lv_cb.data() + ti * (tn / 2) * (tn / 2), &cbf_cb[ti],
+          &ts_cb_f[ti]);
+    do_tb(2, ti, lv_cr.data() + ti * (tn / 2) * (tn / 2), &cbf_cr[ti],
+          &ts_cr_f[ti]);
   }
   bool cbf_any = false, cbf_y_any = false;
   for (int ti = 0; ti < n_tus; ti++) {
@@ -1643,16 +1860,22 @@ void emit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       if (present)
         e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0),
                       cbf_y[ti]);
+      bool ts_ok = s->ts_enabled && !s->lossless;
+      int tg8 = (ty >> 3) * st.gw8 + (tx >> 3);
       if (cbf_y[ti]) {
         st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
         encode_residual(e, lv.data(), tlg, 0, 0, s->sdh);
       }
       if (cbf_cb[ti]) {
+        if (ts_ok && tlg - 1 == 2)
+          e->encode_bin(s->off_ts + 1, st.ts_cb[tg8]);
         st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                       lv.data());
         encode_residual(e, lv.data(), tlg - 1, 1, 0, s->sdh);
       }
       if (cbf_cr[ti]) {
+        if (ts_ok && tlg - 1 == 2)
+          e->encode_bin(s->off_ts + 1, st.ts_cr[tg8]);
         st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                       lv.data());
         encode_residual(e, lv.data(), tlg - 1, 2, 0, s->sdh);
@@ -1674,15 +1897,19 @@ void commit_intra_cu(SliceEnc *s, int x, int y, int lg, int depth) {
   for (int i = 0; i < n_tus; i++) {
     int tx = n_tus == 1 ? x : x + (i & 1) * half;
     int ty = n_tus == 1 ? y : y + (i >> 1) * half;
+    int g8 = (ty >> 3) * st.gw8 + (tx >> 3);
+    int ts = 0;
     bool cy = commit_tb(s, 0, tx, ty, tlg, mode, lv);
     st.store_block(st.lv_y, f.coded_w, tx, ty, tn, lv);
     st.set_cbf(st.cbf_y, tx, ty, tn, cy);
-    bool ccb = commit_tb(s, 1, tx >> 1, ty >> 1, tlg - 1, mode, lv);
+    bool ccb = commit_tb(s, 1, tx >> 1, ty >> 1, tlg - 1, mode, lv, &ts);
     st.store_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2, lv);
     st.set_cbf(st.cbf_cb, tx, ty, tn, ccb);
-    bool ccr = commit_tb(s, 2, tx >> 1, ty >> 1, tlg - 1, mode, lv);
+    if (tlg - 1 == 2) st.ts_cb[g8] = (uint8_t)ts;
+    bool ccr = commit_tb(s, 2, tx >> 1, ty >> 1, tlg - 1, mode, lv, &ts);
     st.store_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2, lv);
     st.set_cbf(st.cbf_cr, tx, ty, tn, ccr);
+    if (tlg - 1 == 2) st.ts_cr[g8] = (uint8_t)ts;
   }
   set_cu(s, x, y, 1 << lg, depth, mode);
   set_intra_motion(s, x, y, 1 << lg, false);
@@ -1747,16 +1974,22 @@ void emit_intra_cu(SliceEnc *s, int x, int y, int lg, int depth) {
       if (cr0) e->encode_bin(s->off_cbf_chroma + 1, cbf_cr[i]);
     }
     e->encode_bin(s->off_cbf_luma + (trafo_depth == 0 ? 1 : 0), cbf_y[i]);
+    bool ts_ok = s->ts_enabled && !s->lossless;
+    int tg8 = (ty >> 3) * st.gw8 + (tx >> 3);
     if (cbf_y[i]) {
       st.load_block(st.lv_y, f.coded_w, tx, ty, tn, lv.data());
       encode_residual(e, lv.data(), tlg, 0, scan_for(tlg, 0, mode), s->sdh);
     }
     if (cbf_cb[i]) {
+      if (ts_ok && tlg - 1 == 2)
+        e->encode_bin(s->off_ts + 1, st.ts_cb[tg8]);
       st.load_block(st.lv_cb, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                     lv.data());
       encode_residual(e, lv.data(), tlg - 1, 1, scan_for(tlg - 1, 1, mode), s->sdh);
     }
     if (cbf_cr[i]) {
+      if (ts_ok && tlg - 1 == 2)
+        e->encode_bin(s->off_ts + 1, st.ts_cr[tg8]);
       st.load_block(st.lv_cr, f.coded_w / 2, tx >> 1, ty >> 1, tn / 2,
                     lv.data());
       encode_residual(e, lv.data(), tlg - 1, 2, scan_for(tlg - 1, 2, mode), s->sdh);
@@ -2297,6 +2530,15 @@ void apply_mctx(SliceEnc &se, const int32_t *m, const int8_t *col_dir,
 }  // namespace
 
 extern "C" {
+
+// direct RDOQ TB entry (unit-test parity vs spec/rdoq.py)
+int hevc_rdoq_tb(const int32_t *coeff, int lg, int qp, int slice_qp_y,
+                 int bit_depth, int c_idx, int scan_idx, int cu_intra,
+                 int32_t *levels_out) {
+  init_scans();
+  return quantize_rdoq(slice_qp_y, coeff, lg, qp, bit_depth, c_idx,
+                       scan_idx, cu_intra, levels_out) ? 1 : 0;
+}
 
 // Deblock a reconstructed picture in place (luma+chroma, both directions).
 // depth_map: int8 [coded_h/8][coded_w/8]; motion field arrays may be null

@@ -230,7 +230,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
                              max(1, SEARCH_MICRO_BATCH // 2))
 
     def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr,
-            qp_y, qp_cb, qp_cr, qp_for_deblock, lam_sq):
+            qp_y, qp_cb, qp_cr, qp_for_deblock, lam_sqrt):
         from ..ops.me import inter_pred_planes
 
         dm = pk[:gh, :gw, 0].astype(jnp.int32)
@@ -251,7 +251,7 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
             sy, scb, scr, dm, mm, im, ipy, ipcb, ipcr,
             qp_y, qp_cb, qp_cr, coded_w, coded_h, 8, sdh,
             tile_bounds_x, tile_bounds_y, rdoq=rdoq,
-            lam=(lam_sq * lam_sq).astype(jnp.float32))
+            lam=(lam_sqrt * lam_sqrt).astype(jnp.float32))
         if deblock_on:
             cbf = tu_cbf_map(lv_y, dm, log2_ctu)
             # normalize: merge-candidate MVs of unused lists are zeroed

@@ -72,8 +72,11 @@ class EncoderConfig:
     num_ref_per_list: int = 2    # active references per list (HM CTC: 2+)
     temporal_mvp: bool = True    # TMVP merge/AMVP candidates (SPS flag)
 
-    # Rate control (0 = fixed QP)
+    # Rate control (0 = fixed QP); frame_rate feeds the R-lambda bit
+    # budget (bits/frame = target_bitrate / frame_rate) on both the
+    # classic and device RC paths
     target_bitrate: int = 0
+    frame_rate: float = 30.0
 
     # Frames per device dispatch on the all-intra pipelines (0 = default).
     # Larger groups amortize the fixed per-op overhead of the wavefront

@@ -159,7 +159,11 @@ def rdoq_quantize(coeffs: np.ndarray, qp: int, bit_depth: int,
             best_cost = d0 + lam_frac * s0
             best_lvl = 0
             if m[p] > 0:
-                for lvl in {m[p], max(1, m[p] - 1)}:
+                # defined candidate order (m, then m-1), strict < keeps the
+                # earlier candidate on cost ties — mirrored bit-for-bit by
+                # the C++ quantize_rdoq loop
+                cands = (m[p],) if m[p] == 1 else (m[p], m[p] - 1)
+                for lvl in cands:
                     e = float(ld[p] - (lvl << qbits))
                     d = e * e * err_scale
                     r = s1 + _level_bits(ctx, lvl, k, c1, ctx_set,

@@ -44,5 +44,5 @@ def test_device_rc_converges_within_5pct():
     stream, _ = TpuEncoder(cfg).encode(frames)
     pics = SpecDecoder().decode(stream)
     assert len(pics) == N and all(p.hash_ok for p in pics)
-    realized = len(stream) * 8 * 30.0 / N        # bit/s at 30 fps
+    realized = len(stream) * 8 * cfg.frame_rate / N  # bit/s at cfg fps
     assert abs(realized - target) / target < 0.05, realized
