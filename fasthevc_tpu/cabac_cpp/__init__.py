@@ -113,7 +113,7 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,  # slice_type, dir/mv
         i16p, i16p, i16p,                    # levels planes
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [23]
+        i32p,                                # ctx offsets [24]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_void_p,       # sao_enabled, sao_params
         ctypes.c_int,                        # sdh
@@ -130,10 +130,10 @@ def _load():
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [23]
+        i32p,                                # ctx offsets [24]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_int,          # deblock_enabled, sao_enabled
-        ctypes.c_int,                        # quant_flags (rdoq | sdh<<1)
+        ctypes.c_int,                        # quant_flags (rdoq | sdh<<1 | ts<<2)
         ctypes.c_int, i8p, i16p,             # slice_type, dir_map, mv_map
         i32p, i32p, i32p, i32p, i32p, i32p,  # ref planes l0 + l1
         i32p, i32p, u8p, u8p,                # motion field export
@@ -156,7 +156,7 @@ _OFFSET_ORDER = [
     "prev_intra_luma_pred_flag", "intra_chroma_pred_mode", "cbf_luma",
     "cbf_chroma", "cu_skip_flag", "pred_mode_flag", "merge_flag",
     "merge_idx", "inter_pred_idc", "mvd_flag", "mvp_flag", "rqt_root_cbf",
-    "sao_merge_flag", "sao_type_idx", "ref_idx",
+    "sao_merge_flag", "sao_type_idx", "ref_idx", "transform_skip_flag",
 ]
 
 
@@ -197,7 +197,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         slice_type: int = 2, dir_map=None, mv_map=None,
                         refs=((), ()), deblock: bool = False,
                         sao: bool = False, rdoq: bool = False,
-                        sdh: bool = False, mctx=None, ref_map=None):
+                        sdh: bool = False, ts: bool = False, mctx=None,
+                        ref_map=None):
     """Run the two-phase C++ slice engine: commit, then in-loop filters
     (deblock + SAO when enabled), then entropy — for one decided slice
     (I/P/B), with tiles executed on parallel threads. The returned recon
@@ -281,7 +282,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
         dm.shape[1], states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b,
-        int(deblock), int(sao), int(rdoq) | (int(sdh) << 1),
+        int(deblock), int(sao),
+        int(rdoq) | (int(sdh) << 1) | (int(ts) << 2),
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes,
@@ -300,6 +302,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
 def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
                          lv_y, lv_cb, lv_cr, ctx: ContextSet,
                          sao_params=None, sdh: bool = True,
+                         ts: bool = False,
                          lossless: bool = False, slice_type: int = 2,
                          dir_map=None, mv_map=None, mctx=None,
                          ref_map=None):
@@ -356,7 +359,7 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
         dm.shape[1], int(slice_type), dir_ptr, mv_ptr,
         lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b, sao_on, sao_ptr,
-        int(sdh), payload, sizes,
+        int(sdh) | (int(ts) << 1), payload, sizes,
         mctx_p, cd_p, cm_p, cr_p, rm_p)
     subs = []
     off = 0

@@ -1710,6 +1710,11 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
     st.set_cbf(st.cbf_y, tx, ty, tn, cbf_y[ti]);
     st.set_cbf(st.cbf_cb, tx, ty, tn, cbf_cb[ti]);
     st.set_cbf(st.cbf_cr, tx, ty, tn, cbf_cr[ti]);
+    if (tlg - 1 == 2) {
+      int tg8 = (ty >> 3) * st.gw8 + (tx >> 3);
+      st.ts_cb[tg8] = (uint8_t)ts_cb_f[ti];
+      st.ts_cr[tg8] = (uint8_t)ts_cr_f[ti];
+    }
   }
 
   // ---- merge/AMVP decision (mirror of the Python commit) ---------------
@@ -2693,6 +2698,8 @@ int hevc_encode_slice_tiled(
     se.bypass_enabled = bypass_enabled;
     se.rdoq = (quant_flags & 1) != 0;
     se.sdh = !lossless && (quant_flags & 2) != 0;
+    se.ts_enabled = !lossless && (quant_flags & 4) != 0;
+    se.off_ts = ctx_offsets[23];
     se.src_y = src_y;
     se.src_cb = src_cb;
     se.src_cr = src_cr;
@@ -2885,7 +2892,7 @@ int hevc_entropy_slice_tiled(
     const uint8_t *ctx_states, const uint8_t *ctx_mps, int n_ctx,
     const int32_t *ctx_offsets, int n_tile_cols, int n_tile_rows,
     const int32_t *tile_col_bounds, const int32_t *tile_row_bounds,
-    int sao_enabled, const int32_t *sao_params, int sdh,
+    int sao_enabled, const int32_t *sao_params, int sdh_flags,
     uint8_t *payload, int32_t *tile_sizes,
     // motion context for merge/AMVP derivation (nullable -> single-ref)
     const int32_t *mctx_scalars, const int8_t *col_dir,
@@ -3014,7 +3021,9 @@ int hevc_entropy_slice_tiled(
     se.qp_cr = qp_cr;
     se.lossless = lossless;
     se.bypass_enabled = bypass_enabled;
-    se.sdh = !lossless && sdh;
+    se.sdh = !lossless && (sdh_flags & 1);
+    se.ts_enabled = !lossless && (sdh_flags & 2);
+    se.off_ts = ctx_offsets[23];
     se.depth_map = depth_map;
     se.mode_map = mode_map;
     se.dm_w = dm_w;

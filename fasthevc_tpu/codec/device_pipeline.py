@@ -226,8 +226,14 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
 
     args = ((y_u8, r0_y_pad, r1_y_pad, lambda_sqrt, nref0, nref1) if is_b
             else (y_u8, r0_y_pad, lambda_sqrt, nref0))
-    packed = _lax_map_frames(search_mb, args, f_total,
-                             max(1, SEARCH_MICRO_BATCH // 2))
+    # HBM guard: the multi-ref B search gathers ME tier windows for up to
+    # 4 distinct reference planes per frame; at HD+ two frames of that
+    # state alongside the batch-8 commit crashed the r4 chip (BENCH_r04
+    # "INTERNAL: TPU backend error").  One frame at a time keeps the
+    # peak bounded; P frames (<=2 ref planes) keep the wider micro-batch.
+    mb_inter = (1 if (is_b and coded_w * coded_h >= 1280 * 720)
+                else max(1, SEARCH_MICRO_BATCH // 2))
+    packed = _lax_map_frames(search_mb, args, f_total, mb_inter)
 
     def one(y, cbp, crp, pk, q0y, q0cb, q0cr, q1y, q1cb, q1cr,
             qp_y, qp_cb, qp_cr, qp_for_deblock, lam_sqrt):

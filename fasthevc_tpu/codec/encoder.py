@@ -90,9 +90,11 @@ class TpuEncoder:
         # -> entropy); the Python fallback path has no SAO pass
         self.sp.sao_enabled = (cfg.sao and not cfg.lossless
                                and _native_engine() is not None)
-        # the native entropy engine does not emit transform_skip_flag yet;
-        # with the PPS flag on every 4x4 residual would misparse
-        self.sp.transform_skip_enabled = False
+        # transform_skip honored on the production path (r5): the native
+        # engine emits transform_skip_flag and RD-searches TS on 4x4 TBs
+        # (chroma of 8x8 CUs while TU==CU); lossless bypasses TQ entirely
+        self.sp.transform_skip_enabled = (bool(cfg.transform_skip)
+                                          and not cfg.lossless)
         self.lambda_sqrt = self._lambda_sqrt(cfg.qp)
         # learned fast-partition model (SURVEY.md E8): prunes the split DP
         self.partition_params = partition_params
@@ -129,6 +131,42 @@ class TpuEncoder:
         lam = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
         return rdoq_quantize(coeffs, qp, self.sp.bit_depth, blg,
                              0 if c_idx == 0 else 1, scan_idx, lam, ctx)
+
+    def _ts_rd_choose(self, res, levels_dct, qp, is_intra, scan_idx):
+        """Transform-skip RD choice for a 4x4 chroma TB — bit-for-bit
+        mirror of slice_engine.cpp commit_tb/do_tb: integer-exact bits
+        estimate (2 + 2*bit_length per nonzero level), frame-qp lambda,
+        strict < keeps the DCT variant on ties.  Returns (levels, ts)."""
+        sp = self.sp
+        bd = sp.bit_depth
+        lam = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
+
+        def ibits(lv):
+            a = np.abs(lv)
+            return int(sum(2 + 2 * int(v).bit_length() for v in a[a > 0]))
+
+        def recon(lv, ts):
+            if not lv.any():
+                return np.zeros_like(res)
+            deq = spec_tr.dequantize(lv, qp, bd)
+            return (spec_tr.inverse_transform_skip(deq, bd) if ts
+                    else spec_tr.inverse_transform(deq, bd, False))
+
+        rq = recon(levels_dct, False)
+        d = (res - rq).astype(np.int64)
+        cost_dct = float((d * d).sum()) + lam * ibits(levels_dct)
+        coeffs_ts = spec_tr.forward_transform_skip(res, bd)
+        levels_ts = spec_tr.quantize(coeffs_ts, qp, bd, is_intra=is_intra)
+        if sp.sign_data_hiding and levels_ts.any():
+            from ..spec.residual import sdh_adjust
+            levels_ts = sdh_adjust(levels_ts, coeffs_ts, qp, bd, 2,
+                                   scan_idx)
+        rq_ts = recon(levels_ts, True)
+        d = (res - rq_ts).astype(np.int64)
+        cost_ts = float((d * d).sum()) + lam * ibits(levels_ts)
+        if cost_ts < cost_dct:
+            return levels_ts, True
+        return levels_dct, False
 
     def _apply_fast_partition(self, dec, y_pad, pw, ph):
         """Replace the DP split decisions with the CNN's partition map."""
@@ -339,7 +377,7 @@ class TpuEncoder:
                 sp, qp_y, qp_cb, qp_cr, depth, mode,
                 lvs[0], lvs[1], lvs[2], ContextSet(0, qp_s),
                 sao_params=res["sao"][j] if sao_on else None,
-                sdh=sp.sign_data_hiding)
+                sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled)
             sh = SliceHeader(
                 slice_type=SLICE_I, slice_qp=qp_s, is_idr=True, poc_lsb=0,
                 sao_luma=sao_on, sao_chroma=sao_on,
@@ -702,7 +740,8 @@ class TpuEncoder:
                 sp, qp_y, qp_cb, qp_cr, depth, mode,
                 lvs[0], lvs[1], lvs[2], ContextSet(init_type, qp),
                 sao_params=res["sao"][j] if sao_on else None,
-                sdh=sp.sign_data_hiding, mctx=mctx, **kw)
+                sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled,
+                mctx=mctx, **kw)
             nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
             sh = SliceHeader(
                 slice_type=st, slice_qp=qp, is_idr=is_idr,
@@ -956,7 +995,7 @@ class TpuEncoder:
             mv_map=mv_map, refs=refs,
             deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
             rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding,
-            mctx=mctx, ref_map=ref_map)
+            ts=sp.transform_skip_enabled, mctx=mctx, ref_map=ref_map)
         self._last_motion = _NativeMotion(motion[0], motion[1], motion[3])
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
@@ -1226,6 +1265,7 @@ class TpuEncoder:
                 o_y, o_x = oy >> sub, ox >> sub
                 res = (srcp[o_y:o_y + tn, o_x:o_x + tn]
                        - predp[o_y:o_y + tn, o_x:o_x + tn])
+                ts = False
                 if cu.bypass:
                     levels = res.astype(np.int32)
                 else:
@@ -1237,14 +1277,21 @@ class TpuEncoder:
                         from ..spec.residual import sdh_adjust
                         levels = sdh_adjust(levels, coeffs, qp,
                                             sp.bit_depth, tlg - sub, 0)
+                    if (sp.transform_skip_enabled and tlg - sub == 2
+                            and ci != 0):
+                        levels, ts = self._ts_rd_choose(res, levels, qp,
+                                                        False, 0)
                 if not levels.any():
                     levels = None
+                    ts = False
                 if ci == 0:
                     tu.levels_y = levels
                 elif ci == 1:
                     tu.levels_cb = levels
+                    tu.ts_cb = ts
                 else:
                     tu.levels_cr = levels
+                    tu.ts_cr = ts
             cu.tus.append(tu)
         cbf_any = any(t.levels_y is not None or t.levels_cb is not None
                       or t.levels_cr is not None for t in cu.tus)
@@ -1274,6 +1321,7 @@ class TpuEncoder:
             pred = ctu_mod.predict_block(planes, sp, bx, by, blg, mode,
                                          c_idx)
             res = s - pred
+            ts = False
             if cu.bypass:
                 levels = res.astype(np.int32)
             else:
@@ -1287,15 +1335,22 @@ class TpuEncoder:
                 if sp.sign_data_hiding and levels.any():
                     levels = res_mod.sdh_adjust(
                         levels, coeffs, qp, sp.bit_depth, blg, scan_idx)
+                if (sp.transform_skip_enabled and blg == 2
+                        and c_idx != 0):
+                    levels, ts = self._ts_rd_choose(res, levels, qp, True,
+                                                    scan_idx)
             if not levels.any():
                 levels = None
+                ts = False
             # reconstruct (reuses pred computation; exactness is what counts)
             ctu_mod.reconstruct_tb(planes, sp, bx, by, blg, mode, c_idx,
-                                   levels, qp, cu.bypass)
+                                   levels, qp, cu.bypass, ts)
             if c_idx == 0:
                 tu.levels_y = levels
             elif c_idx == 1:
                 tu.levels_cb = levels
+                tu.ts_cb = ts
             else:
                 tu.levels_cr = levels
+                tu.ts_cr = ts
         return tu

@@ -302,7 +302,7 @@ def sharded_encode_all_intra(frames, cfg, mesh: Mesh):
                 sp, qp_y, qp_cb, qp_cr, depth, mode, lv_y[j], lv_cb[j],
                 lv_cr[j], ContextSet(0, qp),
                 sao_params=sao_np[j] if cfg.sao else None,
-                sdh=sp.sign_data_hiding)
+                sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled)
             sh = SliceHeader(slice_type=2, slice_qp=qp, is_idr=True,
                              poc_lsb=0, sao_luma=bool(cfg.sao),
                              sao_chroma=bool(cfg.sao),
@@ -581,7 +581,8 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
                 sp, qp_y, qp_cb, qp_cr, depth, mode, lvy_h[r], lvcb_h[r],
                 lvcr_h[r], ContextSet(0 if step == 0 else 1, qp),
                 sao_params=sao_h[r] if cfg.sao else None,
-                sdh=sp.sign_data_hiding, **kw)
+                sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled,
+                **kw)
             sh = SliceHeader(
                 slice_type=2 if step == 0 else 1, slice_qp=qp,
                 is_idr=step == 0,

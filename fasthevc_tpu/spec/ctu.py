@@ -747,9 +747,12 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
         recon_y, recon_cb, recon_cr = pred_y, pred_cb, pred_cr
     elif n_tus == 1:
         tu = cu.tus[0]
-        recon_y = add_residual(pred_y, tu.levels_y, qp_y, cu.bypass)
-        recon_cb = add_residual(pred_cb, tu.levels_cb, qp_cb, cu.bypass)
-        recon_cr = add_residual(pred_cr, tu.levels_cr, qp_cr, cu.bypass)
+        recon_y = add_residual(pred_y, tu.levels_y, qp_y, cu.bypass,
+                               tu.ts_y)
+        recon_cb = add_residual(pred_cb, tu.levels_cb, qp_cb, cu.bypass,
+                                tu.ts_cb)
+        recon_cr = add_residual(pred_cr, tu.levels_cr, qp_cr, cu.bypass,
+                                tu.ts_cr)
     else:  # forced 64->4x32 split
         recon_y = pred_y.copy()
         recon_cb = pred_cb.copy()

@@ -79,3 +79,70 @@ def test_ts_flag_off_means_identical_stream():
     s1, _ = SpecEncoder(cfg).encode(frames)
     s2, _ = SpecEncoder(cfg.replace(transform_skip=False)).encode(frames)
     assert s1 == s2
+
+
+# ---- production path (TpuEncoder + native engine), r5 ---------------------
+
+def _chroma_sharp_clip(w, h, n=1, seed=9):
+    """Colored sharp blocks: chroma step edges whose 4x4 TBs favor TS."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        y = np.full((h, w), 140, np.uint8)
+        cb = np.full((h // 2, w // 2), 128, np.uint8)
+        cr = np.full((h // 2, w // 2), 128, np.uint8)
+        for _ in range(w * h // 128):
+            x0 = int(rng.integers(0, w // 2 - 3))
+            y0 = int(rng.integers(0, h // 2 - 3))
+            cb[y0:y0 + 2, x0:x0 + 2] = int(rng.integers(0, 255))
+            cr[y0:y0 + 2, x0:x0 + 2] = int(rng.integers(0, 255))
+            y[2 * y0:2 * y0 + 4, 2 * x0:2 * x0 + 4] = int(rng.integers(0, 255))
+        out.append((y, cb, cr))
+    return out
+
+
+def test_production_ts_native_python_parity(monkeypatch):
+    """TpuEncoder with transform_skip=True: the native engine and the
+    Python fallback must make identical TS choices (byte-identical
+    streams) and the stream must decode with hash OK."""
+    cpp = pytest.importorskip("fasthevc_tpu.cabac_cpp")
+    if not cpp.available():
+        pytest.skip("C++ toolchain unavailable")
+    import fasthevc_tpu.codec.encoder as enc_mod
+    from fasthevc_tpu.codec.encoder import TpuEncoder
+
+    frames = _chroma_sharp_clip(64, 64, 1)
+    cfg = EncoderConfig(width=64, height=64, qp=35, frames=1, sao=False,
+                        transform_skip=True)
+    ns, nr = TpuEncoder(cfg).encode(frames)
+    with monkeypatch.context() as m:
+        m.setattr(enc_mod, "_native_engine", lambda: None)
+        ps, pr = TpuEncoder(cfg).encode(frames)
+    assert ns == ps, "native and python TS streams differ"
+    pics = SpecDecoder().decode(ns)
+    assert pics[0].hash_ok
+    np.testing.assert_array_equal(pics[0].planes.cb, nr[0].cb)
+
+
+def test_production_ts_changes_stream_and_decodes():
+    """transform_skip=True must be HONORED on the production path (the
+    r2-r4 silent force-off is gone): the chroma-sharp clip must produce a
+    different reconstruction with TS on (i.e. TS actually chosen), and
+    both streams must decode with hash OK."""
+    cpp = pytest.importorskip("fasthevc_tpu.cabac_cpp")
+    if not cpp.available():
+        pytest.skip("C++ toolchain unavailable")
+    from fasthevc_tpu.codec.encoder import TpuEncoder
+
+    frames = _chroma_sharp_clip(64, 64, 1)
+    cfg_on = EncoderConfig(width=64, height=64, qp=35, frames=1, sao=False,
+                          transform_skip=True)
+    s_on, r_on = TpuEncoder(cfg_on).encode(frames)
+    s_off, r_off = TpuEncoder(cfg_on.replace(transform_skip=False)).encode(
+        frames)
+    assert s_on != s_off, "PPS flag/TS syntax absent - flag silently ignored"
+    assert not np.array_equal(np.asarray(r_on[0].cb),
+                              np.asarray(r_off[0].cb)), \
+        "TS never chosen on chroma-sharp content"
+    for s in (s_on, s_off):
+        assert all(p.hash_ok for p in SpecDecoder().decode(s))
