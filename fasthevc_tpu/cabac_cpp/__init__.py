@@ -103,7 +103,8 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,tu
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # bd, qps
         i8p,                                 # depth_map
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # mf (nullable)
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # mf (nullable)
+        ctypes.c_void_p]                     # tusplit (nullable)
     lib.hevc_entropy_slice_tiled.restype = ctypes.c_int
     lib.hevc_entropy_slice_tiled.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # w,h,ctu,bd
@@ -113,7 +114,7 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,  # slice_type, dir/mv
         i16p, i16p, i16p,                    # levels planes
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [24]
+        i32p,                                # ctx offsets [25]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_void_p,       # sao_enabled, sao_params
         ctypes.c_int,                        # sdh
@@ -130,7 +131,7 @@ def _load():
         ctypes.c_int, ctypes.c_int,          # lossless, bypass_enabled
         i8p, i8p, ctypes.c_int,              # depth_map, mode_map, dm_w
         u8p, u8p, ctypes.c_int,              # ctx states/mps/n
-        i32p,                                # ctx offsets [24]
+        i32p,                                # ctx offsets [25]
         ctypes.c_int, ctypes.c_int, i32p, i32p,  # tiles
         ctypes.c_int, ctypes.c_int,          # deblock_enabled, sao_enabled
         ctypes.c_int,                        # quant_flags (rdoq | sdh<<1 | ts<<2)
@@ -157,6 +158,7 @@ _OFFSET_ORDER = [
     "cbf_chroma", "cu_skip_flag", "pred_mode_flag", "merge_flag",
     "merge_idx", "inter_pred_idc", "mvd_flag", "mvp_flag", "rqt_root_cbf",
     "sao_merge_flag", "sao_type_idx", "ref_idx", "transform_skip_flag",
+    "split_transform_flag",
 ]
 
 
@@ -197,8 +199,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         slice_type: int = 2, dir_map=None, mv_map=None,
                         refs=((), ()), deblock: bool = False,
                         sao: bool = False, rdoq: bool = False,
-                        sdh: bool = False, ts: bool = False, mctx=None,
-                        ref_map=None):
+                        sdh: bool = False, ts: bool = False,
+                        rqt: bool = False, mctx=None, ref_map=None):
     """Run the two-phase C++ slice engine: commit, then in-loop filters
     (deblock + SAO when enabled), then entropy — for one decided slice
     (I/P/B), with tiles executed on parallel threads. The returned recon
@@ -283,7 +285,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         dm.shape[1], states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b,
         int(deblock), int(sao),
-        int(rdoq) | (int(sdh) << 1) | (int(ts) << 2),
+        int(rdoq) | (int(sdh) << 1) | (int(ts) << 2) | (int(rqt) << 3),
         slice_type, dir_map, mv_map, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes,
@@ -302,7 +304,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
 def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
                          lv_y, lv_cb, lv_cr, ctx: ContextSet,
                          sao_params=None, sdh: bool = True,
-                         ts: bool = False,
+                         ts: bool = False, rqt: bool = False,
                          lossless: bool = False, slice_type: int = 2,
                          dir_map=None, mv_map=None, mctx=None,
                          ref_map=None):
@@ -359,7 +361,7 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
         dm.shape[1], int(slice_type), dir_ptr, mv_ptr,
         lv_y, lv_cb, lv_cr, states, mps, N_CTX, offsets,
         sp.tile_cols, sp.tile_rows, col_b, row_b, sao_on, sao_ptr,
-        int(sdh) | (int(ts) << 1), payload, sizes,
+        int(sdh) | (int(ts) << 1) | (int(rqt) << 2), payload, sizes,
         mctx_p, cd_p, cm_p, cr_p, rm_p)
     subs = []
     off = 0
@@ -371,7 +373,7 @@ def entropy_slice_native(sp, qp_y, qp_cb, qp_cr, depth_map, mode_map,
 
 
 def deblock_picture_native(planes, sp, depth_map, slice_qp, qp_cb, qp_cr,
-                           motion=None) -> None:
+                           motion=None, tusplit=None) -> None:
     """C++ deblocking filter (spec 8.7.2), in place on planes.y/cb/cr.
 
     Drop-in for spec.deblock.deblock_picture on the native path; motion is
@@ -381,6 +383,10 @@ def deblock_picture_native(planes, sp, depth_map, slice_qp, qp_cb, qp_cr,
     dm = np.ascontiguousarray(depth_map, dtype=np.int8)
     for p in (planes.y, planes.cb, planes.cr):
         assert p.dtype == np.int32 and p.flags["C_CONTIGUOUS"]
+    ts_p = None
+    if tusplit is not None:
+        ts_arr = np.ascontiguousarray(tusplit, dtype=np.uint8)
+        ts_p = ts_arr.ctypes.data_as(ctypes.c_void_p)
     if motion is None:
         mv_p = ref_p = cbf_p = None
     else:
@@ -393,7 +399,7 @@ def deblock_picture_native(planes, sp, depth_map, slice_qp, qp_cb, qp_cr,
     lib.hevc_deblock_picture(
         planes.y, planes.cb, planes.cr, sp.coded_width, sp.coded_height,
         sp.log2_ctu, sp.log2_max_tu, sp.bit_depth, slice_qp, qp_cb, qp_cr,
-        dm, mv_p, ref_p, cbf_p)
+        dm, mv_p, ref_p, cbf_p, ts_p)
 
 
 def available() -> bool:

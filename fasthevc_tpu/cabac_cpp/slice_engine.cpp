@@ -610,6 +610,8 @@ struct Stored {
   // transform_skip_flag per 8x8 CU granule (4x4 chroma TBs of 8x8 CUs —
   // the only TS-eligible TBs while TU==CU and min luma CU is 8x8)
   std::vector<uint8_t> ts_cb, ts_cr;
+  // depth-1 RQT split_transform_flag per 8x8 granule of the covering CU
+  std::vector<uint8_t> tusplit;
   void init(int w_, int h_) {
     w = w_; h = h_; gw8 = w_ >> 3; gh8 = h_ >> 3;
     lv_y.assign(w * h, 0);
@@ -623,6 +625,7 @@ struct Stored {
     mvd0x.assign(g, 0); mvd0y.assign(g, 0);
     mvd1x.assign(g, 0); mvd1y.assign(g, 0);
     ts_cb.assign(g, 0); ts_cr.assign(g, 0);
+    tusplit.assign(g, 0);
   }
   void store_block(std::vector<int32_t> &store, int stride, int x, int y,
                    int n, const int32_t *lv) {
@@ -662,6 +665,8 @@ struct SliceEnc {
   bool sdh = false;  // sign-data hiding (PPS sign_data_hiding_enabled_flag)
   bool ts_enabled = false;  // PPS transform_skip_enabled_flag
   int off_ts = -1;          // transform_skip_flag ctx offset (luma, +1 chroma)
+  bool rqt_enabled = false;  // SPS max_transform_hierarchy_depth_inter > 0
+  int off_split_tu = -1;     // split_transform_flag ctx offset
   int log2_min_cu = 3, log2_max_tu = 5;
   const uint8_t *src_y, *src_cb, *src_cr;
   const int8_t *depth_map, *mode_map;
@@ -1567,28 +1572,29 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
                         m.mv1x, m.mv1y, false, r1.data());
   blend(r0.data(), r1.data(), cn * cn, pred_cr.data());
 
-  // ---- residual TQ per TU (TU == CU; 64 -> 4x32 forced split) ----------
-  int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
-  int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
-  int tn = 1 << tlg;
-  int half = n >> 1;
+  // ---- residual TQ: TU == CU, 64 -> 4x32 forced split, or depth-1 RQT
+  // (split_transform_flag) — the RD choice is mirrored bit-for-bit by
+  // codec/encoder.py _commit_inter build_variant (integer-exact cost)
+  bool forced = lg > s->log2_max_tu;
   static thread_local std::vector<int32_t> lv_y, lv_cb, lv_cr, res, coeff,
-      deq, rq;
-  lv_y.assign(n_tus * tn * tn, 0);
-  lv_cb.assign(n_tus * (tn / 2) * (tn / 2), 0);
-  lv_cr.assign(n_tus * (tn / 2) * (tn / 2), 0);
+      deq, rq, lvs_y, lvs_cb, lvs_cr, recu_y, recu_cb, recu_cr, recs_y,
+      recs_cb, recs_cr;
   res.assign(32 * 32, 0);
   coeff.assign(32 * 32, 0);
   deq.assign(32 * 32, 0);
   rq.assign(32 * 32, 0);
   bool cbf_y[4] = {}, cbf_cb[4] = {}, cbf_cr[4] = {};
+  int ts_cb_f[4] = {0, 0, 0, 0}, ts_cr_f[4] = {0, 0, 0, 0};
 
-  auto do_tb = [&](int ci, int ti, int32_t *levels, bool *cbf,
-                   int *ts_out) {
-    int bs = ci == 0 ? tn : tn / 2;
-    int blg = ci == 0 ? tlg : tlg - 1;
-    int ox = (n_tus == 1 ? 0 : (ti & 1) * half) >> (ci ? 1 : 0);
-    int oy = (n_tus == 1 ? 0 : (ti >> 1) * half) >> (ci ? 1 : 0);
+  auto do_tb = [&](int nt, int t_lg, int ci, int ti, int32_t *levels,
+                   bool *cbf, int *ts_out, int32_t *rec, int64_t *sse_acc,
+                   int64_t *bits_acc) {
+    int t_n = 1 << t_lg;
+    int bs = ci == 0 ? t_n : t_n / 2;
+    int blg = ci == 0 ? t_lg : t_lg - 1;
+    int hf = n >> 1;
+    int ox = (nt == 1 ? 0 : (ti & 1) * hf) >> (ci ? 1 : 0);
+    int oy = (nt == 1 ? 0 : (ti >> 1) * hf) >> (ci ? 1 : 0);
     int bx = (ci == 0 ? x : x >> 1) + ox, by = (ci == 0 ? y : y >> 1) + oy;
     int pw = ci == 0 ? n : cn;
     const int32_t *pred = ci == 0 ? pred_y.data()
@@ -1673,22 +1679,92 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       }
     }
     *cbf = any;
-    // reconstruct into the plane
-    int32_t *plane = f.plane(ci);
+    // reconstruct into the CU-local buffer (stride pw) + accumulate cost
     for (int yy = 0; yy < bs; yy++)
       for (int xx = 0; xx < bs; xx++) {
         int32_t v = pred[(oy + yy) * pw + (ox + xx)] +
                     (any ? rq[yy * bs + xx] : 0);
-        plane[(by + yy) * sw + (bx + xx)] = clampi(v, 0, maxv);
+        v = clampi(v, 0, maxv);
+        rec[(oy + yy) * pw + (ox + xx)] = v;
+        int32_t d = (int32_t)src[(by + yy) * sw + (bx + xx)] - v;
+        *sse_acc += (int64_t)d * d;
       }
+    *bits_acc += ts_bits_est(levels, bs);
   };
-  int ts_cb_f[4] = {0, 0, 0, 0}, ts_cr_f[4] = {0, 0, 0, 0};
-  for (int ti = 0; ti < n_tus; ti++) {
-    do_tb(0, ti, lv_y.data() + ti * tn * tn, &cbf_y[ti], nullptr);
-    do_tb(1, ti, lv_cb.data() + ti * (tn / 2) * (tn / 2), &cbf_cb[ti],
-          &ts_cb_f[ti]);
-    do_tb(2, ti, lv_cr.data() + ti * (tn / 2) * (tn / 2), &cbf_cr[ti],
-          &ts_cr_f[ti]);
+
+  auto run_variant = [&](bool split, std::vector<int32_t> &vy,
+                         std::vector<int32_t> &vcb,
+                         std::vector<int32_t> &vcr, int32_t *ry,
+                         int32_t *rcb, int32_t *rcr, bool cy[4],
+                         bool ccb[4], bool ccr[4], int tscb[4],
+                         int tscr[4], int64_t *sse_t, int64_t *bits_t) {
+    int nt = split ? 4 : 1;
+    int t_lg = split ? lg - 1 : lg;
+    int t_n = 1 << t_lg;
+    vy.assign(nt * t_n * t_n, 0);
+    vcb.assign(nt * (t_n / 2) * (t_n / 2), 0);
+    vcr.assign(nt * (t_n / 2) * (t_n / 2), 0);
+    *sse_t = 0;
+    *bits_t = 0;
+    for (int ti = 0; ti < nt; ti++) {
+      do_tb(nt, t_lg, 0, ti, vy.data() + ti * t_n * t_n, &cy[ti], nullptr,
+            ry, sse_t, bits_t);
+      do_tb(nt, t_lg, 1, ti, vcb.data() + ti * (t_n / 2) * (t_n / 2),
+            &ccb[ti], &tscb[ti], rcb, sse_t, bits_t);
+      do_tb(nt, t_lg, 2, ti, vcr.data() + ti * (t_n / 2) * (t_n / 2),
+            &ccr[ti], &tscr[ti], rcr, sse_t, bits_t);
+    }
+  };
+
+  recu_y.assign(n * n, 0);
+  recu_cb.assign(cn * cn, 0);
+  recu_cr.assign(cn * cn, 0);
+  int64_t sse_u = 0, bits_u = 0;
+  bool tu_split = false;
+  run_variant(forced, lv_y, lv_cb, lv_cr, recu_y.data(), recu_cb.data(),
+              recu_cr.data(), cbf_y, cbf_cb, cbf_cr, ts_cb_f, ts_cr_f,
+              &sse_u, &bits_u);
+  if (!forced && !s->lossless && s->rqt_enabled && lg > 3) {
+    bool cys[4] = {}, ccbs[4] = {}, ccrs[4] = {};
+    int tscbs[4] = {0, 0, 0, 0}, tscrs[4] = {0, 0, 0, 0};
+    int64_t sse_s = 0, bits_s = 0;
+    recs_y.assign(n * n, 0);
+    recs_cb.assign(cn * cn, 0);
+    recs_cr.assign(cn * cn, 0);
+    run_variant(true, lvs_y, lvs_cb, lvs_cr, recs_y.data(),
+                recs_cb.data(), recs_cr.data(), cys, ccbs, ccrs, tscbs,
+                tscrs, &sse_s, &bits_s);
+    double lam = 0.57 * std::pow(2.0, (s->qp_y - 12) / 3.0);
+    double cost_u = (double)sse_u + lam * (double)(bits_u + 4);
+    double cost_s = (double)sse_s + lam * (double)(bits_s + 13);
+    if (cost_s < cost_u) {
+      tu_split = true;
+      lv_y.swap(lvs_y);
+      lv_cb.swap(lvs_cb);
+      lv_cr.swap(lvs_cr);
+      recu_y.swap(recs_y);
+      recu_cb.swap(recs_cb);
+      recu_cr.swap(recs_cr);
+      std::memcpy(cbf_y, cys, sizeof(cys));
+      std::memcpy(cbf_cb, ccbs, sizeof(ccbs));
+      std::memcpy(cbf_cr, ccrs, sizeof(ccrs));
+      std::memcpy(ts_cb_f, tscbs, sizeof(tscbs));
+      std::memcpy(ts_cr_f, tscrs, sizeof(tscrs));
+    }
+  }
+  int n_tus = (forced || tu_split) ? 4 : 1;
+  int tlg = (forced || tu_split) ? lg - 1 : lg;
+  int tn = 1 << tlg;
+  int half = n >> 1;
+  // blit the chosen reconstruction into the frame planes
+  for (int yy = 0; yy < n; yy++)
+    std::memcpy(f.plane(0) + (y + yy) * w + x, recu_y.data() + yy * n,
+                sizeof(int32_t) * n);
+  for (int yy = 0; yy < cn; yy++) {
+    std::memcpy(f.plane(1) + ((y >> 1) + yy) * (w / 2) + (x >> 1),
+                recu_cb.data() + yy * cn, sizeof(int32_t) * cn);
+    std::memcpy(f.plane(2) + ((y >> 1) + yy) * (w / 2) + (x >> 1),
+                recu_cr.data() + yy * cn, sizeof(int32_t) * cn);
   }
   bool cbf_any = false, cbf_y_any = false;
   for (int ti = 0; ti < n_tus; ti++) {
@@ -1716,9 +1792,22 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
       st.ts_cr[tg8] = (uint8_t)ts_cr_f[ti];
     }
   }
+  for (int gy2 = y >> 3; gy2 < (y + n) >> 3; gy2++)
+    for (int gx2 = x >> 3; gx2 < (x + n) >> 3; gx2++)
+      st.tusplit[gy2 * st.gw8 + gx2] = tu_split ? 1 : 0;
 
   // ---- merge/AMVP decision (mirror of the Python commit) ---------------
   store_inter_syntax(s, x, y, lg, depth, m, cbf_any, cbf_y_any);
+  // per-TU luma cbf for deblock BS (spec 8.7.2.4: the ADJACENT TB's cbf,
+  // not the CU's) — mirror of spec/ctu.py apply_tu_cbf
+  if (n_tus == 4)
+    for (int ti = 0; ti < 4; ti++) {
+      int tx = x + (ti & 1) * half, ty = y + (ti >> 1) * half;
+      uint8_t cv = cbf_y[ti] ? 1 : 0;
+      for (int gy2 = ty >> 2; gy2 < (ty + half) >> 2; gy2++)
+        for (int gx2 = tx >> 2; gx2 < (tx + half) >> 2; gx2++)
+          f.gcbf[gy2 * f.gw + gx2] = cv;
+    }
 }
 
 // Merge/AMVP syntax decisions + motion-field bookkeeping for one inter CU
@@ -1831,8 +1920,14 @@ void emit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
   bool cbf_any = st.rqt_root[g8];
   if (!merge) e->encode_bin(s->off_rqt_root, cbf_any);
   if (cbf_any || merge) {
-    int n_tus = (lg > s->log2_max_tu) ? 4 : 1;
-    int tlg = (lg > s->log2_max_tu) ? lg - 1 : lg;
+    bool forced = lg > s->log2_max_tu;
+    bool tu_split = st.tusplit[g8] != 0;
+    // split_transform_flag (spec 7.3.8.8): mirror of the Python
+    // _encode_transform_tree presence rule for inter CUs
+    if (s->rqt_enabled && lg > 2 && lg <= s->log2_max_tu)
+      e->encode_bin(s->off_split_tu + (5 - lg), tu_split ? 1 : 0);
+    int n_tus = (forced || tu_split) ? 4 : 1;
+    int tlg = (forced || tu_split) ? lg - 1 : lg;
     int tn = 1 << tlg;
     int half = n >> 1;
     bool cbf_y[4], cbf_cb[4], cbf_cr[4];
@@ -2109,6 +2204,7 @@ struct DeblockCtx {
   const int32_t *mf_mv;    // [gh4][gw4][2][2]
   const int32_t *mf_ref;   // [gh4][gw4][2]
   const uint8_t *mf_cbf;   // [gh4][gw4]
+  const uint8_t *tusplit;  // [gh][gw] (8x8 grid), nullable: depth-1 RQT
 };
 
 // boundary strength of one 4-sample segment (spec 8.7.2.4); y4 = along-edge
@@ -2141,7 +2237,13 @@ bool has_edge(const DeblockCtx &c, bool vert, int gy, int gx) {
   if (coord % size == 0) return true;
   int max_tu = 1 << c.log2_max_tu;
   int tu = size < max_tu ? size : max_tu;
-  return (size > max_tu) && (coord % tu == 0);
+  if ((size > max_tu) && (coord % tu == 0)) return true;
+  // depth-1 RQT: the split CU's interior half-offset TU edge (8.7.1)
+  if (c.tusplit && c.tusplit[gy * c.gw + gx]) {
+    int hf = size >> 1;
+    if (hf >= 8 && coord % hf == 0) return true;
+  }
+  return false;
 }
 
 // filter one 4-line luma segment; vert: lines = rows sy..sy+3, edge col sx
@@ -2553,7 +2655,8 @@ void hevc_deblock_picture(int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr,
                           int log2_max_tu, int bit_depth, int slice_qp,
                           int qp_cb, int qp_cr, const int8_t *depth_map,
                           const int32_t *mf_mv, const int32_t *mf_ref,
-                          const uint8_t *mf_cbf) {
+                          const uint8_t *mf_cbf,
+                          const uint8_t *tusplit) {
   DeblockCtx c;
   c.w = coded_w; c.h = coded_h;
   c.gw = coded_w >> 3; c.gh = coded_h >> 3;
@@ -2565,6 +2668,7 @@ void hevc_deblock_picture(int32_t *rec_y, int32_t *rec_cb, int32_t *rec_cr,
   c.log2_max_tu = log2_max_tu;
   c.has_motion = mf_ref != nullptr;
   c.mf_mv = mf_mv; c.mf_ref = mf_ref; c.mf_cbf = mf_cbf;
+  c.tusplit = tusplit;
   int qpc = slice_qp < 0 ? 0 : slice_qp > 51 ? 51 : slice_qp;
   int beta = kBetaTab[qpc];
   // vertical then horizontal (spec order); each direction is conflict-free
@@ -2700,6 +2804,8 @@ int hevc_encode_slice_tiled(
     se.sdh = !lossless && (quant_flags & 2) != 0;
     se.ts_enabled = !lossless && (quant_flags & 4) != 0;
     se.off_ts = ctx_offsets[23];
+    se.rqt_enabled = (quant_flags & 8) != 0;
+    se.off_split_tu = ctx_offsets[24];
     se.src_y = src_y;
     se.src_cb = src_cb;
     se.src_cr = src_cr;
@@ -2809,7 +2915,8 @@ int hevc_encode_slice_tiled(
                          depth_map,
                          has_motion ? f.gmv.data() : nullptr,
                          has_motion ? f.gref.data() : nullptr,
-                         has_motion ? f.gcbf.data() : nullptr);
+                         has_motion ? f.gcbf.data() : nullptr,
+                         has_motion ? st.tusplit.data() : nullptr);
   }
   if (sao_enabled) {
     // estimate per CTB (luma on CTB grid, chroma on CTB/2 regions), then
@@ -3024,6 +3131,8 @@ int hevc_entropy_slice_tiled(
     se.sdh = !lossless && (sdh_flags & 1);
     se.ts_enabled = !lossless && (sdh_flags & 2);
     se.off_ts = ctx_offsets[23];
+    se.rqt_enabled = (sdh_flags & 4) != 0;
+    se.off_split_tu = ctx_offsets[24];
     se.depth_map = depth_map;
     se.mode_map = mode_map;
     se.dm_w = dm_w;

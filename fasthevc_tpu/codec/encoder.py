@@ -132,6 +132,16 @@ class TpuEncoder:
         return rdoq_quantize(coeffs, qp, self.sp.bit_depth, blg,
                              0 if c_idx == 0 else 1, scan_idx, lam, ctx)
 
+    @staticmethod
+    def _ibits(lv):
+        """Integer-exact level-bits estimate shared bit-for-bit with the
+        C++ engine (ts_bits_est): sum over nonzero levels of
+        (2 + 2*bit_length(|level|))."""
+        if lv is None:
+            return 0
+        a = np.abs(lv)
+        return int(sum(2 + 2 * int(v).bit_length() for v in a[a > 0]))
+
     def _ts_rd_choose(self, res, levels_dct, qp, is_intra, scan_idx):
         """Transform-skip RD choice for a 4x4 chroma TB — bit-for-bit
         mirror of slice_engine.cpp commit_tb/do_tb: integer-exact bits
@@ -140,10 +150,7 @@ class TpuEncoder:
         sp = self.sp
         bd = sp.bit_depth
         lam = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
-
-        def ibits(lv):
-            a = np.abs(lv)
-            return int(sum(2 + 2 * int(v).bit_length() for v in a[a > 0]))
+        ibits = self._ibits
 
         def recon(lv, ts):
             if not lv.any():
@@ -640,11 +647,20 @@ class TpuEncoder:
 
         chunk_dev: dict = {}
 
+        import os as _os
+        import sys as _sys
+        _dbg = bool(_os.environ.get("FASTHEVC_DEBUG_DISPATCH"))
+
         def dispatch(bi):
             batch, n_real = batches[bi]
             e0 = batch[0]
             st = e0[2]
             qp = e0[6]
+            if _dbg:
+                print(f"[dispatch] batch {bi}/{len(batches)} type={st} "
+                      f"F={len(batch)} real={n_real} pocs="
+                      f"{[e[0] for e in batch[:n_real]]}",
+                      file=_sys.stderr, flush=True)
             yb, cbb, crb = upload_batch(batch)
             if st == SLICE_I:
                 qp_y, qp_cb, qp_cr = qps_of(qp)
@@ -741,6 +757,7 @@ class TpuEncoder:
                 lvs[0], lvs[1], lvs[2], ContextSet(init_type, qp),
                 sao_params=res["sao"][j] if sao_on else None,
                 sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled,
+                rqt=sp.max_transform_hierarchy_depth_inter > 0,
                 mctx=mctx, **kw)
             nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
             sh = SliceHeader(
@@ -905,7 +922,7 @@ class TpuEncoder:
         return bytes(out), recons
 
     def _search_dispatch(self, y_pad, refs, slice_type, is_idr, pw, ph,
-                         qp=None, src=None):
+                         qp=None, src=None, recon_ref=None):
         """Dispatch the jitted search+pack; returns the (async) device
         array holding the ONE packed int16 decision tensor (the axon tunnel
         makes multi-array fetches slow — see _pack_maps_device). Callers
@@ -931,6 +948,15 @@ class TpuEncoder:
                     pad_plane(src.cb, ph // 2, pw // 2).astype(up_dtype))
                 kw["cr_u8"] = jnp.asarray(
                     pad_plane(src.cr, ph // 2, pw // 2).astype(up_dtype))
+            if recon_ref is not None:
+                kw["ref_y_u8"] = jnp.asarray(pad_plane(
+                    np.asarray(recon_ref.y), ph, pw).astype(up_dtype))
+                kw["ref_cb_u8"] = jnp.asarray(pad_plane(
+                    np.asarray(recon_ref.cb), ph // 2,
+                    pw // 2).astype(up_dtype))
+                kw["ref_cr_u8"] = jnp.asarray(pad_plane(
+                    np.asarray(recon_ref.cr), ph // 2,
+                    pw // 2).astype(up_dtype))
             packed = search_intra_maps(y_dev, lam, sp.log2_ctu,
                                        sp.log2_min_cu, sp.coded_width,
                                        sp.coded_height, **kw)
@@ -995,7 +1021,9 @@ class TpuEncoder:
             mv_map=mv_map, refs=refs,
             deblock=not sp.deblocking_disabled, sao=sp.sao_enabled,
             rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding,
-            ts=sp.transform_skip_enabled, mctx=mctx, ref_map=ref_map)
+            ts=sp.transform_skip_enabled,
+            rqt=sp.max_transform_hierarchy_depth_inter > 0,
+            mctx=mctx, ref_map=ref_map)
         self._last_motion = _NativeMotion(motion[0], motion[1], motion[3])
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
@@ -1052,11 +1080,37 @@ class TpuEncoder:
         ph = -(-sp.coded_height // ctu_size) * ctu_size
         y_pad = pad_plane(src.y, ph, pw)
 
+        # ---- recon-reference two-pass (SURVEY.md §7.3.3) -------------
+        # pass 1 = a full encode of this frame (source-pixel search refs);
+        # its reconstruction becomes the intra reference plane of the
+        # pass-2 search below.  Identical recursion on the native and
+        # Python paths keeps their byte-identity contract intact.
+        recon_ref = None
+        if (cfg.search_recon_refs and (is_idr or not refs[0])
+                and not getattr(self, "_in_recon_pass", False)):
+            # pass 1 runs with in-loop filters OFF: intra references are
+            # the PRE-filter recon, and deblock/SAO touch exactly the
+            # block-edge pixels the references read (with filters on the
+            # two-pass measured WORSE than source refs: 14.9% vs 10.2%
+            # BD).  Filters do not influence in-frame decisions, so the
+            # pass-1 decision stream is unchanged by this.
+            self._in_recon_pass = True
+            saved = (self.sp.deblocking_disabled, self.sp.sao_enabled)
+            self.sp.deblocking_disabled = True
+            self.sp.sao_enabled = False
+            try:
+                _, recon_ref = self.encode_frame(frame, poc, slice_type,
+                                                 refs, ref_deltas, qp)
+            finally:
+                self._in_recon_pass = False
+                self.sp.deblocking_disabled, self.sp.sao_enabled = saved
+
         # ---- 2+3. native slice engine (C++ commit + entropy) ---------
         native = _native_engine()
         if native is not None:
             packed = np.asarray(self._search_dispatch(
-                y_pad, refs, slice_type, is_idr, pw, ph, qp=qp, src=src))
+                y_pad, refs, slice_type, is_idr, pw, ph, qp=qp, src=src,
+                recon_ref=recon_ref))
             return self._encode_frame_native(native, src, packed, pw, ph,
                                              poc=poc,
                                              slice_type=slice_type,
@@ -1067,12 +1121,23 @@ class TpuEncoder:
             # chroma planes join the partition costing exactly as in the
             # native dispatch path (_search_dispatch) — the two paths must
             # make identical decisions (test_slice_engine parity)
+            kw_rr = {}
+            if recon_ref is not None:
+                kw_rr = dict(
+                    ref_y=jnp.asarray(pad_plane(
+                        np.asarray(recon_ref.y, dtype=np.int32), ph, pw)),
+                    ref_cb=jnp.asarray(pad_plane(
+                        np.asarray(recon_ref.cb, dtype=np.int32),
+                        ph // 2, pw // 2)),
+                    ref_cr=jnp.asarray(pad_plane(
+                        np.asarray(recon_ref.cr, dtype=np.int32),
+                        ph // 2, pw // 2)))
             dec = search_intra_frame(
                 jnp.asarray(y_pad), jnp.float32(self.lambda_sqrt),
                 sp.log2_ctu, sp.log2_min_cu,
                 jnp.asarray(pad_plane(src.cb, ph // 2, pw // 2)),
                 jnp.asarray(pad_plane(src.cr, ph // 2, pw // 2)),
-                rd_cands=cfg.num_intra_rd_candidates)
+                rd_cands=cfg.num_intra_rd_candidates, **kw_rr)
         elif slice_type == 0 and refs[1]:  # B
             from .search import search_b_frame
             r0 = pad_plane(refs[0][0].y, ph, pw)
@@ -1244,66 +1309,109 @@ class TpuEncoder:
                 p = amvp[cu.mvp_flag_l1]
                 cu.mvd_l1 = (mv1[0] - p[0], mv1[1] - p[1])
 
-        # residual TQ per component (TU == CU; 64 handled by forced split)
+        # residual TQ per component; depth-1 RQT (split_transform_flag)
+        # RD choice for 16/32 CUs — the integer-exact cost is mirrored
+        # bit-for-bit by slice_engine.cpp commit_inter_cu
         pred_y, pred_cb, pred_cr = mc_cu_motion(
             motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
-        n_tus = 4 if lg > sp.log2_max_tu else 1
-        tlg = lg - 1 if n_tus == 4 else lg
-        half = n >> 1
-        for i in range(n_tus):
-            oy, ox = (0, 0) if n_tus == 1 else ((i >> 1) * half,
-                                                (i & 1) * half)
-            tu = TuData()
-            for ci, (srcp, predp, qp) in enumerate((
-                    (src.y[y:y + n, x:x + n], pred_y, qp_y),
-                    (src.cb[y >> 1:(y >> 1) + (n >> 1),
-                            x >> 1:(x >> 1) + (n >> 1)], pred_cb, qp_cb),
-                    (src.cr[y >> 1:(y >> 1) + (n >> 1),
-                            x >> 1:(x >> 1) + (n >> 1)], pred_cr, qp_cr))):
-                sub = 0 if ci == 0 else 1
-                tn = 1 << (tlg - sub)
-                o_y, o_x = oy >> sub, ox >> sub
-                res = (srcp[o_y:o_y + tn, o_x:o_x + tn]
-                       - predp[o_y:o_y + tn, o_x:o_x + tn])
-                ts = False
-                if cu.bypass:
-                    levels = res.astype(np.int32)
-                else:
-                    coeffs = spec_tr.forward_transform(res, sp.bit_depth,
-                                                       False)
-                    levels = self._quantize_tb(coeffs, qp, False,
-                                               tlg - sub, ci, 0)
-                    if sp.sign_data_hiding and levels.any():
-                        from ..spec.residual import sdh_adjust
-                        levels = sdh_adjust(levels, coeffs, qp,
-                                            sp.bit_depth, tlg - sub, 0)
-                    if (sp.transform_skip_enabled and tlg - sub == 2
-                            and ci != 0):
-                        levels, ts = self._ts_rd_choose(res, levels, qp,
-                                                        False, 0)
-                if not levels.any():
-                    levels = None
+        max_val = (1 << sp.bit_depth) - 1
+
+        def build_variant(split):
+            n_t = 4 if split else 1
+            t_lg = lg - 1 if split else lg
+            half = n >> 1
+            tus, sse_t, bits_t = [], 0, 0
+            for i in range(n_t):
+                oy, ox = (0, 0) if n_t == 1 else ((i >> 1) * half,
+                                                  (i & 1) * half)
+                tu = TuData()
+                for ci, (srcp, predp, qp) in enumerate((
+                        (src.y[y:y + n, x:x + n], pred_y, qp_y),
+                        (src.cb[y >> 1:(y >> 1) + (n >> 1),
+                                x >> 1:(x >> 1) + (n >> 1)], pred_cb,
+                         qp_cb),
+                        (src.cr[y >> 1:(y >> 1) + (n >> 1),
+                                x >> 1:(x >> 1) + (n >> 1)], pred_cr,
+                         qp_cr))):
+                    sub = 0 if ci == 0 else 1
+                    tn = 1 << (t_lg - sub)
+                    o_y, o_x = oy >> sub, ox >> sub
+                    res = (srcp[o_y:o_y + tn, o_x:o_x + tn]
+                           - predp[o_y:o_y + tn, o_x:o_x + tn])
                     ts = False
-                if ci == 0:
-                    tu.levels_y = levels
-                elif ci == 1:
-                    tu.levels_cb = levels
-                    tu.ts_cb = ts
-                else:
-                    tu.levels_cr = levels
-                    tu.ts_cr = ts
-            cu.tus.append(tu)
+                    if cu.bypass:
+                        levels = res.astype(np.int32)
+                        rq = res
+                    else:
+                        coeffs = spec_tr.forward_transform(
+                            res, sp.bit_depth, False)
+                        levels = self._quantize_tb(coeffs, qp, False,
+                                                   t_lg - sub, ci, 0)
+                        if sp.sign_data_hiding and levels.any():
+                            from ..spec.residual import sdh_adjust
+                            levels = sdh_adjust(levels, coeffs, qp,
+                                                sp.bit_depth, t_lg - sub,
+                                                0)
+                        if (sp.transform_skip_enabled and t_lg - sub == 2
+                                and ci != 0):
+                            levels, ts = self._ts_rd_choose(
+                                res, levels, qp, False, 0)
+                        if levels.any():
+                            deq = spec_tr.dequantize(levels, qp,
+                                                     sp.bit_depth)
+                            rq = (spec_tr.inverse_transform_skip(
+                                      deq, sp.bit_depth) if ts else
+                                  spec_tr.inverse_transform(
+                                      deq, sp.bit_depth, False))
+                        else:
+                            rq = np.zeros_like(res)
+                    rec = np.clip(predp[o_y:o_y + tn, o_x:o_x + tn] + rq,
+                                  0, max_val)
+                    d = (srcp[o_y:o_y + tn, o_x:o_x + tn]
+                         - rec).astype(np.int64)
+                    sse_t += int((d * d).sum())
+                    bits_t += self._ibits(levels if levels.any() else None)
+                    if not levels.any():
+                        levels = None
+                        ts = False
+                    if ci == 0:
+                        tu.levels_y = levels
+                    elif ci == 1:
+                        tu.levels_cb = levels
+                        tu.ts_cb = ts
+                    else:
+                        tu.levels_cr = levels
+                        tu.ts_cr = ts
+                tus.append(tu)
+            return tus, sse_t, bits_t
+
+        forced = lg > sp.log2_max_tu
+        tus_u, sse_u, bits_u = build_variant(forced)
+        cu.tus = tus_u
+        if (not forced and not cu.bypass
+                and sp.max_transform_hierarchy_depth_inter > 0
+                and lg > sp.log2_min_tu + 1):
+            # split candidate (children chroma must stay >= 4x4: lg >= 4)
+            tus_s, sse_s, bits_s = build_variant(True)
+            lam = 0.57 * 2.0 ** ((self.qp - 12) / 3.0)
+            cost_u = float(sse_u) + lam * (bits_u + 4)
+            cost_s = float(sse_s) + lam * (bits_s + 13)
+            if cost_s < cost_u:
+                cu.tus = tus_s
+                cu.tu_split = True
         cbf_any = any(t.levels_y is not None or t.levels_cb is not None
                       or t.levels_cr is not None for t in cu.tus)
         if cu.merge_flag and not cbf_any:
             cu.skip = True
             cu.tus = []
+            cu.tu_split = False
         ctu_mod._reconstruct_inter_cu(planes, sp, x, y, lg, cu, self.refs,
                                       self.qp)
         maps.set_cu(x, y, n, depth, -1)
         maps.set_skip(x, y, n, cu.skip)
         cbf_y = any(t.levels_y is not None for t in cu.tus)
         maps.motion.set_cu(x, y, n, cu.motion, cbf_y)
+        ctu_mod.apply_tu_cbf(maps, x, y, n, cu)
         return cu
 
     def _commit_tu(self, src, planes, sp, x, y, lg, cu, qp_y, qp_cb,

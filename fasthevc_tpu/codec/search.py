@@ -117,11 +117,16 @@ def _intra_mode_bits(best_mode: jnp.ndarray, gy: int, gx: int,
 def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                        log2_ctu: int = 5, log2_min_cu: int = 3,
                        cb_plane=None, cr_plane=None, mpm_edge_x: int = 0,
-                       mpm_edge_on=None, rd_cands: int = 3):
+                       mpm_edge_on=None, rd_cands: int = 3,
+                       ref_y=None, ref_cb=None, ref_cr=None):
     """Decide the CU quadtree + luma mode for every CTU of a frame.
 
     y_plane: [H, W] int32 luma (coded dims, multiples of CTU).
     lambda_sqrt: scalar f32, sqrt of the RD lambda (SATD domain).
+    ref_y/ref_cb/ref_cr: optional RECONSTRUCTION planes used for the
+    intra reference samples (the recon-reference two-pass search,
+    SURVEY.md §7.3.3): prediction references come from these while
+    distortion stays against the source.  None = source-pixel refs.
 
     Two-stage per block size: (1) SATD over all 35 modes picks the mode;
     (2) the chosen mode's residual goes through the real T/Q/IQ/IT
@@ -148,7 +153,7 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
         # top-left quadrant as mode proxy (commit re-derives exactly).
         pn = min(n, 32)
         plg = pn.bit_length() - 1
-        top, left = grid_refs(y_plane, n)
+        top, left = grid_refs(y_plane if ref_y is None else ref_y, n)
         if pn != n:
             top = top[:, :2 * pn + 1]
             left = left[:, :2 * pn + 1]
@@ -202,8 +207,8 @@ def search_intra_frame(y_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
             from ..ops.intra import predict_selected
             cn = pn // 2
             clg = cn.bit_length() - 1
-            for cp in (cb_plane, cr_plane):
-                ctop, cleft = grid_refs(cp, cn)
+            for cp, rcp in ((cb_plane, ref_cb), (cr_plane, ref_cr)):
+                ctop, cleft = grid_refs(cp if rcp is None else rcp, cn)
                 cpred = predict_selected(ctop, cleft, clg, best_mode,
                                          is_luma=False)
                 cres = _blocks(cp, cn) - cpred
@@ -355,7 +360,8 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
                    log2_ctu: int = 5, log2_min_cu: int = 3,
                    search_range: int = 8, rd_cands: int = 3,
                    ref0b_plane=None, ref1b_plane=None,
-                   nref0=None, nref1=None):
+                   nref0=None, nref1=None, cb_plane=None, cr_plane=None,
+                   mpm_edge_x: int = 0, mpm_edge_on=None):
     """B-frame search: intra + L0 + L1 + BI candidates per block, over up
     to 2 active references per list (SURVEY.md E7 multi-ref).
 
@@ -380,7 +386,9 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
     if nref1 is None:
         nref1 = jnp.int32(2 if multi1 else 1)
     intra_dec = search_intra_frame(y_plane, lambda_sqrt, log2_ctu,
-                                   log2_min_cu, rd_cands=rd_cands)
+                                   log2_min_cu, cb_plane, cr_plane,
+                                   mpm_edge_x, mpm_edge_on,
+                                   rd_cands=rd_cands)
     # ONE shared ME state over all refs of both lists: the coarse search,
     # the window gathers (stacked across refs) and refinement amortize.
     # Ref layout (only actually-distinct refs pay ME): l0a [l0b] l1a [l1b]
@@ -432,7 +440,8 @@ def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
         the winner).  A merge winner adopts the neighbor's reference."""
         src_b = _blocks(y_plane, n)
         field = jnp.concatenate([mv, ridx[:, None]], axis=1)  # [B, 3]
-        for cand in _neighbor_mvs(field, h // n, w // n):
+        for cand in _neighbor_mvs(field, h // n, w // n,
+                                  mpm_edge_x // n, mpm_edge_on):
             cmv = cand[:, :2]
             cref = cand[:, 2]
             raw_c, valid = mc_raw_from_state_sel(
@@ -597,12 +606,17 @@ def _pack_maps_device(dec: dict, padded_w: int, padded_h: int,
 def _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
                             coded_w, coded_h, cnn_params, qp, use_cnn,
                             cb_u8=None, cr_u8=None, mpm_edge_x=0,
-                            mpm_edge_on=None, rd_cands=3):
+                            mpm_edge_on=None, rd_cands=3,
+                            ref_y_u8=None, ref_cb_u8=None, ref_cr_u8=None):
     y = y_u8.astype(jnp.int32)
     cb = cb_u8.astype(jnp.int32) if cb_u8 is not None else None
     cr = cr_u8.astype(jnp.int32) if cr_u8 is not None else None
+    rfy = ref_y_u8.astype(jnp.int32) if ref_y_u8 is not None else None
+    rfcb = ref_cb_u8.astype(jnp.int32) if ref_cb_u8 is not None else None
+    rfcr = ref_cr_u8.astype(jnp.int32) if ref_cr_u8 is not None else None
     dec = search_intra_frame(y, lambda_sqrt, log2_ctu, log2_min_cu, cb, cr,
-                             mpm_edge_x, mpm_edge_on, rd_cands=rd_cands)
+                             mpm_edge_x, mpm_edge_on, rd_cands=rd_cands,
+                             ref_y=rfy, ref_cb=rfcb, ref_cr=rfcr)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device
@@ -617,13 +631,16 @@ def search_intra_maps(y_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                       log2_ctu: int, log2_min_cu: int,
                       coded_w: int, coded_h: int,
                       cnn_params=None, qp: int = 0, use_cnn: bool = False,
-                      cb_u8=None, cr_u8=None, rd_cands: int = 3):
+                      cb_u8=None, cr_u8=None, rd_cands: int = 3,
+                      ref_y_u8=None, ref_cb_u8=None, ref_cr_u8=None):
     """Intra search + decision packing in one dispatch; y_u8 is the padded
-    luma plane as uint8 (4x less tunnel upload than int32)."""
+    luma plane as uint8 (4x less tunnel upload than int32).  ref_*_u8:
+    optional recon planes for the two-pass recon-reference search."""
     return _search_intra_maps_impl(y_u8, lambda_sqrt, log2_ctu, log2_min_cu,
                                    coded_w, coded_h, cnn_params, qp, use_cnn,
                                    cb_u8=cb_u8, cr_u8=cr_u8,
-                                   rd_cands=rd_cands)
+                                   rd_cands=rd_cands, ref_y_u8=ref_y_u8,
+                                   ref_cb_u8=ref_cb_u8, ref_cr_u8=ref_cr_u8)
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
@@ -695,7 +712,8 @@ def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
                   coded_w: int, coded_h: int, search_range: int,
                   cnn_params=None, qp: int = 0, use_cnn: bool = False,
                   rd_cands: int = 3, ref0b_u8=None, ref1b_u8=None,
-                  nref0=None, nref1=None):
+                  nref0=None, nref1=None, mpm_edge_x: int = 0,
+                  mpm_edge_on=None):
     y = y_u8.astype(jnp.int32)
     r0 = ref0_u8.astype(jnp.int32)
     r1 = ref1_u8.astype(jnp.int32)
@@ -704,7 +722,8 @@ def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
     dec = search_b_frame(y, r0, r1, lambda_sqrt, log2_ctu, log2_min_cu,
                          search_range, rd_cands=rd_cands,
                          ref0b_plane=r0b, ref1b_plane=r1b,
-                         nref0=nref0, nref1=nref1)
+                         nref0=nref0, nref1=nref1,
+                         mpm_edge_x=mpm_edge_x, mpm_edge_on=mpm_edge_on)
     override = None
     if use_cnn:
         from ..models.partition_cnn import predict_depth_maps_device

@@ -53,7 +53,18 @@ class EncoderConfig:
     # tiers are each conformant but not byte-identical under RDOQ
     # (encoder freedom); cross-tier byte-identity tests set rdoq=False.
     rdoq: bool = True
+    # Two-pass recon-reference intra search (SURVEY.md §7.3.3): pass 1
+    # searches with source-pixel references, commits, then pass 2
+    # re-searches with the pass-1 RECONSTRUCTION as the intra reference
+    # samples and commits that. Closes most of the source-vs-recon
+    # reference RD gap at ~2x intra search+commit cost.
+    search_recon_refs: bool = False
     transform_skip: bool = False  # 4x4 TB transform_skip (spec 7.3.8.11; SpecEncoder searches it)
+    # depth-1 residual quadtree for inter CUs (spec 7.3.8.8
+    # split_transform_flag): 32->4x16 / 16->4x8 TU splits, RD-searched at
+    # commit on the classic/native path (device commits keep TU == CU and
+    # code the flag as 0 - encoder freedom, conformance unaffected)
+    rqt_inter: bool = True
     sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
     strong_intra_smoothing: bool = False
     hash_type: int = 0           # decoded-picture-hash SEI: 0 MD5/1 CRC/2 checksum
@@ -103,6 +114,14 @@ class EncoderConfig:
 
     def replace(self, **kw) -> "EncoderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def quality(cfg: EncoderConfig) -> EncoderConfig:
+    """The slow/quality search preset (HM `--preset placebo` analog):
+    two-pass recon-reference intra search + a deeper true-RD shortlist.
+    ~2x intra search+commit cost; measured BD-rate vs the oracle improves
+    from ~10.5% to ~8.9% all-intra (tests/test_rd_gate.py quality gate)."""
+    return cfg.replace(search_recon_refs=True, num_intra_rd_candidates=5)
 
 
 def auto_tile_grid(width: int, height: int,

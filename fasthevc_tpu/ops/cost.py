@@ -57,16 +57,46 @@ def sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(d, axis=(-2, -1))
 
 
-@jax.jit
+# Per-TB-size CABAC residual-bits model, least-squares calibrated against
+# the exact CabacEstimator on ~1200 realistic residual TBs per size
+# (intra/inter-style residuals of synthesized content, QP 22-37).
+# Features: [count(|l|==1), count(|l|==2), count(|l|>2),
+#            sum log2(1+|l|) over |l|>2, log2(1+last_diag), bias] where
+# last_diag = max(x+y) over nonzeros (device-cheap stand-in for the last
+# significant scan position). Relative fit error 7-15% per size vs ~20%
+# for the old 2-constant form; a poor rate model actively misleads the
+# mode/partition choices (r5 measurement: widening the true-RD shortlist
+# WORSENED BD under the old proxy).
+_RATE_W = {
+    2: (1.246, 2.654, -4.429, 4.018, 6.446, 1.447),
+    3: (2.969, 2.735, -7.342, 5.811, 9.340, -4.835),
+    4: (3.920, 2.018, -7.155, 5.853, 12.375, -15.337),
+    5: (4.295, 1.402, -5.354, 5.323, 34.466, -117.854),
+}
+
+
 def level_rate_proxy(levels: jnp.ndarray) -> jnp.ndarray:
     """Approximate CABAC residual bits for quantized levels [..., N, N].
 
-    Model (calibrated in tests/test_ops_cost.py against CabacEstimator):
-      bits ~ sum over nonzero: (2.0 + 1.6*log2(|l|)) + 0.6 * nnz_tail
-    plus a last-position cost proxy. Used ONLY inside the search; the real
-    coder determines the actual bitstream size.
+    Calibrated per TB size (see _RATE_W). Used ONLY inside the search;
+    the real coder determines the actual bitstream size.
     """
+    n = levels.shape[-1]
+    lg = n.bit_length() - 1
+    w = _RATE_W.get(lg, _RATE_W[5])
     a = jnp.abs(levels.astype(jnp.float32))
-    nz = (a > 0).astype(jnp.float32)
-    bits = jnp.sum(nz * (2.0 + 1.6 * jnp.log2(1.0 + a)), axis=(-2, -1))
-    return bits + 4.0 * jnp.sign(jnp.sum(nz, axis=(-2, -1)))
+    nz = a > 0
+    any_nz = jnp.any(nz, axis=(-2, -1))
+    ii = (jnp.arange(n)[None, :] + jnp.arange(n)[:, None]).astype(
+        jnp.float32)
+    last_diag = jnp.max(jnp.where(nz, ii, -1.0), axis=(-2, -1))
+    ones = jnp.sum(a == 1.0, axis=(-2, -1)).astype(jnp.float32)
+    twos = jnp.sum(a == 2.0, axis=(-2, -1)).astype(jnp.float32)
+    esc = jnp.sum(a > 2.0, axis=(-2, -1)).astype(jnp.float32)
+    esclog = jnp.sum(jnp.where(a > 2.0, jnp.log2(1.0 + a), 0.0),
+                     axis=(-2, -1))
+    bits = (w[0] * ones + w[1] * twos + w[2] * esc + w[3] * esclog
+            + w[4] * jnp.log2(1.0 + jnp.maximum(last_diag, 0.0)) + w[5])
+    # out-of-distribution floor (tiny blocks can extrapolate negative)
+    bits = jnp.maximum(bits, 2.0 + ones + twos + esc)
+    return jnp.where(any_nz, bits, 0.0)

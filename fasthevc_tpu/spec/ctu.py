@@ -47,6 +47,9 @@ class CuDecision:
     chroma_mode: int = CHROMA_DM
     bypass: bool = False          # cu_transquant_bypass
     tus: list = field(default_factory=list)  # 1 TU, or 4 for 64x64 CU
+    # depth-1 RQT (spec 7.3.8.8 split_transform_flag): 4 sub-TUs below
+    # the CU for inter CUs of size 16/32; tus then holds 4 entries
+    tu_split: bool = False
     # PART_NxN intra at min CU (spec 7.3.8.5): 4 luma PUs/TBs of 4x4,
     # chroma stays one 4x4 TB (carried in tus[3], spec blkIdx-3 rule)
     nxn: bool = False
@@ -75,6 +78,9 @@ class FrameMaps:
         self.mode = np.full((gh, gw), -1, dtype=np.int8)  # luma intra mode
         self.coded = np.zeros((gh, gw), dtype=bool)
         self.skip = np.zeros((gh, gw), dtype=bool)  # cu_skip_flag ctx
+        # depth-1 RQT: split_transform_flag of the covering CU (deblock
+        # must filter the interior TU edges, spec 8.7.2)
+        self.tusplit = np.zeros((gh, gw), dtype=bool)
         from .inter import MotionField
         self.motion = MotionField(sp.coded_width, sp.coded_height)
         # current tile rect (x0, y0, x1, y1) in luma samples; None = no tiles
@@ -367,6 +373,7 @@ def _encode_cu(coder, maps, sp, x, y, log2_size, depth, cu: CuDecision,
         maps.set_skip(x, y, size, False)
         cbf_y = any(tu.levels_y is not None for tu in cu.tus)
         maps.motion.set_cu(x, y, size, cu.motion, cbf_y)
+        apply_tu_cbf(maps, x, y, size, cu)
         return
     _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth, cu,
                           slice_type)
@@ -439,8 +446,35 @@ def _encode_intra_cu_body(coder, maps, sp, x, y, log2_size, depth,
                              any(tu.levels_y is not None for tu in cu.tus))
 
 
+def apply_tu_cbf(maps: FrameMaps, x: int, y: int, size: int,
+                 cu: CuDecision) -> None:
+    """Per-TU luma-cbf granules + the tusplit map after an inter CU is
+    placed: deblock boundary strength at TU edges reads the cbf of the
+    ADJACENT TB (spec 8.7.2.4), so a split CU must not smear one child's
+    cbf across the whole CU; tusplit feeds edge derivation (8.7.1)."""
+    if len(cu.tus) == 4:
+        half = size >> 1
+        for i, tu in enumerate(cu.tus):
+            tx, ty = x + (i & 1) * half, y + (i >> 1) * half
+            maps.motion.cbf_y[ty >> 2:(ty + half) >> 2,
+                              tx >> 2:(tx + half) >> 2] = \
+                tu.levels_y is not None
+    maps.tusplit[y >> 2:(y + size) >> 2,
+                 x >> 2:(x + size) >> 2] = cu.tu_split
+
+
 def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
     forced_split = log2_size > sp.log2_max_tu
+    # depth-1 RQT (spec 7.3.8.8): split_transform_flag precedes the
+    # depth-0 chroma cbfs; present when the size is in [MinTb+1, MaxTb]
+    # and the hierarchy depth allows a split (inter CUs here — intra
+    # keeps max_transform_hierarchy_depth_intra == 0)
+    max_depth = (sp.max_transform_hierarchy_depth_inter if cu.is_inter
+                 else sp.max_transform_hierarchy_depth_intra)
+    if (max_depth > 0 and not cu.nxn
+            and sp.log2_min_tu < log2_size <= sp.log2_max_tu):
+        coder.encode_bin("split_transform_flag", 5 - log2_size,
+                         int(cu.tu_split))
     # depth-0 chroma cbf
     cbf_cb0 = any(tu.levels_cb is not None for tu in cu.tus)
     cbf_cr0 = any(tu.levels_cr is not None for tu in cu.tus)
@@ -481,7 +515,7 @@ def _encode_transform_tree(coder, sp, x, y, log2_size, cu: CuDecision):
                     residual.encode_residual(coder, tu.levels_cr,
                                              log2_size - 1, 2, cscan, sdh)
         return
-    if forced_split:
+    if forced_split or cu.tu_split:
         half = 1 << (log2_size - 1)
         for i, tu in enumerate(cu.tus):
             tx, ty = x + (i & 1) * half, y + (i >> 1) * half
@@ -639,6 +673,7 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
         maps.set_skip(x, y, size, False)
         cbf_y = any(tu.levels_y is not None for tu in cu.tus)
         maps.motion.set_cu(x, y, size, cu.motion, cbf_y)
+        apply_tu_cbf(maps, x, y, size, cu)
         return
     if log2_size == sp.log2_min_cu:
         cu.nxn = dec.decode_bin("part_mode", 0) == 0
@@ -679,18 +714,23 @@ def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
     """Parse the inter transform tree (cbfs + residuals) into cu.tus,
     mirroring _encode_transform_tree (no reconstruction here)."""
     forced_split = log2_size > sp.log2_max_tu
+    if (sp.max_transform_hierarchy_depth_inter > 0
+            and sp.log2_min_tu < log2_size <= sp.log2_max_tu):
+        cu.tu_split = bool(dec.decode_bin("split_transform_flag",
+                                          5 - log2_size))
+    do_split = forced_split or cu.tu_split
     cbf_cb0 = bool(dec.decode_bin("cbf_chroma", 0))
     cbf_cr0 = bool(dec.decode_bin("cbf_chroma", 0))
-    n_tus = 4 if forced_split else 1
+    n_tus = 4 if do_split else 1
     for i in range(n_tus):
-        tlg = log2_size - 1 if forced_split else log2_size
-        trafo_depth = 1 if forced_split else 0
-        cb = bool(dec.decode_bin("cbf_chroma", 1)) if (forced_split
+        tlg = log2_size - 1 if do_split else log2_size
+        trafo_depth = 1 if do_split else 0
+        cb = bool(dec.decode_bin("cbf_chroma", 1)) if (do_split
                                                        and cbf_cb0) else \
-            (cbf_cb0 if not forced_split else False)
-        cr = bool(dec.decode_bin("cbf_chroma", 1)) if (forced_split
+            (cbf_cb0 if not do_split else False)
+        cr = bool(dec.decode_bin("cbf_chroma", 1)) if (do_split
                                                        and cbf_cr0) else \
-            (cbf_cr0 if not forced_split else False)
+            (cbf_cr0 if not do_split else False)
         present = trafo_depth != 0 or cb or cr
         if present:
             cbf_y = bool(dec.decode_bin("cbf_luma",
@@ -763,14 +803,14 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
             oy, ox = (i >> 1) * half, (i & 1) * half
             recon_y[oy:oy + half, ox:ox + half] = add_residual(
                 pred_y[oy:oy + half, ox:ox + half], tu.levels_y, qp_y,
-                cu.bypass)
+                cu.bypass, tu.ts_y)
             coy, cox = (i >> 1) * ch, (i & 1) * ch
             recon_cb[coy:coy + ch, cox:cox + ch] = add_residual(
                 pred_cb[coy:coy + ch, cox:cox + ch], tu.levels_cb, qp_cb,
-                cu.bypass)
+                cu.bypass, tu.ts_cb)
             recon_cr[coy:coy + ch, cox:cox + ch] = add_residual(
                 pred_cr[coy:coy + ch, cox:cox + ch], tu.levels_cr, qp_cr,
-                cu.bypass)
+                cu.bypass, tu.ts_cr)
     planes.y[y:y + size, x:x + size] = np.clip(recon_y, 0, max_val)
     cs = size >> 1
     planes.cb[y >> 1:(y >> 1) + cs, x >> 1:(x >> 1) + cs] = np.clip(

@@ -29,12 +29,17 @@ def cu_size_map(depth_map: np.ndarray, log2_ctu: int) -> np.ndarray:
     return (1 << log2_ctu) >> depth_map.astype(np.int32)
 
 
-def edge_flags(depth_map: np.ndarray, log2_ctu: int, log2_max_tu: int = 5):
+def edge_flags(depth_map: np.ndarray, log2_ctu: int, log2_max_tu: int = 5,
+               tusplit: np.ndarray | None = None):
     """Derive (vert_edges, horz_edges) bool maps on the 8x8 luma grid.
 
     vert_edges[gy, gx] True => a deblockable vertical edge at luma column
     gx*8 crossing rows gy*8..gy*8+7 (CU or TU boundary). Picture-boundary
     edges excluded.
+
+    tusplit: optional bool [gh, gw] per-8x8-granule map of CUs whose TU
+    is split once (depth-1 RQT): adds the interior half-offset TU edges
+    (spec 8.7.1 transform-block edges).
     """
     gh, gw = depth_map.shape
     size = cu_size_map(depth_map, log2_ctu)
@@ -49,6 +54,10 @@ def edge_flags(depth_map: np.ndarray, log2_ctu: int, log2_max_tu: int = 5):
                          & (size > max_tu))
     tu_top = cu_top | (((gy[:, None] % np.minimum(size, max_tu)) == 0)
                        & (size > max_tu))
+    if tusplit is not None:
+        half = np.maximum(size >> 1, 8)
+        tu_left |= tusplit & ((gx[None, :] % half) == 0)
+        tu_top |= tusplit & ((gy[:, None] % half) == 0)
     vert = tu_left.copy()
     horz = tu_top.copy()
     vert[:, 0] = False  # picture boundary
@@ -196,7 +205,10 @@ def deblock_picture(planes, sp, depth_map: np.ndarray, slice_qp: int,
     all-intra picture (BS=2 everywhere).
     """
     max_val = (1 << sp.bit_depth) - 1
-    vert, horz = edge_flags(depth_map, sp.log2_ctu, sp.log2_max_tu)
+    tusplit = (maps.tusplit[::2, ::2]
+               if maps is not None and hasattr(maps, "tusplit") else None)
+    vert, horz = edge_flags(depth_map, sp.log2_ctu, sp.log2_max_tu,
+                            tusplit=tusplit)
     gh, gw = vert.shape
 
     def _segments(edge8, vert_dir):

@@ -77,6 +77,8 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         tile_rows=cfg.tile_rows,
         transform_skip_enabled=cfg.transform_skip and not cfg.lossless,
         temporal_mvp_enabled=cfg.temporal_mvp,
+        max_transform_hierarchy_depth_inter=(
+            1 if getattr(cfg, "rqt_inter", False) else 0),
     )
     return sp
 
@@ -123,7 +125,8 @@ class SpecEncoder:
         rc = None
         if self.cfg.target_bitrate > 0:
             from ..codec.rate_control import RateController
-            rc = RateController(self.cfg.target_bitrate, 30.0,
+            rc = RateController(self.cfg.target_bitrate,
+                                self.cfg.frame_rate,
                                 sp.coded_width, sp.coded_height)
         from ..codec.gop import coding_order, ref_lists
         order = coding_order(self.cfg, len(frames), start_poc)
@@ -318,8 +321,9 @@ class SpecEncoder:
 
     def _granule_arrays(self):
         m = self.maps
-        return (m.depth, m.mode, m.coded, m.skip, m.motion.inter,
-                m.motion.mv, m.motion.ref_idx, m.motion.cbf_y)
+        return (m.depth, m.mode, m.coded, m.skip, m.tusplit,
+                m.motion.inter, m.motion.mv, m.motion.ref_idx,
+                m.motion.cbf_y)
 
     def _save_state(self, x, y, size):
         cs = size >> 1
@@ -460,6 +464,7 @@ class SpecEncoder:
                 self.maps.set_skip(x, y, n, cu.skip)
                 cbf_y = any(tu.levels_y is not None for tu in cu.tus)
                 self.maps.motion.set_cu(x, y, n, cu.motion, cbf_y)
+                ctu_mod.apply_tu_cbf(self.maps, x, y, n, cu)
                 self._est_cu_syntax(self.est, x, y, log2_size, cu)
                 return cu, cost
 
@@ -784,9 +789,32 @@ class SpecEncoder:
             cost = dist + self.lambda_mode * est.bits
             if best[0] is None or cost < best[0]:
                 best = (cost, cu)
+        # depth-1 RQT (SURVEY.md E7 "RQT residual-tree search"): try the
+        # split_transform_flag=1 variant of the winning motion with the
+        # oracle's exact syntax-bit estimate
+        if (best[1] is not None and not best[1].skip
+                and not self.cfg.lossless
+                and sp.max_transform_hierarchy_depth_inter > 0
+                and sp.log2_min_tu + 1 < log2_size <= sp.log2_max_tu):
+            import copy as _copy
+            cu2 = _copy.copy(best[1])
+            cu2.tu_split = True
+            dist2, tus2 = self._build_inter_tus(x, y, log2_size, cu2,
+                                                split=True)
+            cu2.tus = tus2
+            cbf2 = any(t.levels_y is not None or t.levels_cb is not None
+                       or t.levels_cr is not None for t in tus2)
+            if not cbf2:
+                cu2.tu_split = False  # all-zero: the flag buys nothing
+            if cbf2 or not cu2.merge_flag:
+                est = CabacEstimator(self.est.ctx.copy())
+                self._est_cu_syntax(est, x, y, log2_size, cu2)
+                cost2 = dist2 + self.lambda_mode * est.bits
+                if cost2 < best[0]:
+                    best = (cost2, cu2)
         return best
 
-    def _build_inter_tus(self, x, y, log2_size, cu):
+    def _build_inter_tus(self, x, y, log2_size, cu, split=False):
         """Residual TQ for an inter CU (MC prediction); returns
         (distortion, [TuData...]). Does NOT write recon."""
         from .mc import mc_cu_motion
@@ -796,7 +824,7 @@ class SpecEncoder:
         pred_y, pred_cb, pred_cr = mc_cu_motion(
             cu.motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
         qps = (self.qp_y, self.qp_cb, self.qp_cr)
-        n_tus = 4 if log2_size > sp.log2_max_tu else 1
+        n_tus = 4 if (log2_size > sp.log2_max_tu or split) else 1
         tlg = log2_size - 1 if n_tus == 4 else log2_size
         half = n >> 1
         dist = 0
