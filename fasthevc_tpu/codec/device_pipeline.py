@@ -212,17 +212,34 @@ def encode_inter_group_device(y_u8, cb_u8, cr_u8,
     def search_mb(args):
         if is_b:
             ym, re0, re1, lamm, n0, n1 = args
-            return jax.vmap(lambda y, a, b, lm, m0, m1: search_b_maps(
-                y, a[0], b[0], lm, log2_ctu, log2_min_cu, coded_w,
-                coded_h, search_range, cnn_params=cnn_params, qp=qp,
-                use_cnn=use_cnn, rd_cands=rd_cands,
-                ref0b_u8=a[1], ref1b_u8=b[1], nref0=m0, nref1=m1))(
-                    ym, re0, re1, lamm, n0, n1)
+
+            def one_b(y, a, b, lm, m0, m1):
+                return search_b_maps(
+                    y, a[0], b[0], lm, log2_ctu, log2_min_cu, coded_w,
+                    coded_h, search_range, cnn_params=cnn_params, qp=qp,
+                    use_cnn=use_cnn, rd_cands=rd_cands,
+                    ref0b_u8=a[1], ref1b_u8=b[1], nref0=m0, nref1=m1)
+
+            if ym.shape[0] == 1:
+                # micro-batch 1 runs UNBATCHED: the vmapped 1080p B
+                # search program killed the TPU worker (r4 RA crash);
+                # the identical un-vmapped program runs fine — same
+                # math, different codegen path
+                return one_b(ym[0], re0[0], re1[0], lamm[0], n0[0],
+                             n1[0])[None]
+            return jax.vmap(one_b)(ym, re0, re1, lamm, n0, n1)
         ym, re0, lamm, n0 = args
-        return jax.vmap(lambda y, a, lm, m0: search_p_maps(
-            y, a[0], lm, log2_ctu, log2_min_cu, coded_w, coded_h,
-            search_range, cnn_params=cnn_params, qp=qp, use_cnn=use_cnn,
-            rd_cands=rd_cands, refb_u8=a[1], nref=m0))(ym, re0, lamm, n0)
+
+        def one_p(y, a, lm, m0):
+            return search_p_maps(
+                y, a[0], lm, log2_ctu, log2_min_cu, coded_w, coded_h,
+                search_range, cnn_params=cnn_params, qp=qp,
+                use_cnn=use_cnn, rd_cands=rd_cands, refb_u8=a[1],
+                nref=m0)
+
+        if ym.shape[0] == 1:
+            return one_p(ym[0], re0[0], lamm[0], n0[0])[None]
+        return jax.vmap(one_p)(ym, re0, lamm, n0)
 
     args = ((y_u8, r0_y_pad, r1_y_pad, lambda_sqrt, nref0, nref1) if is_b
             else (y_u8, r0_y_pad, lambda_sqrt, nref0))

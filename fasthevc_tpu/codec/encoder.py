@@ -248,12 +248,30 @@ class TpuEncoder:
             rc = RateController(cfg.target_bitrate, cfg.frame_rate,
                                 sp.coded_width, sp.coded_height)
         last_idr = start_poc
+        au_since_bp = 0
+        au_idx_cvs = 0
+        from ..spec.encoder import hrd_reorder_delay
+        from ..spec.syntax import (write_buffering_period_sei,
+                                   write_pic_timing_sei)
+        reorder = hrd_reorder_delay(cfg)
         for poc, slice_type, ref_deltas, qp_off in order:
             is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
                 dpb = {}
+                au_since_bp = 0
+                au_idx_cvs = 0
             cvs_poc = poc - last_idr
+            if sp.hrd_enabled:
+                if is_idr:
+                    out += bs.write_nal(bs.NAL_PREFIX_SEI,
+                                        write_buffering_period_sei(sp))
+                out += bs.write_nal(
+                    bs.NAL_PREFIX_SEI,
+                    write_pic_timing_sei(sp, au_since_bp,
+                                         cvs_poc - au_idx_cvs + reorder))
+                au_since_bp += 1
+                au_idx_cvs += 1
             slice_type, refs_l0, refs_l1, deltas = ref_lists(
                 dpb, cvs_poc, slice_type, ref_deltas, is_idr,
                 cfg.num_ref_per_list)
@@ -408,6 +426,15 @@ class TpuEncoder:
                 md5s = picture_hash((planes.y, planes.cb, planes.cr),
                                     cfg.hash_type)
             nal = bs.write_nal(bs.NAL_IDR_W_RADL, w.get_bytes())
+            if sp.hrd_enabled:
+                # all-intra device path: every picture is an IDR AU
+                from ..spec.syntax import (write_buffering_period_sei,
+                                           write_pic_timing_sei)
+                nal = (bs.write_nal(bs.NAL_PREFIX_SEI,
+                                    write_buffering_period_sei(sp))
+                       + bs.write_nal(bs.NAL_PREFIX_SEI,
+                                      write_pic_timing_sei(sp, 0, 0))
+                       + nal)
             nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
                                 write_picture_hash_sei(md5s, cfg.hash_type))
             return nal, planes
@@ -509,12 +536,15 @@ class TpuEncoder:
         # ---- pre-pass: resolve ref lists + build temporal-layer batches
         sim_dpb: set = set()
         last_idr = start_poc
-        entries = []  # (poc, cvs_poc, st, l0, l1, deltas, qp, is_idr)
+        au_idx_cvs = 0
+        entries = []  # (poc, cvs_poc, st, l0, l1, deltas, qp, is_idr,
+        #               last_idr, au_idx_in_cvs)
         for poc, slice_type, ref_deltas, qp_off in order:
             is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
                 sim_dpb = set()
+                au_idx_cvs = 0
             cvs_poc = poc - last_idr
             st, l0d, l1d, deltas = ref_lists(
                 {p: None for p in sim_dpb}, cvs_poc, slice_type,
@@ -526,7 +556,8 @@ class TpuEncoder:
             nr = max(1, min(2, cfg.num_ref_per_list))
             qp = min(max(cfg.qp + qp_off, 0), 51)
             entries.append((poc, cvs_poc, st, l0[:nr], l1[:nr], deltas,
-                            qp, is_idr, last_idr))
+                            qp, is_idr, last_idr, au_idx_cvs))
+            au_idx_cvs += 1
             sim_dpb.add(cvs_poc)
         # greedy dependency-driven batcher (software-pipelined GOPs): pack
         # up to 8 same-type frames whose references all live in EARLIER
@@ -728,8 +759,14 @@ class TpuEncoder:
             for key in evict_lists.get(bi, ()):
                 dev_dpb.pop(key, None)
 
+        from ..spec.encoder import hrd_reorder_delay
+        from ..spec.syntax import (write_buffering_period_sei,
+                                   write_pic_timing_sei)
+        hrd_reorder = hrd_reorder_delay(cfg)
+
         def emit_frame(res, res_dev, j, e, mctx):
-            poc, cvs_poc, st, _l0, _l1, deltas, qp, is_idr, _li = e
+            (poc, cvs_poc, st, _l0, _l1, deltas, qp, is_idr, _li,
+             au_idx) = e
             qp_y, qp_cb, qp_cr = qps_of(qp)
             depth = np.ascontiguousarray(res["packed"][j, :gh, :gw, 0]
                                          .astype(np.int8))
@@ -788,6 +825,16 @@ class TpuEncoder:
                 md5s = picture_hash((planes.y, planes.cb, planes.cr),
                                     cfg.hash_type)
             nal = bs.write_nal(nal_type, w.get_bytes())
+            if sp.hrd_enabled:
+                sei = b""
+                if is_idr:
+                    sei += bs.write_nal(bs.NAL_PREFIX_SEI,
+                                        write_buffering_period_sei(sp))
+                sei += bs.write_nal(
+                    bs.NAL_PREFIX_SEI,
+                    write_pic_timing_sei(sp, au_idx,
+                                         cvs_poc - au_idx + hrd_reorder))
+                nal = sei + nal
             nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
                                 write_picture_hash_sei(md5s, cfg.hash_type))
             return nal, planes

@@ -354,7 +354,8 @@ def search_p_frame(y_plane: jnp.ndarray, ref_plane: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu",
-                                   "search_range", "rd_cands"))
+                                   "search_range", "rd_cands",
+                                   "mpm_edge_x"))
 def search_b_frame(y_plane: jnp.ndarray, ref0_plane: jnp.ndarray,
                    ref1_plane: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                    log2_ctu: int = 5, log2_min_cu: int = 3,
@@ -705,7 +706,7 @@ def search_p_maps(y_u8: jnp.ndarray, ref_u8: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("log2_ctu", "log2_min_cu", "coded_w",
                                    "coded_h", "search_range", "use_cnn",
-                                   "rd_cands"))
+                                   "rd_cands", "mpm_edge_x"))
 def search_b_maps(y_u8: jnp.ndarray, ref0_u8: jnp.ndarray,
                   ref1_u8: jnp.ndarray, lambda_sqrt: jnp.ndarray,
                   log2_ctu: int, log2_min_cu: int,

@@ -88,6 +88,9 @@ class EncoderConfig:
     # classic and device RC paths
     target_bitrate: int = 0
     frame_rate: float = 30.0
+    # HRD signalling (SURVEY.md E12): VUI timing + nal_hrd_parameters in
+    # the SPS, buffering-period SEI on IRAPs, pic-timing SEI per picture
+    hrd: bool = False
 
     # Frames per device dispatch on the all-intra pipelines (0 = default).
     # Larger groups amortize the fixed per-op overhead of the wavefront

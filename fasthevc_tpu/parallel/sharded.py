@@ -647,7 +647,12 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
         packed_h, lvy_h, lvcb_h, lvcr_h, ry_h, rcb_h, rcr_h, sao_h = \
             (np.asarray(r) for r in res)
         # this frame's motion (canonical col form) for later TMVP replay
-        if st != 2 and sp.temporal_mvp_enabled:
+        # — for EVERY frame including the IDR, exactly like the single-
+        # device path (a P collocating an intra picture engages TMVP
+        # with an all-intra col map: no temporal candidate is found but
+        # the slice-header temporal_mvp bit is 1; byte-identity demands
+        # the same here)
+        if sp.temporal_mvp_enabled:
             rows_m = []
             for r in range(n_gop):
                 d8 = np.ascontiguousarray(
@@ -747,316 +752,4 @@ def sharded_encode_gop(frames, cfg, mesh: Mesh):
 # Inter (P) tile sharding with ME-window halo exchange (SURVEY.md §2.4 P6,
 # §5.7; the BASELINE north-star mechanism: "motion estimation reading
 # remote reference windows through halo exchange")
-# ---------------------------------------------------------------------------
 
-def _me_halo_ctus(search_range: int) -> int:
-    """CTU columns of halo each side so that every KEPT block's decision
-    chain is exact: its own ME windows (+-SR, +8 sub-pel/tap margin) and
-    its LEFT-neighbor candidate's ME windows (one 32-block further).
-    Intra needs >=1 left / >=2 right (top-right reference reach 2N)."""
-    need = 32 + search_range + 8
-    return max(2, -(-need // 32))
-
-
-def build_sharded_p_pipeline(mesh: Mesh, coded_w: int, coded_h: int,
-                             search_range: int, log2_ctu: int = 5,
-                             log2_min_cu: int = 3, deblock_on: bool = True,
-                             sdh: bool = True, rdoq: bool = False,
-                             sao_on: bool = False, is_b: bool = False):
-    """Jitted ("gop","tile")-sharded P/B-frame search+MC+commit+deblock.
-
-    Each tile shard ppermutes +-halo CTU columns of the REFERENCE recon
-    from its neighbors before motion estimation — remote reference
-    windows ride the mesh interconnect, never the host.  is_b adds a
-    second reference list (hierarchical-B on the mesh, SURVEY.md §5.7):
-    both lists' windows ride the same ppermute halos and the search is
-    the exact search_b_maps twin.  Decisions and reconstruction are
-    byte-identical to the unsharded device pipeline on the same tile
-    grid (tests/test_sharded_pipeline.py)."""
-    from ..codec.search import search_b_maps, search_p_maps
-    from ..ops.commit import wavefront_commit_mixed
-    from ..ops.deblock import inter_bs_maps, tu_cbf_map
-    from ..ops.me import inter_pred_planes
-
-    n_tile = mesh.shape["tile"]
-    assert coded_w % (n_tile * (1 << log2_ctu)) == 0
-    tile_w = coded_w // n_tile
-    hc = _me_halo_ctus(search_range)
-    halo = hc * CTU
-    assert tile_w >= halo, (
-        f"tile columns ({tile_w}) must be >= the ME halo ({halo}) — "
-        f"one-neighbor ppermute")
-
-    def per_shard(y, cb, cr, ref_y, ref_cb, ref_cr, r1_y, r1_cb, r1_cr,
-                  lam, qp_y, qp_cb, qp_cr, qp):
-        def one_frame(yt, cbt, crt, ry_t, rcb_t, rcr_t, r1y_t, r1cb_t,
-                      r1cr_t):
-            # --- halos: current source + REFERENCE windows (P6) --------
-            def ext2(p, wl, wr):
-                left, right = _ppermute_halo(p, "tile", n_tile, wl, wr)
-                return jnp.concatenate([left, p, right], axis=1)
-
-            ext = ext2(yt, halo, halo)
-            ext_cb = ext2(cbt, halo // 2, halo // 2)
-            ext_cr = ext2(crt, halo // 2, halo // 2)
-            ref_ext = ext2(ry_t, halo, halo)
-            ref_ecb = ext2(rcb_t, halo // 2, halo // 2)
-            ref_ecr = ext2(rcr_t, halo // 2, halo // 2)
-            if is_b:
-                r1_ext = ext2(r1y_t, halo, halo)
-                r1_ecb = ext2(r1cb_t, halo // 2, halo // 2)
-                r1_ecr = ext2(r1cr_t, halo // 2, halo // 2)
-            # --- search on the halo-extended planes (exact twin) --------
-            if is_b:
-                packed_ext = search_b_maps(
-                    ext, ref_ext, r1_ext, lam, log2_ctu, log2_min_cu,
-                    ext.shape[1], coded_h, search_range, mpm_edge_x=halo,
-                    mpm_edge_on=jax.lax.axis_index("tile") == 0)
-            else:
-                packed_ext = search_p_maps(
-                    ext, ref_ext, lam, log2_ctu, log2_min_cu, ext.shape[1],
-                    coded_h, search_range, mpm_edge_x=halo,
-                    mpm_edge_on=jax.lax.axis_index("tile") == 0)
-            g0 = halo >> 3
-            gt = tile_w >> 3
-            gh = coded_h >> 3
-            packed = packed_ext[:gh, g0:g0 + gt]
-            dm = packed[..., 0].astype(jnp.int32)
-            mm = packed[..., 1].astype(jnp.int32)
-            im = packed[..., 2].astype(jnp.int32)
-            mv = packed[..., 3:7].astype(jnp.int32)
-            # --- MC pred on the extended geometry, cropped to the tile --
-            dm_e = packed_ext[:gh, :, 0].astype(jnp.int32)
-            im_e = packed_ext[:gh, :, 2].astype(jnp.int32)
-            mv_e = packed_ext[:gh, :, 3:7].astype(jnp.int32)
-            ipy, ipcb, ipcr = inter_pred_planes(
-                (ref_ext[:coded_h].astype(jnp.int32),
-                 ref_ecb[:coded_h // 2].astype(jnp.int32),
-                 ref_ecr[:coded_h // 2].astype(jnp.int32)),
-                ((r1_ext[:coded_h].astype(jnp.int32),
-                  r1_ecb[:coded_h // 2].astype(jnp.int32),
-                  r1_ecr[:coded_h // 2].astype(jnp.int32)) if is_b
-                 else None),
-                im_e, mv_e)
-            ipy = ipy[:, halo:halo + tile_w]
-            ipcb = ipcb[:, halo // 2:(halo + tile_w) // 2]
-            ipcr = ipcr[:, halo // 2:(halo + tile_w) // 2]
-            # --- per-tile exact mixed commit (tiles are closed) ---------
-            ry, rcb, rcr, lv_y, lv_cb, lv_cr = wavefront_commit_mixed(
-                yt[:coded_h].astype(jnp.int32),
-                cbt[:coded_h // 2].astype(jnp.int32),
-                crt[:coded_h // 2].astype(jnp.int32),
-                dm, mm, im, ipy, ipcb, ipcr,
-                qp_y, qp_cb, qp_cr, tile_w, coded_h, 8, sdh,
-                rdoq=rdoq, lam=(lam * lam).astype(jnp.float32))
-            if deblock_on:
-                cbf = tu_cbf_map(lv_y, dm, log2_ctu)
-                cl, cr_h = _ppermute_halo(cbf.astype(jnp.int32), "tile",
-                                          n_tile, 1, 1)
-                il, ir = _ppermute_halo(im, "tile", n_tile, 1, 1)
-                ml, mr = _ppermute_halo(
-                    mv.reshape(gh, gt * 4), "tile", n_tile, 4, 4)
-                cbf_e = jnp.concatenate([cl, cbf.astype(jnp.int32), cr_h],
-                                        axis=1)
-                im_eh = jnp.concatenate([il, im, ir], axis=1)
-                mv_eh = jnp.concatenate(
-                    [ml.reshape(gh, 1, 4), mv,
-                     mr.reshape(gh, 1, 4)], axis=1)
-                dl, dr = _ppermute_halo(dm, "tile", n_tile, 1, 1)
-                dm_eh = jnp.concatenate([dl, dm, dr], axis=1)
-                bs_v_e, _bs_h_e = inter_bs_maps(dm_eh, im_eh, mv_eh, cbf_e)
-                _bs_v_own, bs_h = inter_bs_maps(dm, im, mv, cbf)
-                ry, rcb, rcr = _deblock_sharded_cols(
-                    ry, rcb, rcr, dm, qp, qp_cb, qp_cr, "tile", n_tile,
-                    bs_vert_ext=bs_v_e, bs_horz=bs_h)
-            if sao_on:
-                # SAO classification halo (P6) — same as the intra path
-                from ..ops.sao import sao_device
-                idx = jax.lax.axis_index("tile")
-                l_av, r_av = idx > 0, idx < n_tile - 1
-                hy = _ppermute_halo(ry, "tile", n_tile, 1, 1)
-                hcb = _ppermute_halo(rcb, "tile", n_tile, 1, 1)
-                hcr = _ppermute_halo(rcr, "tile", n_tile, 1, 1)
-                ry, rcb, rcr, sao_p = sao_device(
-                    yt[:coded_h].astype(jnp.int32),
-                    cbt[:coded_h // 2].astype(jnp.int32),
-                    crt[:coded_h // 2].astype(jnp.int32),
-                    ry, rcb, rcr, log2_ctu, has_halo=True,
-                    halo_y=(hy[0][:, 0], hy[1][:, 0]),
-                    halo_cb=(hcb[0][:, 0], hcb[1][:, 0]),
-                    halo_cr=(hcr[0][:, 0], hcr[1][:, 0]),
-                    l_avail=l_av, r_avail=r_av)
-            else:
-                ny = -(-coded_h // (1 << log2_ctu))
-                nx = tile_w >> log2_ctu
-                sao_p = jnp.zeros((ny, nx, 3, 7), jnp.int32)
-            return (packed, lv_y, lv_cb, lv_cr,
-                    ry.astype(jnp.uint8), rcb.astype(jnp.uint8),
-                    rcr.astype(jnp.uint8), sao_p)
-
-        return jax.vmap(one_frame)(y, cb, cr, ref_y, ref_cb, ref_cr,
-                                   r1_y, r1_cb, r1_cr)
-
-    mapped = shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P("gop", None, "tile"),) * 9 + (P(),) * 5,
-        out_specs=(P("gop", None, "tile", None),
-                   P("gop", None, "tile"), P("gop", None, "tile"),
-                   P("gop", None, "tile"),
-                   P("gop", None, "tile"), P("gop", None, "tile"),
-                   P("gop", None, "tile"),
-                   P("gop", None, "tile", None, None)),
-        check_rep=False)
-
-    @jax.jit
-    def run(y, cb, cr, ry, rcb, rcr, r1y, r1cb, r1cr, lam, qp_y, qp_cb,
-            qp_cr, qp):
-        return mapped(y, cb, cr, ry, rcb, rcr, r1y, r1cb, r1cr, lam,
-                      qp_y, qp_cb, qp_cr, qp)
-
-    return run
-
-
-def sharded_encode_gop(frames, cfg, mesh: Mesh):
-    """Encode on a ("gop","tile") mesh with INTER frames: each gop-axis
-    shard owns an independent IDR-led segment (closed-GOP parallelism,
-    P4) and the tile shards within it cooperate per frame — intra refs,
-    ME reference windows and deblock strips ride the mesh via ppermute
-    halos (P1/P6).  Reference recon stays device-resident and SHARDED
-    between frames (the DPB never crosses the host).
-
-    cfg must describe the equivalent single-device encode: tiles =
-    mesh tile shards, intra_period = len(frames)/n_gop, and a GOP table
-    of P and/or hierarchical-B entries with at most ONE active reference
-    per list on the mesh (the multi-ref search is single-device-only for
-    now).  Per-entry QP offsets and TMVP syntax replay are honored, so
-    the output stream is byte-identical to TpuEncoder(cfg).encode(frames)
-    on the same config (tests/test_sharded_pipeline.py)."""
-    from .. import cabac_cpp
-    from ..spec import bitstream as bs
-    from ..spec.cabac import ContextSet
-    from ..spec.ctu import Planes, tu_qps
-    from ..spec.encoder import config_to_sp
-    from ..spec.syntax import (SliceHeader, write_picture_hash_sei,
-                               write_pps, write_slice_header, write_sps,
-                               write_vps)
-    from ..utils.video import pad_plane, picture_hash
-
-    n_tile = mesh.shape["tile"]
-    n_gop = mesh.shape["gop"]
-    n = len(frames)
-    assert n % n_gop == 0, "frames must split evenly into gop segments"
-    seg = n // n_gop
-    cfg = cfg.replace(tile_cols=n_tile, tile_rows=1,
-                      intra_period=seg)
-    sp = config_to_sp(cfg)
-    sp.sao_enabled = bool(cfg.sao)
-    sp.deblocking_disabled = not cfg.deblocking
-    qp = cfg.qp
-    qp_y, qp_cb, qp_cr = tu_qps(sp, qp)
-    lam = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
-    run_i = build_sharded_intra_pipeline(
-        mesh, sp.coded_width, sp.coded_height, sp.log2_ctu,
-        sp.log2_min_cu, deblock_on=cfg.deblocking, sdh=sp.sign_data_hiding,
-        rdoq=bool(cfg.rdoq), sao_on=bool(cfg.sao))
-    run_p = build_sharded_p_pipeline(
-        mesh, sp.coded_width, sp.coded_height, cfg.search_range,
-        sp.log2_ctu, sp.log2_min_cu, deblock_on=cfg.deblocking,
-        sdh=sp.sign_data_hiding, rdoq=bool(cfg.rdoq), sao_on=bool(cfg.sao))
-    run_b = None  # built lazily: only GOP tables with B entries pay it
-
-    ph = -(-sp.coded_height // CTU) * CTU
-    gh, gw = sp.coded_height >> 3, sp.coded_width >> 3
-    spec_in = NamedSharding(mesh, P("gop", None, "tile"))
-
-    def upload(step):
-        idx = [r * seg + step for r in range(n_gop)]
-        ys = np.stack([pad_plane(np.asarray(frames[i][0], np.int32), ph,
-                                 sp.coded_width).astype(np.uint8)
-                       for i in idx])
-        cbs = np.stack([pad_plane(np.asarray(frames[i][1], np.int32),
-                                  ph // 2, sp.coded_width // 2)
-                        .astype(np.uint8) for i in idx])
-        crs = np.stack([pad_plane(np.asarray(frames[i][2], np.int32),
-                                  ph // 2, sp.coded_width // 2)
-                        .astype(np.uint8) for i in idx])
-        return (jax.device_put(jnp.asarray(ys), spec_in),
-                jax.device_put(jnp.asarray(cbs), spec_in),
-                jax.device_put(jnp.asarray(crs), spec_in))
-
-    per_frame = {}   # (row, step) -> (nal bytes, planes)
-    ref = None
-    for step in range(seg):
-        yb, cbb, crb = upload(step)
-        if step == 0:
-            res = run_i(yb, cbb, crb, lam, jnp.int32(qp_y),
-                        jnp.int32(qp_cb), jnp.int32(qp_cr), jnp.int32(qp))
-        else:
-            # recon must enter padded to the I/P pipeline height contract
-            ry_pad = jnp.pad(ref[0], ((0, 0), (0, ph - ref[0].shape[1]),
-                                      (0, 0)))
-            rcb_pad = jnp.pad(ref[1],
-                              ((0, 0), (0, ph // 2 - ref[1].shape[1]),
-                               (0, 0)))
-            rcr_pad = jnp.pad(ref[2],
-                              ((0, 0), (0, ph // 2 - ref[2].shape[1]),
-                               (0, 0)))
-            res = run_p(yb, cbb, crb, ry_pad, rcb_pad, rcr_pad, lam,
-                        jnp.int32(qp_y), jnp.int32(qp_cb),
-                        jnp.int32(qp_cr), jnp.int32(qp))
-        packed, lv_y, lv_cb, lv_cr, ry, rcb, rcr, sao_p = res
-        ref = (ry, rcb, rcr)      # stays sharded on the mesh
-        packed_h, lvy_h, lvcb_h, lvcr_h, ry_h, rcb_h, rcr_h, sao_h = \
-            (np.asarray(r) for r in res)
-        for r in range(n_gop):
-            depth = np.ascontiguousarray(packed_h[r, :gh, :gw, 0]
-                                         .astype(np.int8))
-            mode = np.ascontiguousarray(packed_h[r, :gh, :gw, 1]
-                                        .astype(np.int8))
-            kw = {}
-            if step > 0:
-                kw["slice_type"] = 1
-                kw["dir_map"] = np.ascontiguousarray(
-                    packed_h[r, :gh, :gw, 2].astype(np.int8))
-                kw["mv_map"] = np.ascontiguousarray(
-                    packed_h[r, :gh, :gw, 3:7].astype(np.int16))
-            subs = cabac_cpp.entropy_slice_native(
-                sp, qp_y, qp_cb, qp_cr, depth, mode, lvy_h[r], lvcb_h[r],
-                lvcr_h[r], ContextSet(0 if step == 0 else 1, qp),
-                sao_params=sao_h[r] if cfg.sao else None,
-                sdh=sp.sign_data_hiding, ts=sp.transform_skip_enabled,
-                rqt=sp.max_transform_hierarchy_depth_inter > 0, **kw)
-            sh = SliceHeader(
-                slice_type=2 if step == 0 else 1, slice_qp=qp,
-                is_idr=step == 0,
-                poc_lsb=step & ((1 << sp.log2_max_poc_lsb) - 1),
-                ref_pocs_before=() if step == 0 else (1,),
-                sao_luma=bool(cfg.sao), sao_chroma=bool(cfg.sao),
-                entry_points=tuple(len(x) for x in subs[:-1]))
-            w = write_slice_header(
-                sh, sp, bs.NAL_IDR_W_RADL if step == 0 else bs.NAL_TRAIL_R)
-            for s_bytes in subs:
-                w.append_bytes(s_bytes)
-            planes = Planes.__new__(Planes)
-            planes.y = ry_h[r].astype(np.int32)
-            planes.cb = rcb_h[r].astype(np.int32)
-            planes.cr = rcr_h[r].astype(np.int32)
-            nal = bs.write_nal(
-                bs.NAL_IDR_W_RADL if step == 0 else bs.NAL_TRAIL_R,
-                w.get_bytes())
-            md5s = picture_hash((planes.y, planes.cb, planes.cr),
-                                cfg.hash_type)
-            nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
-                                write_picture_hash_sei(md5s, cfg.hash_type))
-            per_frame[(r, step)] = (nal, planes)
-
-    out = bytearray(bs.write_nal(bs.NAL_VPS, write_vps(sp))
-                    + bs.write_nal(bs.NAL_SPS, write_sps(sp))
-                    + bs.write_nal(bs.NAL_PPS, write_pps(sp)))
-    recons = []
-    for r in range(n_gop):
-        for step in range(seg):
-            nal, planes = per_frame[(r, step)]
-            out += nal
-            recons.append(planes)
-    return bytes(out), recons

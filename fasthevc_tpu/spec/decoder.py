@@ -42,6 +42,9 @@ class SpecDecoder:
         self.pictures: list[DecodedPicture] = []
         self._dpb: dict = {}  # cvs-local POC -> Planes
         self._poc = 0
+        # HRD SEI payloads in stream order (buffering_period / pic_timing)
+        self.hrd_buffering_periods: list = []
+        self.hrd_pic_timings: list = []
 
     def decode(self, stream: bytes) -> list[DecodedPicture]:
         for nal_type, temporal_id, rbsp in bs.split_annexb(stream):
@@ -59,7 +62,11 @@ class SpecDecoder:
             parse_pps(rbsp, self.sp)
             return
         if nal_type in (bs.NAL_PREFIX_SEI, bs.NAL_SUFFIX_SEI):
-            sei = parse_sei(rbsp)
+            sei = parse_sei(rbsp, self.sp)
+            if "buffering_period" in sei:
+                self.hrd_buffering_periods.append(sei["buffering_period"])
+            if "pic_timing" in sei:
+                self.hrd_pic_timings.append(sei["pic_timing"])
             if "picture_hash" in sei and self.pictures:
                 pic = self.pictures[-1]
                 got = picture_hash((pic.planes.y, pic.planes.cb,

@@ -24,6 +24,8 @@ from .syntax import (
     SLICE_I,
     SequenceParams,
     SliceHeader,
+    write_buffering_period_sei,
+    write_pic_timing_sei,
     write_picture_hash_sei,
     write_pps,
     write_slice_header,
@@ -79,8 +81,24 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         temporal_mvp_enabled=cfg.temporal_mvp,
         max_transform_hierarchy_depth_inter=(
             1 if getattr(cfg, "rqt_inter", False) else 0),
+        hrd_enabled=getattr(cfg, "hrd", False),
+        frame_rate=getattr(cfg, "frame_rate", 30.0),
     )
+    if sp.hrd_enabled and cfg.target_bitrate > 0:
+        sp.hrd_bitrate = cfg.target_bitrate
+        sp.hrd_cpb_size = 2 * cfg.target_bitrate
     return sp
+
+
+def hrd_reorder_delay(cfg) -> int:
+    """sps-style max reorder (coding index ahead of display) of the GOP
+    table — the constant in pic-timing dpb_output_delay accounting."""
+    if not cfg.gop:
+        return 0
+    r = 0
+    for i, e in enumerate(cfg.gop):
+        r = max(r, (i + 1) - e.poc_offset)
+    return max(0, r)
 
 
 class SpecEncoder:
@@ -131,12 +149,27 @@ class SpecEncoder:
         from ..codec.gop import coding_order, ref_lists
         order = coding_order(self.cfg, len(frames), start_poc)
         last_idr = start_poc
+        au_since_bp = 0
+        au_idx_cvs = 0
+        reorder = hrd_reorder_delay(self.cfg)
         for poc, slice_type, ref_deltas, qp_off in order:
             is_idr = slice_type == SLICE_I
             if is_idr:
                 last_idr = poc
                 self.dpb = {}
+                au_since_bp = 0
+                au_idx_cvs = 0
             cvs_poc = poc - last_idr  # POC resets at IDR (spec 8.3.1)
+            if sp.hrd_enabled:
+                if is_idr:
+                    out += bs.write_nal(bs.NAL_PREFIX_SEI,
+                                        write_buffering_period_sei(sp))
+                out += bs.write_nal(
+                    bs.NAL_PREFIX_SEI,
+                    write_pic_timing_sei(sp, au_since_bp,
+                                         cvs_poc - au_idx_cvs + reorder))
+                au_since_bp += 1
+                au_idx_cvs += 1
             slice_type, refs_l0, refs_l1, (before, after) = ref_lists(
                 self.dpb, cvs_poc, slice_type, ref_deltas, is_idr,
                 self.cfg.num_ref_per_list)

@@ -32,6 +32,11 @@ class SequenceParams:
     amp_enabled: bool = False
     pcm_enabled: bool = False
     temporal_mvp_enabled: bool = False  # sps_temporal_mvp_enabled_flag
+    # HRD / VUI timing (SURVEY.md E12: buffering-period + pic-timing SEI)
+    hrd_enabled: bool = False
+    frame_rate: float = 30.0
+    hrd_bitrate: int = 1_000_000    # bits/s (CPB arrival rate)
+    hrd_cpb_size: int = 2_000_000   # bits
 
     # PPS-level
     init_qp: int = 26
@@ -207,10 +212,56 @@ def write_sps(sp: SequenceParams) -> bytes:
     w.write_flag(0)       # long_term_ref_pics_present_flag
     w.write_flag(1 if sp.temporal_mvp_enabled else 0)
     w.write_flag(1 if sp.strong_intra_smoothing else 0)
-    w.write_flag(0)       # vui_parameters_present_flag
+    w.write_flag(1 if sp.hrd_enabled else 0)  # vui_parameters_present
+    if sp.hrd_enabled:
+        _write_vui_hrd(w, sp)
     w.write_flag(0)       # sps_extension_present_flag
     w.byte_align()
     return w.get_bytes()
+
+
+# initial/au-removal/output delay field widths (minus1 coded in HRD)
+HRD_INIT_LEN = 24
+HRD_AU_LEN = 16
+HRD_DPB_LEN = 16
+
+
+def _write_vui_hrd(w: BitWriter, sp: SequenceParams) -> None:
+    """Minimal VUI: timing_info + one-CPB NAL hrd_parameters
+    (spec E.2.1/E.2.2) — what buffering-period and pic-timing SEI need
+    to be interpretable."""
+    w.write_flag(0)   # aspect_ratio_info_present_flag
+    w.write_flag(0)   # overscan_info_present_flag
+    w.write_flag(0)   # video_signal_type_present_flag
+    w.write_flag(0)   # chroma_loc_info_present_flag
+    w.write_flag(0)   # neutral_chroma_indication_flag
+    w.write_flag(0)   # field_seq_flag
+    w.write_flag(0)   # frame_field_info_present_flag
+    w.write_flag(0)   # default_display_window_flag
+    w.write_flag(1)   # vui_timing_info_present_flag
+    num_units, scale = 1000, int(round(sp.frame_rate * 1000))
+    w.write_bits(num_units, 32)   # vui_num_units_in_tick
+    w.write_bits(scale, 32)       # vui_time_scale
+    w.write_flag(0)   # vui_poc_proportional_to_timing_flag
+    w.write_flag(1)   # vui_hrd_parameters_present_flag
+    # hrd_parameters(commonInfPresent=1, maxNumSubLayersMinus1=0)
+    w.write_flag(1)   # nal_hrd_parameters_present_flag
+    w.write_flag(0)   # vcl_hrd_parameters_present_flag
+    w.write_flag(0)   # sub_pic_hrd_params_present_flag
+    w.write_bits(6, 4)    # bit_rate_scale (BitRate = value << (6+scale))
+    w.write_bits(4, 4)    # cpb_size_scale (CpbSize = value << (4+scale))
+    w.write_bits(HRD_INIT_LEN - 1, 5)  # initial_cpb_removal_delay_len-1
+    w.write_bits(HRD_AU_LEN - 1, 5)    # au_cpb_removal_delay_len-1
+    w.write_bits(HRD_DPB_LEN - 1, 5)   # dpb_output_delay_len-1
+    # sub-layer 0
+    w.write_flag(1)   # fixed_pic_rate_general_flag
+    w.write_ue(0)     # elemental_duration_in_tc_minus1
+    w.write_ue(0)     # cpb_cnt_minus1 -> 1 CPB
+    # sub_layer_hrd_parameters: one CPB
+    w.write_ue(max(0, (sp.hrd_bitrate >> 12) - 1))   # bit_rate_value-1
+    w.write_ue(max(0, (sp.hrd_cpb_size >> 8) - 1))   # cpb_size_value-1
+    w.write_flag(0)   # cbr_flag
+    w.write_flag(0)   # bitstream_restriction_flag
 
 
 def parse_sps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
@@ -252,9 +303,36 @@ def parse_sps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     assert r.read_flag() == 0  # long-term refs
     sp.temporal_mvp_enabled = bool(r.read_flag())
     sp.strong_intra_smoothing = bool(r.read_flag())
-    r.read_flag()         # vui
+    if r.read_flag():     # vui_parameters_present
+        _parse_vui_hrd(r, sp)
     r.read_flag()         # extension
     return sp
+
+
+def _parse_vui_hrd(r: BitReader, sp: SequenceParams) -> None:
+    """Parse the minimal VUI this encoder writes (_write_vui_hrd)."""
+    for _ in range(8):
+        assert r.read_flag() == 0  # the 8 leading absent-info flags
+    assert r.read_flag() == 1     # vui_timing_info_present
+    num_units = r.read_bits(32)
+    scale = r.read_bits(32)
+    sp.frame_rate = scale / num_units
+    assert r.read_flag() == 0     # poc_proportional
+    assert r.read_flag() == 1     # hrd present
+    assert r.read_flag() == 1     # nal hrd
+    assert r.read_flag() == 0     # vcl hrd
+    assert r.read_flag() == 0     # sub_pic
+    r.read_bits(4)                # bit_rate_scale
+    r.read_bits(4)                # cpb_size_scale
+    r.read_bits(5); r.read_bits(5); r.read_bits(5)
+    assert r.read_flag() == 1     # fixed_pic_rate_general
+    r.read_ue()                   # elemental duration
+    assert r.read_ue() == 0       # cpb_cnt_minus1
+    sp.hrd_bitrate = (r.read_ue() + 1) << 12
+    sp.hrd_cpb_size = (r.read_ue() + 1) << 8
+    r.read_flag()                 # cbr
+    assert r.read_flag() == 0     # bitstream_restriction
+    sp.hrd_enabled = True
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +596,52 @@ def write_picture_hash_sei(hashes: list[bytes], hash_type: int = 0) -> bytes:
     return w.get_bytes()
 
 
-def parse_sei(rbsp: bytes) -> dict:
+def write_buffering_period_sei(sp: SequenceParams) -> bytes:
+    """buffering_period SEI (spec D.2.2 / D.3.2): initial CPB removal
+    delay for the single NAL CPB this encoder signals. Emitted as a
+    PREFIX SEI on every IRAP access unit."""
+    assert sp.hrd_enabled
+    body = BitWriter()
+    body.write_ue(0)        # bp_seq_parameter_set_id
+    body.write_flag(0)      # irap_cpb_params_present_flag
+    body.write_flag(0)      # concatenation_flag
+    body.write_bits(0, HRD_AU_LEN)  # au_cpb_removal_delay_delta_minus1
+    # 90 kHz initial removal delay: a full CPB's worth of arrival time
+    delay90k = min((1 << HRD_INIT_LEN) - 1,
+                   int(90000 * sp.hrd_cpb_size / max(1, sp.hrd_bitrate)))
+    body.write_bits(delay90k, HRD_INIT_LEN)  # initial_cpb_removal_delay
+    body.write_bits(0, HRD_INIT_LEN)         # initial_cpb_removal_offset
+    body.byte_align()
+    payload = body.get_bytes()
+    w = BitWriter()
+    w.write_bits(0, 8)                  # payloadType = buffering_period
+    w.write_bits(len(payload), 8)
+    w.append_bytes(payload)
+    w.byte_align()
+    return w.get_bytes()
+
+
+def write_pic_timing_sei(sp: SequenceParams, au_cpb_removal_delay: int,
+                         dpb_output_delay: int) -> bytes:
+    """pic_timing SEI (spec D.2.3 / D.3.3): per-AU CPB removal +
+    DPB output delays (frame_field_info absent, no DU info)."""
+    assert sp.hrd_enabled
+    body = BitWriter()
+    body.write_bits(min((1 << HRD_AU_LEN) - 1,
+                        max(0, au_cpb_removal_delay - 1)), HRD_AU_LEN)
+    body.write_bits(min((1 << HRD_DPB_LEN) - 1, dpb_output_delay),
+                    HRD_DPB_LEN)
+    body.byte_align()
+    payload = body.get_bytes()
+    w = BitWriter()
+    w.write_bits(1, 8)                  # payloadType = pic_timing
+    w.write_bits(len(payload), 8)
+    w.append_bytes(payload)
+    w.byte_align()
+    return w.get_bytes()
+
+
+def parse_sei(rbsp: bytes, sp: SequenceParams | None = None) -> dict:
     """Parse SEI messages; returns {'picture_hash': [md5, ...]} if present."""
     out: dict = {}
     r = BitReader(rbsp)
@@ -536,7 +659,26 @@ def parse_sei(rbsp: bytes) -> dict:
             psize += 255
             b = r.read_bits(8)
         psize += b
-        if ptype == 132:
+        if ptype == 0 and sp is not None and sp.hrd_enabled:
+            # parse from the extracted payload so the outer reader stays
+            # byte-aligned at the next SEI message
+            pr = BitReader(bytes(r.read_bits(8) for _ in range(psize)))
+            pr.read_ue()                      # bp_seq_parameter_set_id
+            pr.read_bits(1)                   # irap_cpb_params_present
+            pr.read_bits(1)                   # concatenation_flag
+            pr.read_bits(HRD_AU_LEN)          # au_cpb_removal_delay_delta-1
+            out["buffering_period"] = {
+                "initial_cpb_removal_delay": pr.read_bits(HRD_INIT_LEN),
+                "initial_cpb_removal_offset": pr.read_bits(HRD_INIT_LEN),
+            }
+        elif ptype == 1 and sp is not None and sp.hrd_enabled:
+            pr = BitReader(bytes(r.read_bits(8) for _ in range(psize)))
+            out["pic_timing"] = {
+                "au_cpb_removal_delay":
+                    pr.read_bits(HRD_AU_LEN) + 1,
+                "dpb_output_delay": pr.read_bits(HRD_DPB_LEN),
+            }
+        elif ptype == 132:
             hash_type = r.read_bits(8)
             hashes = []
             n = _HASH_LEN.get(hash_type)

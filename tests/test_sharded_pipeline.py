@@ -179,3 +179,28 @@ def test_sharded_encode_sao_halo_byte_identical():
         f"sharded {len(s_sharded)}B != unsharded {len(s_single)}B")
     pics = SpecDecoder().decode(s_sharded)
     assert all(p.hash_ok for p in pics)
+
+
+def test_sharded_b_frames_byte_identical():
+    """Hierarchical-B on the ("gop","tile") mesh (r5): both reference
+    lists' ME windows ride ppermute halos; per-entry QP offsets and TMVP
+    syntax replay included. Byte-identical to the single-device encoder."""
+    from fasthevc_tpu.config import GopEntry
+    from fasthevc_tpu.parallel.sharded import sharded_encode_gop
+
+    w, h, n = 256, 64, 6
+    clip = synthesize_yuv(w, h, n, seed=33)
+    mesh = _mesh(2, 4)
+    gop = [GopEntry(2, 0, "P", (-2,)), GopEntry(1, 1, "B", (-1, 1))]
+    cfg = EncoderConfig(width=w, height=h, qp=32, frames=n,
+                        tile_cols=4, tile_rows=1, sao=True,
+                        intra_period=3, gop=gop, search_range=8,
+                        num_ref_per_list=1)
+    s_sharded, recons = sharded_encode_gop(clip, cfg, mesh)
+    s_single, rec_single = TpuEncoder(cfg).encode(clip)
+    assert s_sharded == s_single, (
+        f"sharded B {len(s_sharded)}B != unsharded {len(s_single)}B")
+    pics = SpecDecoder().decode(s_sharded)
+    assert len(pics) == n and all(p.hash_ok for p in pics)
+    for a, b in zip(recons, rec_single):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
