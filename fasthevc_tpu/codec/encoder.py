@@ -585,8 +585,17 @@ class TpuEncoder:
             else:
                 batch = [e0]
                 taken = {0}
+                # HD+ B batches are capped (FASTHEVC_MAX_INTER_BATCH to
+                # override): the 1080p B-group program crashes the TPU
+                # worker at large F (r4/r5 chip bisect) — a smaller
+                # batch trades some wave-scan amortization for a
+                # functioning RA path
+                import os as _os2
+                big = sp.coded_width * sp.coded_height >= 1280 * 720
+                max_b = int(_os2.environ.get(
+                    "FASTHEVC_MAX_INTER_BATCH", "4" if big else "8"))
                 for idx in range(1, len(pending)):
-                    if len(batch) >= 8:
+                    if len(batch) >= max_b:
                         break
                     e = pending[idx]
                     if e[2] == SLICE_I:
