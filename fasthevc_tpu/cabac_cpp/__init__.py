@@ -145,9 +145,29 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,    # col_mv, col_refpoc
         ctypes.c_void_p,                     # ref_map
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ref0b y/cb/cr
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # ref1b y/cb/cr
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ref1b y/cb/cr
+        ctypes.c_void_p]                     # weighted-pred table (nullable)
     _lib = lib
     return lib
+
+
+def _marshal_wp(wp):
+    """Marshal spec.wp.WpTables to the C ABI int32[26] layout (see
+    SliceEnc::wp in slice_engine.cpp); None -> (None, None)."""
+    if wp is None:
+        return None, None
+    arr = np.zeros(26, dtype=np.int32)
+    arr[0] = wp.log2_denom_y
+    arr[1] = wp.log2_denom_c
+    from ..spec.wp import default_entry
+    dflt = default_entry(wp.log2_denom_y, wp.log2_denom_c)
+    for li, entries in ((0, wp.l0), (1, wp.l1)):
+        for ri in range(2):
+            e = entries[ri] if ri < len(entries) else dflt
+            off = 2 + (li * 2 + ri) * 6
+            arr[off:off + 6] = (e.w_y, e.o_y, e.w_cb, e.o_cb,
+                                e.w_cr, e.o_cr)
+    return arr.ctypes.data_as(ctypes.c_void_p), arr
 
 
 _OFFSET_ORDER = [
@@ -200,7 +220,8 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
                         refs=((), ()), deblock: bool = False,
                         sao: bool = False, rdoq: bool = False,
                         sdh: bool = False, ts: bool = False,
-                        rqt: bool = False, mctx=None, ref_map=None):
+                        rqt: bool = False, mctx=None, ref_map=None,
+                        wp=None):
     """Run the two-phase C++ slice engine: commit, then in-loop filters
     (deblock + SAO when enabled), then entropy — for one decided slice
     (I/P/B), with tiles executed on parallel threads. The returned recon
@@ -279,6 +300,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
     mf_cbf = np.zeros((gh4, gw4), dtype=np.uint8)
     mf_inter = np.zeros((gh4, gw4), dtype=np.uint8)
     mctx_p, cd_p, cm_p, cr_p, rm_p, _keep = _marshal_mctx(mctx, ref_map)
+    wp_p, _wp_keep = _marshal_wp(wp)
     total = lib.hevc_encode_slice_tiled(
         sy, scb, scr, w, h, sp.log2_ctu, sp.bit_depth, qp_y, qp_cb, qp_cr,
         int(lossless), int(sp.transquant_bypass_enabled), dm, mm,
@@ -290,7 +312,7 @@ def encode_slice_native(src_planes, sp, qp_y, qp_cb, qp_cr, depth_map,
         mf_mv, mf_ref, mf_cbf, mf_inter,
         rec_y, rec_cb, rec_cr, payload, sizes,
         mctx_p, cd_p, cm_p, cr_p, rm_p,
-        r0b[0], r0b[1], r0b[2], r1b[0], r1b[1], r1b[2])
+        r0b[0], r0b[1], r0b[2], r1b[0], r1b[1], r1b[2], wp_p)
     subs = []
     off = 0
     for t in range(n_tiles):

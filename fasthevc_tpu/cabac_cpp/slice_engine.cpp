@@ -683,6 +683,10 @@ struct SliceEnc {
   const int8_t *dir_map = nullptr;     // per-8x8 granule: 0..3
   const int16_t *mv_map = nullptr;     // per-8x8 granule: mv0x,mv0y,mv1x,mv1y
   const int8_t *ref_map = nullptr;     // per-8x8 granule: (ref0, ref1)
+  // explicit weighted prediction (spec 8.5.3.3.4.3, mirrors spec/wp.py):
+  // [0]=log2_denom_y, [1]=log2_denom_c, then per (list, ref) in order
+  // (0,0),(0,1),(1,0),(1,1): {w_y,o_y,w_cb,o_cb,w_cr,o_cr}. null = off.
+  const int32_t *wp = nullptr;
   // motion context (mirror of spec/inter.py MotionCtx): active-list POCs
   // + collocated-picture arrays for TMVP; defaults = single-ref, no TMVP
   int cur_poc = 0, n_l0 = 1, n_l1 = 1;
@@ -1536,7 +1540,39 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
   std::vector<int32_t> pred_y(n * n), pred_cb(cn * cn), pred_cr(cn * cn);
   int maxv = (1 << f.bit_depth) - 1;
   auto blend = [&](const int64_t *a, const int64_t *b, int cnt,
-                   int32_t *out) {
+                   int32_t *out, int ci) {
+    if (s->wp) {
+      // explicit weighted sample prediction — bit-for-bit mirror of
+      // spec/mc.py _uni_w/_bi_w (spec 8.5.3.3.4.3)
+      int denom = ci == 0 ? s->wp[0] : s->wp[1];
+      int log2wd = denom + (14 - f.bit_depth);
+      auto ent = [&](int li, int ri, int *w_out, int *o_out) {
+        const int32_t *e =
+            s->wp + 2 + (li * 2 + (ri > 0 ? 1 : 0)) * 6 + ci * 2;
+        *w_out = e[0];
+        *o_out = e[1];
+      };
+      if (m.dir == 3) {
+        int w0, o0, w1, o1;
+        ent(0, m.r0, &w0, &o0);
+        ent(1, m.r1, &w1, &o1);
+        int64_t rnd = (int64_t)(o0 + o1 + 1) << log2wd;
+        for (int i = 0; i < cnt; i++)
+          out[i] = clampi(
+              (int)((a[i] * w0 + b[i] * w1 + rnd) >> (log2wd + 1)), 0,
+              maxv);
+      } else {
+        const int64_t *src = (m.dir == 1) ? a : b;
+        int w0, o0;
+        if (m.dir == 1) ent(0, m.r0, &w0, &o0);
+        else ent(1, m.r1, &w0, &o0);
+        int64_t half = (int64_t)1 << (log2wd - 1);
+        for (int i = 0; i < cnt; i++)
+          out[i] = clampi((int)(((src[i] * w0 + half) >> log2wd) + o0),
+                          0, maxv);
+      }
+      return;
+    }
     if (m.dir == 3) {
       for (int i = 0; i < cnt; i++)
         out[i] = clampi((int)((a[i] + b[i] + 64) >> 7), 0, maxv);
@@ -1560,17 +1596,17 @@ void commit_inter_cu(SliceEnc *s, int x, int y, int lg, int depth,
                         r0.data());
   if (m.dir & 2) mc_raw(l1y, w, h, x, y, n, n, m.mv1x, m.mv1y, true,
                         r1.data());
-  blend(r0.data(), r1.data(), n * n, pred_y.data());
+  blend(r0.data(), r1.data(), n * n, pred_y.data(), 0);
   if (m.dir & 1) mc_raw(l0cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv0x, m.mv0y, false, r0.data());
   if (m.dir & 2) mc_raw(l1cb, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv1x, m.mv1y, false, r1.data());
-  blend(r0.data(), r1.data(), cn * cn, pred_cb.data());
+  blend(r0.data(), r1.data(), cn * cn, pred_cb.data(), 1);
   if (m.dir & 1) mc_raw(l0cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv0x, m.mv0y, false, r0.data());
   if (m.dir & 2) mc_raw(l1cr, w / 2, h / 2, x >> 1, y >> 1, cn, cn,
                         m.mv1x, m.mv1y, false, r1.data());
-  blend(r0.data(), r1.data(), cn * cn, pred_cr.data());
+  blend(r0.data(), r1.data(), cn * cn, pred_cr.data(), 2);
 
   // ---- residual TQ: TU == CU, 64 -> 4x32 forced split, or depth-1 RQT
   // (split_transform_flag) — the RD choice is mirrored bit-for-bit by
@@ -2747,7 +2783,9 @@ int hevc_encode_slice_tiled(
     // second active reference per list (nullable)
     const int32_t *ref0b_y, const int32_t *ref0b_cb,
     const int32_t *ref0b_cr, const int32_t *ref1b_y,
-    const int32_t *ref1b_cb, const int32_t *ref1b_cr) {
+    const int32_t *ref1b_cb, const int32_t *ref1b_cr,
+    // explicit weighted prediction table (nullable; see SliceEnc::wp)
+    const int32_t *wp_table) {
   // concurrent frame commits (the encoder pipelines frames onto a thread
   // pool) must not race the one-time table builds
   static std::once_flag init_once;
@@ -2835,6 +2873,7 @@ int hevc_encode_slice_tiled(
     se.ref1_y = ref1_y; se.ref1_cb = ref1_cb; se.ref1_cr = ref1_cr;
     se.ref0b_y = ref0b_y; se.ref0b_cb = ref0b_cb; se.ref0b_cr = ref0b_cr;
     se.ref1b_y = ref1b_y; se.ref1b_cb = ref1b_cb; se.ref1b_cr = ref1b_cr;
+    se.wp = wp_table;
     apply_mctx(se, mctx_scalars, col_dir, col_mv, col_refpoc, ref_map);
     if (tiled) {
       se.tx0 = tile_col_bounds[tc] * cs;

@@ -45,7 +45,11 @@ SEARCH_MICRO_BATCH = 4
 
 
 def device_path_ok(cfg, sp) -> bool:
-    return sp.log2_ctu == 5 and sp.bit_depth == 8 and not cfg.lossless
+    # weighted_pred routes to the classic path (TPU search + native C++
+    # commit, which applies the explicit WP tables); the device commit
+    # does not weight its MC planes yet
+    return (sp.log2_ctu == 5 and sp.bit_depth == 8 and not cfg.lossless
+            and not getattr(cfg, "weighted_pred", False))
 
 
 def _device_checksum(plane_u8: jnp.ndarray) -> jnp.ndarray:

@@ -1066,6 +1066,18 @@ class TpuEncoder:
         mctx = build_mctx(sp, poc, slice_type, list(refs[0]),
                           list(refs[1]))
         self._last_mctx = mctx
+        # explicit weighted prediction (E13): same per-slice estimation
+        # as SpecEncoder; the C++ blend applies the tables bit-for-bit
+        wp = None
+        use_wp = ((sp.weighted_pred and slice_type == 1)
+                  or (sp.weighted_bipred and slice_type == 0))
+        if use_wp and refs[0]:
+            from ..spec.wp import estimate_wp_tables
+            wp = estimate_wp_tables((src.y, src.cb, src.cr),
+                                    list(refs[0]), list(refs[1]),
+                                    sp.bit_depth)
+            if mctx is not None:
+                mctx.wp = wp
         ref_map = None
         if packed.shape[-1] >= 9 and slice_type != SLICE_I:
             ref_map = np.ascontiguousarray(
@@ -1079,7 +1091,7 @@ class TpuEncoder:
             rdoq=cfg.rdoq and not cfg.lossless, sdh=sp.sign_data_hiding,
             ts=sp.transform_skip_enabled,
             rqt=sp.max_transform_hierarchy_depth_inter > 0,
-            mctx=mctx, ref_map=ref_map)
+            mctx=mctx, ref_map=ref_map, wp=wp)
         self._last_motion = _NativeMotion(motion[0], motion[1], motion[3])
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         sh = SliceHeader(slice_type=slice_type, slice_qp=qp,
@@ -1094,7 +1106,8 @@ class TpuEncoder:
                                              else True),
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
-                                            substreams[:-1]))
+                                            substreams[:-1]),
+                         wp=wp)
         w = write_slice_header(sh, sp, nal_type)
         for s_bytes in substreams:
             w.append_bytes(s_bytes)
@@ -1239,6 +1252,18 @@ class TpuEncoder:
                           list(refs[1]))
         maps.mctx = mctx
         self._last_mctx = mctx
+        # explicit weighted prediction (E13) on the Python fallback
+        # commit — identical estimation to the native path above
+        wp = None
+        use_wp = ((sp.weighted_pred and slice_type == 1)
+                  or (sp.weighted_bipred and slice_type == 0))
+        if use_wp and refs[0]:
+            from ..spec.wp import estimate_wp_tables
+            wp = estimate_wp_tables((src.y, src.cb, src.cr),
+                                    list(refs[0]), list(refs[1]),
+                                    sp.bit_depth)
+            if mctx is not None:
+                mctx.wp = wp
         qp_y, qp_cb, qp_cr = ctu_mod.tu_qps(sp, qp)
         decisions = []
         for x0, y0, tree in trees:
@@ -1258,7 +1283,8 @@ class TpuEncoder:
                          num_ref_idx_l1=max(1, len(refs[1])),
                          temporal_mvp=bool(mctx and mctx.tmvp),
                          collocated_from_l0=(mctx.col_from_l0 if mctx
-                                             else True))
+                                             else True),
+                         wp=wp)
         w = write_slice_header(sh, sp, nal_type)
         init_type = 0 if is_idr else (1 if slice_type == 1 else 2)
         enc = _make_cabac(w, ContextSet(init_type, qp))
@@ -1369,7 +1395,8 @@ class TpuEncoder:
         # RD choice for 16/32 CUs — the integer-exact cost is mirrored
         # bit-for-bit by slice_engine.cpp commit_inter_cu
         pred_y, pred_cb, pred_cr = mc_cu_motion(
-            motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
+            motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth,
+            wp=maps.mctx.wp if maps.mctx else None)
         max_val = (1 << sp.bit_depth) - 1
 
         def build_variant(split):
@@ -1462,7 +1489,9 @@ class TpuEncoder:
             cu.tus = []
             cu.tu_split = False
         ctu_mod._reconstruct_inter_cu(planes, sp, x, y, lg, cu, self.refs,
-                                      self.qp)
+                                      self.qp,
+                                      wp=maps.mctx.wp if maps.mctx
+                                      else None)
         maps.set_cu(x, y, n, depth, -1)
         maps.set_skip(x, y, n, cu.skip)
         cbf_y = any(t.levels_y is not None for t in cu.tus)

@@ -82,6 +82,11 @@ class EncoderConfig:
     # Inter prediction structure
     num_ref_per_list: int = 2    # active references per list (HM CTC: 2+)
     temporal_mvp: bool = True    # TMVP merge/AMVP candidates (SPS flag)
+    # Explicit weighted prediction (SURVEY.md E13, HM WeightedPredP/B):
+    # per-slice DC/AC weight estimation vs each active reference, applied
+    # when it beats the default weighted sample process in SAD (fades).
+    # Sets BOTH PPS flags (weighted_pred for P, weighted_bipred for B).
+    weighted_pred: bool = False
 
     # Rate control (0 = fixed QP); frame_rate feeds the R-lambda bit
     # budget (bits/frame = target_bitrate / frame_rate) on both the

@@ -622,7 +622,8 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
                                                size, is_b)
             cu.motion = cands[cu.merge_idx]
             _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
-                                  slice_qp)
+                                  slice_qp,
+                                  wp=maps.mctx.wp if maps.mctx else None)
             maps.set_cu(x, y, size, depth, -1)
             maps.set_skip(x, y, size, True)
             maps.motion.set_cu(x, y, size, cu.motion, False)
@@ -668,7 +669,8 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
         if cbf_any:
             _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu)
         _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
-                              slice_qp)
+                              slice_qp,
+                              wp=maps.mctx.wp if maps.mctx else None)
         maps.set_cu(x, y, size, depth, -1)
         maps.set_skip(x, y, size, False)
         cbf_y = any(tu.levels_y is not None for tu in cu.tus)
@@ -757,17 +759,19 @@ def _decode_inter_residual_tree(dec, sp, x, y, log2_size, cu) -> None:
 
 
 def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
-                          slice_qp) -> None:
+                          slice_qp, wp=None) -> None:
     """MC prediction + residual reconstruction for an inter CU.
 
-    refs: (refs_l0, refs_l1) lists of Planes."""
+    refs: (refs_l0, refs_l1) lists of Planes.
+    wp: spec.wp.WpTables (explicit weighted prediction) or None."""
     from .mc import mc_cu_motion
 
     size = 1 << log2_size
     qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
     refs_l0, refs_l1 = refs
     pred_y, pred_cb, pred_cr = mc_cu_motion(cu.motion, refs_l0, refs_l1,
-                                            x, y, size, sp.bit_depth)
+                                            x, y, size, sp.bit_depth,
+                                            wp=wp)
     max_val = (1 << sp.bit_depth) - 1
 
     def add_residual(pred, levels, qp, bypass, ts=False):

@@ -108,7 +108,7 @@ class SpecDecoder:
             mctx = MotionCtx(cur_poc=poc, l0_pocs=l0_pocs,
                              l1_pocs=l1_pocs, tmvp=sh.temporal_mvp,
                              col_from_l0=sh.collocated_from_l0,
-                             log2_ctu=sp.log2_ctu)
+                             log2_ctu=sp.log2_ctu, wp=sh.wp)
             if sh.temporal_mvp:
                 col_list = refs[0] if sh.collocated_from_l0 else refs[1]
                 col = col_list[min(sh.collocated_ref_idx,

@@ -79,6 +79,8 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         tile_rows=cfg.tile_rows,
         transform_skip_enabled=cfg.transform_skip and not cfg.lossless,
         temporal_mvp_enabled=cfg.temporal_mvp,
+        weighted_pred=getattr(cfg, "weighted_pred", False),
+        weighted_bipred=getattr(cfg, "weighted_pred", False),
         max_transform_hierarchy_depth_inter=(
             1 if getattr(cfg, "rqt_inter", False) else 0),
         hrd_enabled=getattr(cfg, "hrd", False),
@@ -229,6 +231,18 @@ class SpecEncoder:
         # TMVP stays off, reproducing single-ref semantics
         from .inter import build_mctx
         mctx = build_mctx(sp, poc, slice_type, self.refs[0], self.refs[1])
+        # explicit weighted prediction (E13): per-slice DC/AC estimation
+        # vs each active ref; every mc_cu_motion below applies the tables
+        self.wp = None
+        use_wp = ((sp.weighted_pred and slice_type == 1)
+                  or (sp.weighted_bipred and slice_type == 0))
+        if use_wp and self.refs[0]:
+            from .wp import estimate_wp_tables
+            self.wp = estimate_wp_tables(
+                (src.y, src.cb, src.cr), self.refs[0], self.refs[1],
+                sp.bit_depth)
+        if mctx is not None:
+            mctx.wp = self.wp
         self.maps.mctx = mctx
 
         ctu_size = 1 << sp.log2_ctu
@@ -302,7 +316,8 @@ class SpecEncoder:
                                              else True),
                          sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
                          entry_points=tuple(len(s) for s in
-                                            substreams[:-1]))
+                                            substreams[:-1]),
+                         wp=getattr(self, "wp", None))
         w = write_slice_header(sh, sp, nal_type)
         for s in substreams:
             w.append_bytes(s)
@@ -492,7 +507,8 @@ class SpecEncoder:
                 cost, cu = icost, icu
                 ctu_mod._reconstruct_inter_cu(self.planes, sp, x, y,
                                               log2_size, cu, self.refs,
-                                              self.qp)
+                                              self.qp,
+                                              wp=getattr(self, "wp", None))
                 self.maps.set_cu(x, y, n, depth, -1)
                 self.maps.set_skip(x, y, n, cu.skip)
                 cbf_y = any(tu.levels_y is not None for tu in cu.tus)
@@ -855,7 +871,8 @@ class SpecEncoder:
         sp = self.sp
         n = 1 << log2_size
         pred_y, pred_cb, pred_cr = mc_cu_motion(
-            cu.motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth)
+            cu.motion, self.refs[0], self.refs[1], x, y, n, sp.bit_depth,
+            wp=getattr(self, "wp", None))
         qps = (self.qp_y, self.qp_cb, self.qp_cr)
         n_tus = 4 if (log2_size > sp.log2_max_tu or split) else 1
         tlg = log2_size - 1 if n_tus == 4 else log2_size

@@ -83,6 +83,9 @@ class MotionCtx:
     col_mv: object = None
     col_refpoc: object = None
     log2_ctu: int = 5
+    # explicit weighted prediction tables (spec.wp.WpTables) — per-slice,
+    # applied by every mc_cu_motion call site through maps.mctx (E13)
+    wp: object = None
 
     @property
     def no_backward(self) -> bool:

@@ -115,6 +115,28 @@ def _bi(raw0: np.ndarray, raw1: np.ndarray, bit_depth: int) -> np.ndarray:
                    (1 << bit_depth) - 1).astype(np.int32)
 
 
+def _uni_w(raw: np.ndarray, w: int, o: int, log2_denom: int,
+           bit_depth: int) -> np.ndarray:
+    """Explicit weighted uni-prediction (spec 8.5.3.3.4.3).  With the
+    default weight (w = 1 << denom, o = 0) this is bit-identical to
+    _uni: (raw*2^d + 2^(log2Wd-1)) >> log2Wd == (raw + 32) >> 6."""
+    log2_wd = log2_denom + (14 - bit_depth)
+    off = 1 << (log2_wd - 1)
+    return np.clip(((raw * w + off) >> log2_wd) + o, 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
+
+
+def _bi_w(raw0: np.ndarray, raw1: np.ndarray, w0: int, o0: int,
+          w1: int, o1: int, log2_denom: int, bit_depth: int) -> np.ndarray:
+    """Explicit weighted bi-prediction (spec 8.5.3.3.4.3); default
+    weights reduce bit-exactly to _bi."""
+    log2_wd = log2_denom + (14 - bit_depth)
+    return np.clip(
+        (raw0 * w0 + raw1 * w1 + ((o0 + o1 + 1) << log2_wd))
+        >> (log2_wd + 1),
+        0, (1 << bit_depth) - 1).astype(np.int32)
+
+
 def mc_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
             mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
     """Uni-prediction luma block (final sample values)."""
@@ -140,32 +162,59 @@ def mc_cu(planes_ref, x: int, y: int, size: int, mv, bit_depth: int = 8):
 
 
 def mc_cu_motion(motion, refs_l0, refs_l1, x: int, y: int, size: int,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, wp=None):
     """Full-CU prediction for a Motion (L0 / L1 / BI) given both ref lists.
 
     refs_lX: list of Planes for each list. Returns (y, cb, cr) int32.
+    wp: spec.wp.WpTables for explicit weighted prediction (None = the
+    default weighted sample process, i.e. plain uni/bi rounding).
     """
     from .inter import DIR_L0, DIR_L1
 
     cs = size >> 1
     cx, cy = x >> 1, y >> 1
-    if motion.inter_dir == DIR_L0:
+    if motion.inter_dir == DIR_L0 and wp is None:
         return mc_cu(refs_l0[motion.ref0], x, y, size,
                      motion.mv0, bit_depth)
-    if motion.inter_dir == DIR_L1:
+    if motion.inter_dir == DIR_L1 and wp is None:
         return mc_cu(refs_l1[motion.ref1], x, y, size,
                      motion.mv1, bit_depth)
-    # BI: average the 14-bit intermediates
+    if motion.inter_dir in (DIR_L0, DIR_L1):
+        li = 0 if motion.inter_dir == DIR_L0 else 1
+        ref = (refs_l0[motion.ref0] if li == 0
+               else refs_l1[motion.ref1])
+        mv = motion.mv0 if li == 0 else motion.mv1
+        e = (wp.l0 if li == 0 else wp.l1)[
+            motion.ref0 if li == 0 else motion.ref1]
+        py = _uni_w(mc_luma_raw(ref.y, x, y, size, size, mv[0], mv[1],
+                                bit_depth),
+                    e.w_y, e.o_y, wp.log2_denom_y, bit_depth)
+        pcb = _uni_w(mc_chroma_raw(ref.cb, cx, cy, cs, cs, mv[0], mv[1],
+                                   bit_depth),
+                     e.w_cb, e.o_cb, wp.log2_denom_c, bit_depth)
+        pcr = _uni_w(mc_chroma_raw(ref.cr, cx, cy, cs, cs, mv[0], mv[1],
+                                   bit_depth),
+                     e.w_cr, e.o_cr, wp.log2_denom_c, bit_depth)
+        return py, pcb, pcr
+    # BI: average (or explicitly weight) the 14-bit intermediates
     r0 = refs_l0[motion.ref0]
     r1 = refs_l1[motion.ref1]
     mv0, mv1 = motion.mv0, motion.mv1
-    py = _bi(mc_luma_raw(r0.y, x, y, size, size, mv0[0], mv0[1], bit_depth),
-             mc_luma_raw(r1.y, x, y, size, size, mv1[0], mv1[1], bit_depth),
-             bit_depth)
-    pcb = _bi(mc_chroma_raw(r0.cb, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth),
-              mc_chroma_raw(r1.cb, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth),
-              bit_depth)
-    pcr = _bi(mc_chroma_raw(r0.cr, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth),
-              mc_chroma_raw(r1.cr, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth),
-              bit_depth)
+    ry0 = mc_luma_raw(r0.y, x, y, size, size, mv0[0], mv0[1], bit_depth)
+    ry1 = mc_luma_raw(r1.y, x, y, size, size, mv1[0], mv1[1], bit_depth)
+    rcb0 = mc_chroma_raw(r0.cb, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth)
+    rcb1 = mc_chroma_raw(r1.cb, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth)
+    rcr0 = mc_chroma_raw(r0.cr, cx, cy, cs, cs, mv0[0], mv0[1], bit_depth)
+    rcr1 = mc_chroma_raw(r1.cr, cx, cy, cs, cs, mv1[0], mv1[1], bit_depth)
+    if wp is None:
+        return (_bi(ry0, ry1, bit_depth), _bi(rcb0, rcb1, bit_depth),
+                _bi(rcr0, rcr1, bit_depth))
+    e0 = wp.l0[motion.ref0]
+    e1 = wp.l1[motion.ref1]
+    py = _bi_w(ry0, ry1, e0.w_y, e0.o_y, e1.w_y, e1.o_y,
+               wp.log2_denom_y, bit_depth)
+    pcb = _bi_w(rcb0, rcb1, e0.w_cb, e0.o_cb, e1.w_cb, e1.o_cb,
+                wp.log2_denom_c, bit_depth)
+    pcr = _bi_w(rcr0, rcr1, e0.w_cr, e0.o_cr, e1.w_cr, e1.o_cr,
+                wp.log2_denom_c, bit_depth)
     return py, pcb, pcr

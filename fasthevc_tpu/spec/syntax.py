@@ -39,6 +39,10 @@ class SequenceParams:
     hrd_cpb_size: int = 2_000_000   # bits
 
     # PPS-level
+    # explicit weighted prediction (SURVEY.md E13): P and B flags travel
+    # together off one config switch (HM WeightedPredP/WeightedPredB)
+    weighted_pred: bool = False      # weighted_pred_flag (P slices)
+    weighted_bipred: bool = False    # weighted_bipred_flag (B slices)
     init_qp: int = 26
     transquant_bypass_enabled: bool = False
     sign_data_hiding: bool = False
@@ -359,8 +363,8 @@ def write_pps(sp: SequenceParams) -> bytes:
     w.write_se(sp.cb_qp_offset)
     w.write_se(sp.cr_qp_offset)
     w.write_flag(0)       # pps_slice_chroma_qp_offsets_present_flag
-    w.write_flag(0)       # weighted_pred_flag
-    w.write_flag(0)       # weighted_bipred_flag
+    w.write_flag(1 if sp.weighted_pred else 0)    # weighted_pred_flag
+    w.write_flag(1 if sp.weighted_bipred else 0)  # weighted_bipred_flag
     w.write_flag(1 if sp.transquant_bypass_enabled else 0)
     w.write_flag(1 if sp.tiles_enabled else 0)  # tiles_enabled_flag
     w.write_flag(0)       # entropy_coding_sync_enabled_flag
@@ -403,8 +407,8 @@ def parse_pps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     sp.cb_qp_offset = r.read_se()
     sp.cr_qp_offset = r.read_se()
     assert r.read_flag() == 0
-    assert r.read_flag() == 0  # weighted pred
-    assert r.read_flag() == 0
+    sp.weighted_pred = bool(r.read_flag())
+    sp.weighted_bipred = bool(r.read_flag())
     sp.transquant_bypass_enabled = bool(r.read_flag())
     tiles = bool(r.read_flag())
     assert r.read_flag() == 0  # wpp
@@ -446,6 +450,9 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     entry_points: tuple = ()  # per-substream byte sizes (all but last tile)
+    # explicit weighted prediction (spec 7.3.6.3): wp.WpTables; required
+    # (defaults written) when the PPS flag covers this slice type
+    wp: object = None
 
 
 def write_slice_header(sh: SliceHeader, sp: SequenceParams,
@@ -499,6 +506,13 @@ def write_slice_header(sh: SliceHeader, sp: SequenceParams,
                      else sh.num_ref_idx_l1)
             if n_col > 1:
                 w.write_ue(sh.collocated_ref_idx)
+        if (sp.weighted_pred and not is_b) or (sp.weighted_bipred and is_b):
+            from .wp import default_tables, write_pred_weight_table
+            wp = sh.wp
+            if wp is None:
+                wp = default_tables(sh.num_ref_idx_l0,
+                                    sh.num_ref_idx_l1 if is_b else 0)
+            write_pred_weight_table(w, wp, is_b)
         # five_minus_max_num_merge_cand
         w.write_ue(5 - 5)
     w.write_se(sh.slice_qp - sp.init_qp)
@@ -562,6 +576,11 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
                      else sh.num_ref_idx_l1)
             if n_col > 1:
                 sh.collocated_ref_idx = r.read_ue()
+        if (sp.weighted_pred and not is_b) or (sp.weighted_bipred and is_b):
+            from .wp import parse_pred_weight_table
+            sh.wp = parse_pred_weight_table(
+                r, sh.num_ref_idx_l0,
+                sh.num_ref_idx_l1 if is_b else 0, is_b)
         r.read_ue()           # five_minus_max_num_merge_cand
     sh.slice_qp = sp.init_qp + r.read_se()
     if sp.tiles_enabled:
