@@ -42,6 +42,11 @@ class EncoderConfig:
     # Tiles (uniform spacing); 1x1 = disabled
     tile_cols: int = 1
     tile_rows: int = 1
+    # Multi-slice (SURVEY.md P3): split each picture into N independent
+    # slice segments on CTU-row boundaries, each its own NAL with its own
+    # CABAC init and slice-boundary-constrained prediction. 1 = off.
+    # Mutually exclusive with tiles (validate()).
+    slices: int = 1
 
     # Tools
     lossless: bool = False       # transquant bypass (cu level, all CUs)
@@ -107,6 +112,11 @@ class EncoderConfig:
         assert 4 <= self.log2_ctu <= 6
         assert self.log2_min_cu == 3
         assert 0 <= self.qp <= 51
+        if self.slices > 1:
+            assert self.tile_cols == 1 and self.tile_rows == 1, \
+                "multi-slice and tiles are mutually exclusive"
+            assert self.slices <= self.ctus_y, \
+                "more slices than CTU rows"
 
     @property
     def ctu_size(self) -> int:

@@ -246,12 +246,31 @@ class SpecEncoder:
         self.maps.mctx = mctx
 
         ctu_size = 1 << sp.log2_ctu
-        tile_ctus = sp.tile_ctus()
-        tile_rects = sp.tile_rects()
+        n_slices = max(1, getattr(self.cfg, "slices", 1))
+        if n_slices > 1:
+            # multi-slice (SURVEY.md P3): row-aligned independent slice
+            # segments; the full-width rects reuse the tile availability
+            # machinery so prediction/contexts never cross a slice edge
+            n_rows = sp.ctus_y()
+            sbounds = [(i * n_rows) // n_slices
+                       for i in range(n_slices + 1)]
+            tile_rects, tile_ctus = [], []
+            for s in range(n_slices):
+                r0, r1 = sbounds[s], sbounds[s + 1]
+                tile_rects.append((0, r0 * ctu_size, sp.coded_width,
+                                   r1 * ctu_size))
+                tile_ctus.append([(cx * ctu_size, cy * ctu_size)
+                                  for cy in range(r0, r1)
+                                  for cx in range(sp.ctus_x())])
+            constrain = True
+        else:
+            tile_ctus = sp.tile_ctus()
+            tile_rects = sp.tile_rects()
+            constrain = sp.tiles_enabled
         tile_decisions = []
         for rect, ctus in zip(tile_rects, tile_ctus):
-            self.maps.tile_rect = rect if sp.tiles_enabled else None
-            self.planes.tile_rect = rect if sp.tiles_enabled else None
+            self.maps.tile_rect = rect if constrain else None
+            self.planes.tile_rect = rect if constrain else None
             decs = []
             for cx, cy in ctus:
                 cu, _ = self._compress_cu(cx, cy, sp.log2_ctu, 0)
@@ -279,6 +298,20 @@ class SpecEncoder:
         nal_type = bs.NAL_IDR_W_RADL if is_idr else bs.NAL_TRAIL_R
         maps2 = FrameMaps(sp)
         maps2.mctx = mctx  # the entropy replay derives the same lists
+        if n_slices > 1:
+            nal = self._serialize_multi_slice(
+                sp, slice_type, poc, ref_deltas, mctx, tile_rects,
+                tile_decisions, sbounds, sao_params, maps2, nal_type,
+                is_idr)
+            if sao_params is not None:
+                from . import sao as sao_mod
+                sao_mod.apply_sao(self.planes, sp, *sao_params)
+            ht = self.cfg.hash_type
+            md5s = picture_hash(
+                (self.planes.y, self.planes.cb, self.planes.cr), ht)
+            nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
+                                write_picture_hash_sei(md5s, ht))
+            return nal, self.planes
         col_starts = set(b * ctu_size for b in sp.tile_col_bounds()[1:-1])
         row_starts = set(b * ctu_size for b in sp.tile_row_bounds()[1:-1])
         substreams = []
@@ -332,6 +365,54 @@ class SpecEncoder:
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
                             write_picture_hash_sei(md5s, ht))
         return nal, self.planes
+
+    def _serialize_multi_slice(self, sp, slice_type, poc, ref_deltas,
+                               mctx, slice_rects, slice_decisions,
+                               sbounds, sao_params, maps2, nal_type,
+                               is_idr) -> bytes:
+        """Emit one NAL per independent slice segment (SURVEY.md P3):
+        per-slice CABAC init, slice_segment_address in the header, and
+        end_of_slice_segment_flag = 1 on each slice's last CTU."""
+        ctu_size = 1 << sp.log2_ctu
+        init_type = 0 if slice_type == SLICE_I else (
+            1 if slice_type == 1 else 2)
+        out = bytearray()
+        for si, (rect, decs) in enumerate(zip(slice_rects,
+                                              slice_decisions)):
+            maps2.tile_rect = rect
+            wt = bs.BitWriter()
+            enc = CabacEncoder(wt, ContextSet(init_type, self.qp))
+            y0 = rect[1]
+            for i, (cx, cy, cu) in enumerate(decs):
+                if sao_params is not None:
+                    from . import sao as sao_mod
+                    ry, rx = cy // ctu_size, cx // ctu_size
+                    sao_mod.encode_sao_ctu(
+                        enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
+                        sao_params[2][ry][rx], rx, ry, True, True,
+                        left_in_tile=True, up_in_tile=cy != y0)
+                ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu, slice_type)
+                enc.encode_terminate(1 if i == len(decs) - 1 else 0)
+            enc.finish()
+            wt.byte_align()
+            sh = SliceHeader(
+                slice_type=slice_type, slice_qp=self.qp, is_idr=is_idr,
+                poc_lsb=poc & ((1 << sp.log2_max_poc_lsb) - 1),
+                first_slice=si == 0,
+                segment_address=sbounds[si] * sp.ctus_x(),
+                ref_pocs_before=() if is_idr else ref_deltas[0],
+                ref_pocs_after=() if is_idr else ref_deltas[1],
+                num_ref_idx_l0=max(1, len(self.refs[0])),
+                num_ref_idx_l1=max(1, len(self.refs[1])),
+                temporal_mvp=bool(mctx and mctx.tmvp),
+                collocated_from_l0=(mctx.col_from_l0 if mctx else True),
+                sao_luma=sp.sao_enabled, sao_chroma=sp.sao_enabled,
+                wp=getattr(self, "wp", None))
+            w = write_slice_header(sh, sp, nal_type)
+            w.append_bytes(wt.get_bytes())
+            out += bs.write_nal(nal_type, w.get_bytes())
+        maps2.tile_rect = None
+        return bytes(out)
 
     def _estimate_sao(self, sao_mod):
         """Per-CTB SAO parameter estimation for all three components."""

@@ -439,6 +439,9 @@ class SliceHeader:
     poc_lsb: int = 0
     is_idr: bool = True
     first_slice: bool = True
+    # multi-slice (SURVEY.md P3): CTU raster address of this independent
+    # slice segment (0 for the first slice of a picture)
+    segment_address: int = 0
     # explicit short-term RPS (negative deltas = past refs, used by P slices)
     ref_pocs_before: tuple = ()   # POC deltas (positive values, past)
     ref_pocs_after: tuple = ()
@@ -464,6 +467,11 @@ def write_slice_header(sh: SliceHeader, sp: SequenceParams,
     if 16 <= nal_type <= 23:  # IRAP
         w.write_flag(0)       # no_output_of_prior_pics_flag
     w.write_ue(0)             # slice_pic_parameter_set_id
+    if not sh.first_slice:
+        # slice_segment_address: u(ceil(log2(PicSizeInCtbsY)))
+        pic_ctbs = sp.ctus_x() * sp.ctus_y()
+        w.write_bits(sh.segment_address,
+                     max(1, (pic_ctbs - 1).bit_length()))
     w.write_ue(sh.slice_type)
     if not sh.is_idr:
         w.write_bits(sh.poc_lsb, sp.log2_max_poc_lsb)
@@ -537,6 +545,10 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
     if 16 <= nal_type <= 23:
         r.read_flag()
     r.read_ue()
+    if not sh.first_slice:
+        pic_ctbs = sp.ctus_x() * sp.ctus_y()
+        sh.segment_address = r.read_bits(
+            max(1, (pic_ctbs - 1).bit_length()))
     sh.slice_type = r.read_ue()
     if not sh.is_idr:
         sh.poc_lsb = r.read_bits(sp.log2_max_poc_lsb)
