@@ -111,6 +111,10 @@ class TpuEncoder:
             raise NotImplementedError(
                 "multi-slice pictures run on the spec tier: use "
                 "SpecEncoder (TpuEncoder parallelizes via tiles instead)")
+        if getattr(cfg, "scaling_lists", False):
+            raise NotImplementedError(
+                "scaling lists run on the spec tier: use SpecEncoder "
+                "(the TPU/native quantizers assume the flat list)")
 
     @staticmethod
     def _lambda_sqrt(qp: int) -> float:

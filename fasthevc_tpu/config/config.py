@@ -71,6 +71,11 @@ class EncoderConfig:
     # code the flag as 0 - encoder freedom, conformance unaffected)
     rqt_inter: bool = True
     sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
+    # Quantization scaling lists (SURVEY.md C2/C5): the spec default
+    # matrices (Table 7-5/7-6, HM `ScalingList=1`) shape quantization
+    # toward the perceptual weighting for 8x8+ TBs. Spec tier; the
+    # TpuEncoder raises (its trellis/device quantizers assume flat).
+    scaling_lists: bool = False
     strong_intra_smoothing: bool = False
     hash_type: int = 0           # decoded-picture-hash SEI: 0 MD5/1 CRC/2 checksum
 

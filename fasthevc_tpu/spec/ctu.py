@@ -190,7 +190,10 @@ def reconstruct_tb(planes: Planes, sp: SequenceParams, x: int, y: int,
     elif bypass:
         res = levels
     else:
-        deq = transform.dequantize(levels, qp, sp.bit_depth)
+        from .scaling import scaling_matrix
+        deq = transform.dequantize(
+            levels, qp, sp.bit_depth,
+            m=scaling_matrix(sp, 1 << log2_size, False, c_idx))
         if ts:
             res = transform.inverse_transform_skip(deq, sp.bit_depth)
         else:
@@ -774,12 +777,15 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
                                             wp=wp)
     max_val = (1 << sp.bit_depth) - 1
 
-    def add_residual(pred, levels, qp, bypass, ts=False):
+    def add_residual(pred, levels, qp, bypass, ts=False, c_idx=0):
         if levels is None:
             return pred
         if bypass:
             return pred + levels
-        deq = transform.dequantize(levels, qp, sp.bit_depth)
+        from .scaling import scaling_matrix
+        deq = transform.dequantize(
+            levels, qp, sp.bit_depth,
+            m=scaling_matrix(sp, levels.shape[0], True, c_idx))
         if ts:
             return pred + transform.inverse_transform_skip(deq,
                                                            sp.bit_depth)
@@ -792,11 +798,11 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
     elif n_tus == 1:
         tu = cu.tus[0]
         recon_y = add_residual(pred_y, tu.levels_y, qp_y, cu.bypass,
-                               tu.ts_y)
+                               tu.ts_y, 0)
         recon_cb = add_residual(pred_cb, tu.levels_cb, qp_cb, cu.bypass,
-                                tu.ts_cb)
+                                tu.ts_cb, 1)
         recon_cr = add_residual(pred_cr, tu.levels_cr, qp_cr, cu.bypass,
-                                tu.ts_cr)
+                                tu.ts_cr, 2)
     else:  # forced 64->4x32 split
         recon_y = pred_y.copy()
         recon_cb = pred_cb.copy()
@@ -807,14 +813,14 @@ def _reconstruct_inter_cu(planes, sp, x, y, log2_size, cu, refs,
             oy, ox = (i >> 1) * half, (i & 1) * half
             recon_y[oy:oy + half, ox:ox + half] = add_residual(
                 pred_y[oy:oy + half, ox:ox + half], tu.levels_y, qp_y,
-                cu.bypass, tu.ts_y)
+                cu.bypass, tu.ts_y, 0)
             coy, cox = (i >> 1) * ch, (i & 1) * ch
             recon_cb[coy:coy + ch, cox:cox + ch] = add_residual(
                 pred_cb[coy:coy + ch, cox:cox + ch], tu.levels_cb, qp_cb,
-                cu.bypass, tu.ts_cb)
+                cu.bypass, tu.ts_cb, 1)
             recon_cr[coy:coy + ch, cox:cox + ch] = add_residual(
                 pred_cr[coy:coy + ch, cox:cox + ch], tu.levels_cr, qp_cr,
-                cu.bypass, tu.ts_cr)
+                cu.bypass, tu.ts_cr, 2)
     planes.y[y:y + size, x:x + size] = np.clip(recon_y, 0, max_val)
     cs = size >> 1
     planes.cb[y >> 1:(y >> 1) + cs, x >> 1:(x >> 1) + cs] = np.clip(

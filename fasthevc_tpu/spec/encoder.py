@@ -81,6 +81,7 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         temporal_mvp_enabled=cfg.temporal_mvp,
         weighted_pred=getattr(cfg, "weighted_pred", False),
         weighted_bipred=getattr(cfg, "weighted_pred", False),
+        scaling_lists=getattr(cfg, "scaling_lists", False),
         max_transform_hierarchy_depth_inter=(
             1 if getattr(cfg, "rqt_inter", False) else 0),
         hrd_enabled=getattr(cfg, "hrd", False),
@@ -726,7 +727,8 @@ class SpecEncoder:
             if ts:
                 coeffs = transform.forward_transform_skip(res, sp.bit_depth)
                 levels = transform.quantize(coeffs, qp, sp.bit_depth,
-                                            is_intra=True)
+                                            is_intra=True,
+                                            m=self._m(blog2, True, c_idx))
             else:
                 coeffs = transform.forward_transform(res, sp.bit_depth,
                                                      use_dst)
@@ -735,7 +737,8 @@ class SpecEncoder:
             if sp.sign_data_hiding and levels.any():
                 levels = residual.sdh_adjust(levels, coeffs, qp,
                                              sp.bit_depth, blog2, scan)
-            deq = transform.dequantize(levels, qp, sp.bit_depth)
+            deq = transform.dequantize(levels, qp, sp.bit_depth,
+                                       m=self._m(blog2, True, c_idx))
             if ts:
                 rhat = transform.inverse_transform_skip(deq, sp.bit_depth)
             else:
@@ -751,9 +754,22 @@ class SpecEncoder:
 
     _rdoq_ctx_cache: dict = {}
 
+    def _m(self, blog2, is_intra, c_idx):
+        """Active ScalingFactor matrix for a TB (None = flat 16)."""
+        if not getattr(self.sp, "scaling_lists", False):
+            return None
+        from .scaling import scaling_matrix
+        return scaling_matrix(self.sp, 1 << blog2, not is_intra, c_idx)
+
     def _quantize_tb(self, coeffs, qp, is_intra, blog2, c_idx, scan):
         """Quantize one TB: trellis RDOQ (spec/rdoq.py) when cfg.rdoq,
-        else the HM dead-zone quantizer (SURVEY.md C5)."""
+        else the HM dead-zone quantizer (SURVEY.md C5).  With scaling
+        lists the matrix-aware dead-zone quantizer is used (the trellis
+        rate model assumes the flat list, HM QpParam-style)."""
+        m = self._m(blog2, is_intra, c_idx)
+        if m is not None:
+            return transform.quantize(coeffs, qp, self.sp.bit_depth,
+                                      is_intra=is_intra, m=m)
         if not getattr(self.cfg, "rdoq", False):
             return transform.quantize(coeffs, qp, self.sp.bit_depth,
                                       is_intra=is_intra)
@@ -993,7 +1009,9 @@ class SpecEncoder:
                 elif cu.bypass:
                     rec = s2
                 else:
-                    deq = transform.dequantize(levels, qps[ci], sp.bit_depth)
+                    deq = transform.dequantize(
+                        levels, qps[ci], sp.bit_depth,
+                        m=self._m(tlg - sub, False, ci))
                     rec = np.clip(
                         p2 + transform.inverse_transform(deq, sp.bit_depth,
                                                          False),

@@ -32,6 +32,10 @@ class SequenceParams:
     amp_enabled: bool = False
     pcm_enabled: bool = False
     temporal_mvp_enabled: bool = False  # sps_temporal_mvp_enabled_flag
+    # quantization scaling lists (SURVEY.md C2/C5): default lists when
+    # enabled with scaling_data None; custom {(sizeId, matrixId): m}
+    scaling_lists: bool = False
+    scaling_data: object = None
     # HRD / VUI timing (SURVEY.md E12: buffering-period + pic-timing SEI)
     hrd_enabled: bool = False
     frame_rate: float = 30.0
@@ -208,7 +212,14 @@ def write_sps(sp: SequenceParams) -> bytes:
     w.write_ue(sp.log2_max_tu - sp.log2_min_tu)
     w.write_ue(sp.max_transform_hierarchy_depth_inter)
     w.write_ue(sp.max_transform_hierarchy_depth_intra)
-    w.write_flag(0)       # scaling_list_enabled_flag
+    w.write_flag(1 if sp.scaling_lists else 0)  # scaling_list_enabled
+    if sp.scaling_lists:
+        if sp.scaling_data is None:
+            w.write_flag(0)  # sps_scaling_list_data_present: defaults
+        else:
+            from .scaling import write_scaling_list_data
+            w.write_flag(1)
+            write_scaling_list_data(w, sp.scaling_data)
     w.write_flag(1 if sp.amp_enabled else 0)
     w.write_flag(1 if sp.sao_enabled else 0)
     w.write_flag(0)       # pcm_enabled_flag
@@ -298,7 +309,14 @@ def parse_sps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     sp.log2_max_tu = sp.log2_min_tu + r.read_ue()
     sp.max_transform_hierarchy_depth_inter = r.read_ue()
     sp.max_transform_hierarchy_depth_intra = r.read_ue()
-    assert r.read_flag() == 0  # scaling lists unsupported
+    sp.scaling_lists = bool(r.read_flag())
+    if sp.scaling_lists:
+        sp._scaling_cache = None  # invalidate the derived matrices
+        if r.read_flag():  # sps_scaling_list_data_present_flag
+            from .scaling import parse_scaling_list_data
+            sp.scaling_data = parse_scaling_list_data(r)
+        else:
+            sp.scaling_data = None  # default lists (Table 7-5/7-6)
     sp.amp_enabled = bool(r.read_flag())
     sp.sao_enabled = bool(r.read_flag())
     assert r.read_flag() == 0  # pcm unsupported

@@ -88,12 +88,16 @@ def inverse_transform_skip(coeffs: np.ndarray,
 
 
 def quantize(coeffs: np.ndarray, qp: int, bit_depth: int = 8,
-             is_intra: bool = True) -> np.ndarray:
+             is_intra: bool = True, m: np.ndarray | None = None
+             ) -> np.ndarray:
     """Forward scalar quantization (HM convention, non-RDOQ).
 
     level = sign(c) * ((|c| * quantScale + f) >> qbits)
     with qbits = 14 + qp/6 + transformShift and f the dead-zone offset
     (intra: 171/512, inter: 85/512 of the step).
+    m: optional ScalingFactor matrix (spec 8.6.3 scaling lists); the
+    per-coefficient encoder scale is quantScale*16/m (HM
+    xSetScalingListEnc convention, integer division).
     """
     n = coeffs.shape[0]
     log2n = int(np.log2(n))
@@ -102,24 +106,36 @@ def quantize(coeffs: np.ndarray, qp: int, bit_depth: int = 8,
     scale = int(QUANT_SCALES[qp % 6])
     f = (171 if is_intra else 85) << (qbits - 9)
     c = coeffs.astype(np.int64)
-    level = (np.abs(c) * scale + f) >> qbits
+    if m is None:
+        level = (np.abs(c) * scale + f) >> qbits
+    else:
+        sc = (scale * 16) // m.astype(np.int64)
+        level = (np.abs(c) * sc + f) >> qbits
     level = np.clip(level, 0, 32767)
     return (np.sign(c) * level).astype(np.int32)
 
 
-def dequantize(levels: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
-    """Normative dequantization (spec 8.6.3, flat scaling list m=16).
+def dequantize(levels: np.ndarray, qp: int, bit_depth: int = 8,
+               m: np.ndarray | None = None) -> np.ndarray:
+    """Normative dequantization (spec 8.6.3).
 
     d = Clip3(-32768, 32767,
-              ((level * 16 * levScale[qp%6] << (qp/6)) + (1 << (bdShift-1)))
+              ((level * m * levScale[qp%6] << (qp/6)) + (1 << (bdShift-1)))
                >> bdShift)
-    with bdShift = bitDepth + log2(nTbS) - 5.
+    with bdShift = bitDepth + log2(nTbS) - 5 and m = 16 (flat) when
+    scaling lists are off, else the active ScalingFactor matrix.
     """
     n = levels.shape[0]
     log2n = int(np.log2(n))
     bd_shift = bit_depth + log2n - 5
-    scale = int(INV_QUANT_SCALES[qp % 6]) * 16
-    d = (levels.astype(np.int64) * scale << (qp // 6)) + (1 << (bd_shift - 1))
+    if m is None:
+        scale = int(INV_QUANT_SCALES[qp % 6]) * 16
+        d = ((levels.astype(np.int64) * scale << (qp // 6))
+             + (1 << (bd_shift - 1)))
+    else:
+        lev_scale = int(INV_QUANT_SCALES[qp % 6])
+        d = ((levels.astype(np.int64) * m.astype(np.int64) * lev_scale
+              << (qp // 6)) + (1 << (bd_shift - 1)))
     d >>= bd_shift
     return np.clip(d, -32768, 32767).astype(np.int32)
 
