@@ -115,6 +115,11 @@ class TpuEncoder:
             raise NotImplementedError(
                 "scaling lists run on the spec tier: use SpecEncoder "
                 "(the TPU/native quantizers assume the flat list)")
+        if getattr(cfg, "wpp", False):
+            raise NotImplementedError(
+                "WPP entropy substreams run on the spec tier: use "
+                "SpecEncoder (TpuEncoder parallelizes via tiles + the "
+                "batched device search instead)")
 
     @staticmethod
     def _lambda_sqrt(qp: int) -> float:

@@ -47,6 +47,12 @@ class EncoderConfig:
     # CABAC init and slice-boundary-constrained prediction. 1 = off.
     # Mutually exclusive with tiles (validate()).
     slices: int = 1
+    # Wavefront parallel processing (SURVEY.md P2,
+    # entropy_coding_sync_enabled_flag): per-CTU-row CABAC substreams,
+    # contexts inherited from the row above's second CTB. Prediction is
+    # unconstrained (unlike tiles/slices), so WPP is compression-neutral
+    # up to the per-row context resets. Mutually exclusive with tiles.
+    wpp: bool = False
 
     # Tools
     lossless: bool = False       # transquant bypass (cu level, all CUs)
@@ -122,6 +128,11 @@ class EncoderConfig:
                 "multi-slice and tiles are mutually exclusive"
             assert self.slices <= self.ctus_y, \
                 "more slices than CTU rows"
+        if self.wpp:
+            assert self.tile_cols == 1 and self.tile_rows == 1, \
+                "WPP and tiles are mutually exclusive (spec allows it; " \
+                "this encoder does not emit the combination)"
+            assert self.slices == 1, "WPP with multi-slice unsupported"
 
     @property
     def ctu_size(self) -> int:

@@ -152,6 +152,44 @@ class SpecDecoder:
             self._decode_tiled_payload(sh, payload, planes, maps, refs,
                                        sao_grid)
             cur["ctus_done"] = total_ctus
+        elif sp.wpp:
+            # WPP (SURVEY.md P2): one substream per CTU row; row r > 0
+            # inherits the context state saved after the 2nd CTB of the
+            # row above (spec 9.3.1); prediction is unconstrained
+            offsets = [0]
+            for size in sh.entry_points:
+                offsets.append(offsets[-1] + size)
+            n_rows = sp.ctus_y()
+            inherit = None
+            next_inherit = None
+            for ri in range(n_rows):
+                ctx = (inherit.copy() if inherit is not None
+                       else ContextSet(init_type, sh.slice_qp))
+                dec = CabacDecoder(
+                    bs.BitReader(payload[offsets[ri]:] + b"\x00\x00"),
+                    ctx)
+                for i in range(n_ctus_x):
+                    cx, cy = i * ctu_size, ri * ctu_size
+                    if use_sao:
+                        left = sao_grid[ri][i - 1] if i > 0 else None
+                        up = sao_grid[ri - 1][i] if ri > 0 else None
+                        sao_grid[ri][i] = sao_mod.decode_sao_ctu(
+                            dec, i, ri, sh.sao_luma, sh.sao_chroma,
+                            left, up, left_in_tile=True, up_in_tile=True)
+                    ctu_mod.decode_ctu(dec, maps, sp, planes, cx, cy,
+                                       sh.slice_qp, sh.slice_type, refs)
+                    cur["ctus_done"] += 1
+                    if i == 1:
+                        next_inherit = dec.ctx.copy()
+                    last_of_slice = (ri == n_rows - 1
+                                     and i == n_ctus_x - 1)
+                    end = dec.decode_terminate()
+                    assert end == (1 if last_of_slice else 0), \
+                        f"end_of_slice mismatch row {ri} ctu {i}"
+                    if i == n_ctus_x - 1 and not last_of_slice:
+                        assert dec.decode_terminate() == 1, \
+                            "end_of_subset"
+                inherit = next_inherit if n_ctus_x >= 2 else None
         else:
             # one independent slice segment: CTUs in raster order from
             # segment_address until end_of_slice_segment_flag == 1

@@ -82,6 +82,7 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         weighted_pred=getattr(cfg, "weighted_pred", False),
         weighted_bipred=getattr(cfg, "weighted_pred", False),
         scaling_lists=getattr(cfg, "scaling_lists", False),
+        wpp=getattr(cfg, "wpp", False),
         max_transform_hierarchy_depth_inter=(
             1 if getattr(cfg, "rqt_inter", False) else 0),
         hrd_enabled=getattr(cfg, "hrd", False),
@@ -315,7 +316,13 @@ class SpecEncoder:
             return nal, self.planes
         col_starts = set(b * ctu_size for b in sp.tile_col_bounds()[1:-1])
         row_starts = set(b * ctu_size for b in sp.tile_row_bounds()[1:-1])
-        substreams = []
+        if sp.wpp:
+            substreams = self._serialize_wpp(sp, slice_type, init_type,
+                                             maps2, tile_decisions[0],
+                                             sao_params)
+            tile_decisions = []  # rows serialized; skip the tile loop
+        else:
+            substreams = []
         n_tiles = len(tile_decisions)
         for t, (rect, decs) in enumerate(zip(tile_rects, tile_decisions)):
             maps2.tile_rect = rect if sp.tiles_enabled else None
@@ -366,6 +373,47 @@ class SpecEncoder:
         nal += bs.write_nal(bs.NAL_SUFFIX_SEI,
                             write_picture_hash_sei(md5s, ht))
         return nal, self.planes
+
+    def _serialize_wpp(self, sp, slice_type, init_type, maps2, decs,
+                       sao_params) -> list:
+        """WPP serialization (SURVEY.md P2, spec 9.3.1): one CABAC
+        substream per CTU row; row r > 0 inherits the context state
+        stored after the SECOND CTB of row r-1 (fresh slice-start init
+        when the picture is one CTB wide).  Returns the per-row
+        byte-aligned substreams (entry points = their sizes)."""
+        ctu_size = 1 << sp.log2_ctu
+        n_x = sp.ctus_x()
+        rows = [decs[i * n_x:(i + 1) * n_x] for i in range(sp.ctus_y())]
+        substreams = []
+        inherit = None
+        next_inherit = None
+        if sao_params is not None:
+            from . import sao as sao_mod
+        for ri, row in enumerate(rows):
+            ctx = (inherit.copy() if inherit is not None
+                   else ContextSet(init_type, self.qp))
+            wt = bs.BitWriter()
+            enc = CabacEncoder(wt, ctx)
+            for i, (cx, cy, cu) in enumerate(row):
+                if sao_params is not None:
+                    ry, rx = cy // ctu_size, cx // ctu_size
+                    sao_mod.encode_sao_ctu(
+                        enc, sao_params[0][ry][rx], sao_params[1][ry][rx],
+                        sao_params[2][ry][rx], rx, ry, True, True,
+                        left_in_tile=True, up_in_tile=True)
+                ctu_mod.encode_ctu(enc, maps2, sp, cx, cy, cu, slice_type)
+                if i == 1:
+                    next_inherit = enc.ctx.copy()  # sync point (9.3.1)
+                last_of_slice = (ri == len(rows) - 1
+                                 and i == len(row) - 1)
+                enc.encode_terminate(1 if last_of_slice else 0)
+                if i == len(row) - 1 and not last_of_slice:
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+            enc.finish()
+            wt.byte_align()
+            substreams.append(wt.get_bytes())
+            inherit = next_inherit if n_x >= 2 else None
+        return substreams
 
     def _serialize_multi_slice(self, sp, slice_type, poc, ref_deltas,
                                mctx, slice_rects, slice_decisions,

@@ -58,6 +58,9 @@ class SequenceParams:
     # tiles (uniform spacing); 1x1 = no tiles
     tile_cols: int = 1
     tile_rows: int = 1
+    # wavefront parallel processing (SURVEY.md P2): per-CTU-row CABAC
+    # substreams with context inheritance from the row above's 2nd CTB
+    wpp: bool = False
 
     @property
     def tiles_enabled(self) -> bool:
@@ -385,7 +388,7 @@ def write_pps(sp: SequenceParams) -> bytes:
     w.write_flag(1 if sp.weighted_bipred else 0)  # weighted_bipred_flag
     w.write_flag(1 if sp.transquant_bypass_enabled else 0)
     w.write_flag(1 if sp.tiles_enabled else 0)  # tiles_enabled_flag
-    w.write_flag(0)       # entropy_coding_sync_enabled_flag
+    w.write_flag(1 if sp.wpp else 0)  # entropy_coding_sync_enabled_flag
     if sp.tiles_enabled:
         w.write_ue(sp.tile_cols - 1)
         w.write_ue(sp.tile_rows - 1)
@@ -429,7 +432,7 @@ def parse_pps(rbsp: bytes, sp: SequenceParams) -> SequenceParams:
     sp.weighted_bipred = bool(r.read_flag())
     sp.transquant_bypass_enabled = bool(r.read_flag())
     tiles = bool(r.read_flag())
-    assert r.read_flag() == 0  # wpp
+    sp.wpp = bool(r.read_flag())
     if tiles:
         sp.tile_cols = r.read_ue() + 1
         sp.tile_rows = r.read_ue() + 1
@@ -543,7 +546,7 @@ def write_slice_header(sh: SliceHeader, sp: SequenceParams,
         w.write_ue(5 - 5)
     w.write_se(sh.slice_qp - sp.init_qp)
     # deblocking override absent; loop filter across slices not present
-    if sp.tiles_enabled:
+    if sp.tiles_enabled or sp.wpp:
         w.write_ue(len(sh.entry_points))
         if sh.entry_points:
             max_off = max(sh.entry_points)
@@ -613,7 +616,7 @@ def parse_slice_header(r: BitReader, sp: SequenceParams,
                 sh.num_ref_idx_l1 if is_b else 0, is_b)
         r.read_ue()           # five_minus_max_num_merge_cand
     sh.slice_qp = sp.init_qp + r.read_se()
-    if sp.tiles_enabled:
+    if sp.tiles_enabled or sp.wpp:
         n = r.read_ue()
         if n:
             nbits = r.read_ue() + 1
