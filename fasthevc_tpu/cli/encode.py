@@ -82,6 +82,16 @@ def main(argv=None) -> int:
     ap.add_argument("--search-range", type=int, default=64,
                     help="motion search range (full-pel; hierarchical ME "
                          "beyond 8)")
+    ap.add_argument("--wpp", action="store_true",
+                    help="WPP entropy substreams (spec engine)")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="independent slice segments per picture "
+                         "(spec engine)")
+    ap.add_argument("--weighted-pred", action="store_true",
+                    help="explicit weighted prediction (fades)")
+    ap.add_argument("--scaling-lists", action="store_true",
+                    help="default quantization scaling lists "
+                         "(spec engine)")
     ap.add_argument("--metrics", help="write per-picture JSONL records")
     ap.add_argument("--profile",
                     help="capture a jax.profiler trace into this directory "
@@ -116,7 +126,10 @@ def main(argv=None) -> int:
                     nxn_intra=args.nxn_intra,
                     transform_skip=args.transform_skip,
                     hash_type=args.hash_type,
-                    search_range=args.search_range)
+                    search_range=args.search_range,
+                    wpp=args.wpp, slices=args.slices,
+                    weighted_pred=args.weighted_pred,
+                    scaling_lists=args.scaling_lists)
 
     if args.engine == "tpu":
         from ..codec.encoder import TpuEncoder as Encoder
