@@ -120,6 +120,10 @@ class TpuEncoder:
                 "WPP entropy substreams run on the spec tier: use "
                 "SpecEncoder (TpuEncoder parallelizes via tiles + the "
                 "batched device search instead)")
+        if getattr(cfg, "rqt_intra", False):
+            raise NotImplementedError(
+                "depth-1 intra RQT runs on the spec tier: use "
+                "SpecEncoder (the TPU search decides TU==CU intra trees)")
 
     @staticmethod
     def _lambda_sqrt(qp: int) -> float:

@@ -76,6 +76,11 @@ class EncoderConfig:
     # commit on the classic/native path (device commits keep TU == CU and
     # code the flag as 0 - encoder freedom, conformance unaffected)
     rqt_inter: bool = True
+    # depth-1 residual quadtree for INTRA CUs (split_transform_flag on
+    # 2Nx2N intra CUs of 16/32): 4 sub-TBs predicted sequentially from
+    # each other's reconstruction. Spec tier (SpecEncoder RD-searches
+    # it; decoder always supports it); TpuEncoder raises when set.
+    rqt_intra: bool = False
     sign_data_hiding: bool = True  # SDH (PPS flag; off under lossless)
     # Quantization scaling lists (SURVEY.md C2/C5): the spec default
     # matrices (Table 7-5/7-6, HM `ScalingList=1`) shape quantization

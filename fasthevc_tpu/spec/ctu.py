@@ -711,6 +711,8 @@ def _decode_cu(dec, maps, sp, planes, x, y, log2_size, depth, cu, slice_qp,
     else:
         maps.set_cu(x, y, size, depth, cu.luma_mode)
     maps.set_skip(x, y, size, False)
+    maps.tusplit[y >> 2:(y + size) >> 2,
+                 x >> 2:(x + size) >> 2] = cu.tu_split
     maps.motion.set_intra_cu(x, y, size,
                              any(tu.levels_y is not None for tu in cu.tus))
 
@@ -844,6 +846,11 @@ def _decode_mode_from_cands(dec, cands, prev_flag: int) -> int:
 
 def _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp):
     forced_split = log2_size > sp.log2_max_tu
+    # depth-1 intra RQT (spec 7.3.8.8): the flag precedes the chroma cbfs
+    if (sp.max_transform_hierarchy_depth_intra > 0 and not cu.nxn
+            and sp.log2_min_tu < log2_size <= sp.log2_max_tu):
+        cu.tu_split = bool(dec.decode_bin("split_transform_flag",
+                                          5 - log2_size))
     cbf_cb0 = bool(dec.decode_bin("cbf_chroma", 0))
     cbf_cr0 = bool(dec.decode_bin("cbf_chroma", 0))
     qp_y, qp_cb, qp_cr = tu_qps(sp, slice_qp)
@@ -893,7 +900,7 @@ def _decode_transform_tree(dec, sp, planes, x, y, log2_size, cu, slice_qp):
                        cu.tus[3].levels_cr, qp_cr, cu.bypass,
                        cu.tus[3].ts_cr)
         return
-    if forced_split:
+    if forced_split or cu.tu_split:
         half = 1 << (log2_size - 1)
         for i in range(4):
             tx, ty = x + (i & 1) * half, y + (i >> 1) * half

@@ -196,7 +196,8 @@ def _segment_bs(maps, vert: bool, y4: np.ndarray, g8: np.ndarray):
 
 
 def deblock_picture(planes, sp, depth_map: np.ndarray, slice_qp: int,
-                    qp_cb: int, qp_cr: int, maps=None) -> None:
+                    qp_cb: int, qp_cr: int, maps=None,
+                    tusplit=None) -> None:
     """Deblock the reconstructed picture in place.
 
     planes: object with .y/.cb/.cr int arrays in coded dims.
@@ -205,8 +206,10 @@ def deblock_picture(planes, sp, depth_map: np.ndarray, slice_qp: int,
     all-intra picture (BS=2 everywhere).
     """
     max_val = (1 << sp.bit_depth) - 1
-    tusplit = (maps.tusplit[::2, ::2]
-               if maps is not None and hasattr(maps, "tusplit") else None)
+    if tusplit is None:
+        tusplit = (maps.tusplit[::2, ::2]
+                   if maps is not None and hasattr(maps, "tusplit")
+                   else None)
     vert, horz = edge_flags(depth_map, sp.log2_ctu, sp.log2_max_tu,
                             tusplit=tusplit)
     gh, gw = vert.shape

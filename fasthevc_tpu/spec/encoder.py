@@ -85,6 +85,8 @@ def config_to_sp(cfg: EncoderConfig) -> SequenceParams:
         wpp=getattr(cfg, "wpp", False),
         max_transform_hierarchy_depth_inter=(
             1 if getattr(cfg, "rqt_inter", False) else 0),
+        max_transform_hierarchy_depth_intra=(
+            1 if getattr(cfg, "rqt_intra", False) else 0),
         hrd_enabled=getattr(cfg, "hrd", False),
         frame_rate=getattr(cfg, "frame_rate", 30.0),
     )
@@ -628,6 +630,22 @@ class SpecEncoder:
             if best is None or cost < best[0]:
                 best = (cost, cu)
             # restore recon after each trial (the trial wrote planes)
+        # depth-1 intra RQT (SURVEY.md E7): try split_transform_flag = 1
+        # for the winning mode — 4 sub-TBs each predicted from the
+        # previous sub-TB's recon (finer prediction at 2x the TQ cost)
+        if (sp.max_transform_hierarchy_depth_intra > 0
+                and not self.cfg.lossless
+                and sp.log2_min_tu + 1 < log2_size <= sp.log2_max_tu):
+            import copy as _copy
+            cu2 = _copy.copy(best[1])
+            cu2.tu_split = True
+            dist2, tus2 = self._build_tus(x, y, log2_size, cu2, split=True)
+            cu2.tus = tus2
+            est2 = CabacEstimator(self.est.ctx.copy())
+            self._est_cu_syntax(est2, x, y, log2_size, cu2)
+            cost2 = dist2 + self.lambda_mode * est2.bits
+            if cost2 < best[0]:
+                best = (cost2, cu2)
         cost, cu = best
 
         # ---- inter candidates (P/B slices) --------------------------------
@@ -648,10 +666,13 @@ class SpecEncoder:
                 return cu, cost
 
         # rebuild the winner (recon currently holds last trial)
-        dist, tus = self._build_tus(x, y, log2_size, cu)
+        dist, tus = self._build_tus(x, y, log2_size, cu,
+                                    split=cu.tu_split)
         cu.tus = tus
         self.maps.set_cu(x, y, n, depth, cu.luma_mode)
         self.maps.set_skip(x, y, n, False)
+        self.maps.tusplit[y >> 2:(y + n) >> 2,
+                          x >> 2:(x + n) >> 2] = cu.tu_split
         self.maps.motion.set_intra_cu(
             x, y, n, any(tu.levels_y is not None for tu in cu.tus))
         self._est_cu_syntax(self.est, x, y, log2_size, cu)
@@ -1087,11 +1108,14 @@ class SpecEncoder:
         for a, s in zip(self._granule_arrays(), saved):
             a[g] = s
 
-    def _build_tus(self, x, y, log2_size, cu) -> tuple[int, list]:
+    def _build_tus(self, x, y, log2_size, cu,
+                   split: bool = False) -> tuple[int, list]:
         """Transform-quantize-reconstruct the CU for a given mode; returns
-        (distortion, [TuData...]). Writes recon into self.planes."""
+        (distortion, [TuData...]). Writes recon into self.planes.
+        split: depth-1 intra RQT variant (4 sub-TBs, z-order, each
+        predicted from the previous sub-TB's reconstruction)."""
         sp = self.sp
-        if log2_size > sp.log2_max_tu:
+        if log2_size > sp.log2_max_tu or split:
             half = 1 << (log2_size - 1)
             dist = 0
             tus = []
