@@ -46,3 +46,25 @@ def test_device_rc_converges_within_5pct():
     assert len(pics) == N and all(p.hash_ok for p in pics)
     realized = len(stream) * 8 * cfg.frame_rate / N  # bit/s at cfg fps
     assert abs(realized - target) / target < 0.05, realized
+
+
+def test_device_rc_inter_converges():
+    """r5: INTER sequences with target_bitrate>0 stay on the device
+    pipeline — sequential batch dispatch, per-picture R-lambda feedback."""
+    from fasthevc_tpu.config.config import GopEntry
+
+    W, H, N = 128, 64, 9
+    frames = synthesize_yuv(W, H, N, seed=7)
+    target = 90_000  # bit/s at 30 fps -> ~3 kbit/frame
+    cfg = EncoderConfig(width=W, height=H, qp=32, frames=N,
+                        target_bitrate=target, intra_period=-1,
+                        gop=[GopEntry(1, 0, "P", (-1,))], sao=False,
+                        num_ref_per_list=1, temporal_mvp=False)
+    from fasthevc_tpu.codec.device_pipeline import device_path_ok
+    from fasthevc_tpu.spec.encoder import config_to_sp
+    assert device_path_ok(cfg, config_to_sp(cfg))
+    stream, _ = TpuEncoder(cfg).encode(frames)
+    pics = SpecDecoder().decode(stream)
+    assert len(pics) == N and all(p.hash_ok for p in pics)
+    realized = len(stream) * 8 * cfg.frame_rate / N
+    assert abs(realized - target) / target < 0.10, realized
