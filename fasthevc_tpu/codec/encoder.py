@@ -525,6 +525,7 @@ class TpuEncoder:
         with the next batches' device work (SURVEY.md §3.1, §2.4 P4/P5).
         """
         import os
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
         import jax.numpy as jnp
@@ -935,8 +936,13 @@ class TpuEncoder:
                 res_dev = chunk_dev.pop(bi)
                 # pad slots are sliced off BEFORE the fetch: tunnel bytes
                 # are the wall, so never fetch discarded outputs
+                _t0 = time.time() if _dbg else 0.0
                 res_np = {k: np.asarray(res_dev[k][:n_real])
                           for k in eager}
+                if _dbg:
+                    print(f"[fetch] batch {bi} F={n_real} "
+                          f"wait+fetch={time.time() - _t0:.2f}s",
+                          file=_sys.stderr, flush=True)
                 if bi + 2 < len(batches):
                     dispatch(bi + 2)
                 pk = res_np["packed"]
